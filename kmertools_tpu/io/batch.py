@@ -1,0 +1,167 @@
+"""Host-side batch assembly: streaming reads -> fixed-shape device batches.
+
+The reference's concurrency model is N CPU threads pulling reads off a
+shared mutex-guarded iterator (composition/src/oligo.rs:192-226). The
+TPU-native equivalent is this module: the host packs reads into padded,
+length-bucketed 2-bit-code batches of *static* shape, so every device
+step hits the same compiled XLA program.
+
+Key properties:
+  * base codes (0..3, 4 = ambiguous/pad) via the shared 256-entry LUT
+  * length bucketing: a read goes to the smallest row width that fits
+  * long reads are split into multiple rows with `overlap` shared bases
+    so windowed features (k-mers, minimiser windows) are computed
+    exactly once across row boundaries
+  * a bucket flushes when it reaches its fixed row count; EOF flushes
+    padded partial batches — shapes never vary within a bucket
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from kmertools_tpu.io.fastx import Sequence
+from kmertools_tpu.utils.codec import SEQ_NT4_TABLE
+
+import os
+
+DEFAULT_ROW_WIDTHS = (128, 512, 2048, 8192)
+DEFAULT_TARGET_CODES = int(os.environ.get("KMERTOOLS_TARGET_CODES", 1 << 22))
+
+
+@dataclass
+class Batch:
+    codes: np.ndarray  # (R, W) uint8 base codes, 4 = ambiguous or padding
+    lengths: np.ndarray  # (R,) int32 valid codes per row
+    read_idx: np.ndarray  # (R,) int64 global read index, -1 for padding rows
+    row_start: np.ndarray  # (R,) int64 offset of the row's first base in its read
+    last_row: np.ndarray  # (R,) bool, True when the row is its read's final row
+    ids: dict  # read_idx -> id, for reads whose first row is in this batch
+    read_lengths: dict  # read_idx -> full read length, same keys as `ids`
+
+
+@dataclass
+class _Bucket:
+    width: int
+    rows: int
+    codes: np.ndarray
+    lengths: np.ndarray
+    read_idx: np.ndarray
+    row_start: np.ndarray
+    last_row: np.ndarray
+    fill: int = 0
+    ids: dict = field(default_factory=dict)
+    read_lengths: dict = field(default_factory=dict)
+
+    def reset(self) -> None:
+        self.fill = 0
+        self.codes.fill(4)
+        self.lengths.fill(0)
+        self.read_idx.fill(-1)
+        self.row_start.fill(0)
+        self.last_row.fill(False)
+        self.ids = {}
+        self.read_lengths = {}
+
+    def snapshot(self) -> Batch:
+        return Batch(
+            codes=self.codes.copy(),
+            lengths=self.lengths.copy(),
+            read_idx=self.read_idx.copy(),
+            row_start=self.row_start.copy(),
+            last_row=self.last_row.copy(),
+            ids=self.ids,
+            read_lengths=self.read_lengths,
+        )
+
+
+def encode_bases(seq: bytes) -> np.ndarray:
+    """ASCII bytes -> uint8 codes via the minimap2-style LUT
+    (kmer/src/kmer.rs:6-15 semantics)."""
+    return SEQ_NT4_TABLE[np.frombuffer(seq, dtype=np.uint8)]
+
+
+def batch_stream(
+    records: Iterable[Sequence],
+    overlap: int,
+    row_widths: tuple[int, ...] = DEFAULT_ROW_WIDTHS,
+    target_codes: int = DEFAULT_TARGET_CODES,
+) -> Iterator[Batch]:
+    """Pack a record stream into fixed-shape batches.
+
+    `overlap` is the number of bases shared between consecutive rows of
+    a split read (k-1 for k-mer features, w-1 for minimiser windows).
+    """
+    widths = tuple(sorted(row_widths))
+    max_w = widths[-1]
+    if overlap >= max_w:
+        raise ValueError(f"overlap {overlap} must be < max row width {max_w}")
+    buckets = {}
+    for w in widths:
+        rows = max(1, target_codes // w)
+        buckets[w] = _Bucket(
+            width=w,
+            rows=rows,
+            codes=np.full((rows, w), 4, dtype=np.uint8),
+            lengths=np.zeros(rows, dtype=np.int32),
+            read_idx=np.full(rows, -1, dtype=np.int64),
+            row_start=np.zeros(rows, dtype=np.int64),
+            last_row=np.zeros(rows, dtype=bool),
+        )
+
+    def put_row(width: int, chunk: np.ndarray, ridx: int, start: int, last: bool,
+                rid: str | None, rlen: int | None):
+        b = buckets[width]
+        i = b.fill
+        b.codes[i, : len(chunk)] = chunk
+        b.lengths[i] = len(chunk)
+        b.read_idx[i] = ridx
+        b.row_start[i] = start
+        b.last_row[i] = last
+        if rid is not None:
+            b.ids[ridx] = rid
+            b.read_lengths[ridx] = rlen
+        b.fill += 1
+        if b.fill == b.rows:
+            out = b.snapshot()
+            b.reset()
+            return out
+        return None
+
+    stride = max_w - overlap
+    for rec in records:
+        codes = encode_bases(rec.seq)
+        L = len(codes)
+        first = True
+        if L <= max_w:
+            # single row: smallest width that fits
+            for w in widths:
+                if L <= w:
+                    out = put_row(w, codes, rec.n, 0, True, rec.id, L)
+                    if out is not None:
+                        yield out
+                    break
+        else:
+            start = 0
+            while start < L:
+                end = min(start + max_w, L)
+                chunk = codes[start:end]
+                last = end >= L
+                out = put_row(
+                    max_w, chunk, rec.n, start, last,
+                    rec.id if first else None, L if first else None,
+                )
+                if out is not None:
+                    yield out
+                first = False
+                if last:
+                    break
+                start += stride
+    for b in buckets.values():
+        if b.fill > 0:
+            out = b.snapshot()
+            b.reset()
+            yield out

@@ -1,0 +1,121 @@
+"""Oligonucleotide frequency vectors (composition/src/oligo.rs analog).
+
+Per read: counts of canonical (136-dim for k=4) or raw forward-strand
+(4^k-dim) k-mers, optionally normalised by the read's total k-mer count
+(f64, ``/ max(1, total)``, oligo.rs:255-257), written as delimited
+text, ``{:.6}`` when normalised.
+
+TPU pipeline: host packs padded code batches (io.batch), the device
+computes k-mer ids (ops.encode) and per-read histograms as MXU matmuls
+(ops.histogram); normalisation happens in f64 on the host so output
+bytes match the reference exactly regardless of accelerator dtype
+support.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from kmertools_tpu.io import batch as iob
+from kmertools_tpu.io import fastx
+from kmertools_tpu.ops import encode, histogram
+from kmertools_tpu.utils import codec
+from kmertools_tpu.utils.fmt import format_fixed6
+from kmertools_tpu.workloads.common import OrderedEmitter, RowAggregator
+
+
+class OligoComputer:
+    """File-to-file oligo vectoriser (composition/src/oligo.rs:15-259)."""
+
+    def __init__(self, in_path: str, out_path: str, ksize: int, count_min: bool = True):
+        self.in_path = in_path
+        self.out_path = out_path
+        self.ksize = ksize
+        self.count_min = count_min
+        _, self.pos_kmer, self.kcount = codec.kmer_pos_maps(ksize)
+        self.norm = True
+        self.delim = " "
+        self.header = False
+        self.threads = 0
+        self.target_codes = iob.DEFAULT_TARGET_CODES
+
+    # builder setters mirroring oligo.rs:49-67
+    def set_threads(self, threads: int) -> None:
+        self.threads = threads
+
+    def set_norm(self, norm: bool) -> None:
+        self.norm = norm
+
+    def set_delim(self, delim: str) -> None:
+        self.delim = delim
+
+    def set_max_memory(self, memory: int) -> None:
+        self.target_codes = max(1 << 14, min(memory, 1 << 24))
+
+    def set_header(self, header: bool) -> None:
+        self.header = header
+
+    def get_header(self) -> list[str]:
+        """ACGT header row (oligo.rs:69-83)."""
+        if self.count_min:
+            return [
+                codec.numeric_to_kmer(self.pos_kmer[i], self.ksize)
+                for i in range(self.kcount)
+            ]
+        return [codec.numeric_to_kmer(v, self.ksize) for v in range(4**self.ksize)]
+
+    @property
+    def nbins(self) -> int:
+        return self.kcount if self.count_min else 4**self.ksize
+
+    def vectorise(self) -> None:
+        records = fastx.sequences(self.in_path)
+        nbins = self.nbins
+        slot_table = (
+            jnp.asarray(codec.canonical_slot_table(self.ksize))
+            if self.count_min
+            else None
+        )
+
+        with open(self.out_path, "wb") as out:
+            if self.header:
+                out.write((self.delim.join(self.get_header()) + "\n").encode())
+
+            if self.norm:
+                def write_block(payloads: list) -> None:
+                    vecs = np.stack([p[0] for p in payloads]).astype(np.float64)
+                    tots = np.array([p[1] for p in payloads], dtype=np.float64)
+                    vecs /= np.maximum(1.0, tots)[:, None]
+                    out.write(format_fixed6(vecs, self.delim))
+            else:
+                def write_block(payloads: list) -> None:
+                    lines = [
+                        self.delim.join(str(int(v)) for v in p[0]) + "\n"
+                        for p in payloads
+                    ]
+                    out.write("".join(lines).encode())
+
+            emitter = OrderedEmitter(write_block)
+            agg = RowAggregator(lambda ridx, vec, tot: emitter.add(ridx, (vec, tot)))
+
+            for b in iob.batch_stream(
+                records, overlap=self.ksize - 1, target_codes=self.target_codes
+            ):
+                codes = jnp.asarray(b.codes)
+                fwd, rc, valid = encode.kmer_ids_small(codes, self.ksize)
+                if self.count_min:
+                    ids = jnp.minimum(fwd, rc)
+                    counts, totals = histogram.per_read_histogram_gathered(
+                        ids, valid, slot_table, nbins
+                    )
+                else:
+                    counts, totals = histogram.per_read_histogram(fwd, valid, nbins)
+                agg.add_batch(
+                    b.read_idx,
+                    b.last_row,
+                    np.asarray(counts),
+                    np.asarray(totals),
+                )
+            agg.finish()
+            emitter.finish()
