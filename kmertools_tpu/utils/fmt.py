@@ -26,6 +26,7 @@ import numpy as np
 
 def rust_f64_repr(x: float) -> str:
     """Format an f64 exactly like Rust's `{}` Display."""
+    x = float(x)
     if math.isnan(x):
         return "NaN"
     if math.isinf(x):

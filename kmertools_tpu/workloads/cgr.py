@@ -1,0 +1,202 @@
+"""CGR workloads: whole-sequence CGR and k-mer (oligo) CGR.
+
+Reference behavior:
+  * CgrComputer (composition/src/cgr.rs): one `(x,y)` point per base,
+    lines of points joined by spaces, Rust `{}` f64 formatting; any
+    base outside AaCcGgTtUu aborts with "Bad nucleotide".
+  * OligoCgrComputer (composition/src/oligocgr.rs): for each canonical
+    k-mer, the CGR endpoint of the k-mer string plus its (optionally
+    normalised) per-read frequency as `(x,y,freq)`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+from kmertools_tpu.io import batch as iob
+from kmertools_tpu.io import fastx
+from kmertools_tpu.ops import cgr as cgr_ops
+from kmertools_tpu.ops import encode, histogram
+from kmertools_tpu.utils import codec
+from kmertools_tpu.utils.fmt import rust_f64_repr
+from kmertools_tpu.workloads.common import OrderedEmitter, RowAggregator
+
+_repr = functools.lru_cache(maxsize=1 << 16)(rust_f64_repr)
+
+# whole reads up to this length run on-device; longer fall back to host
+_CGR_ROW_WIDTHS = (128, 512, 2048, 8192, 32768)
+
+
+def _f64_supported() -> bool:
+    import jax
+
+    if not jax.config.read("jax_enable_x64"):
+        return False
+    try:
+        (jnp.zeros(1, jnp.float64) + 1.0).block_until_ready()
+        return True
+    except Exception:
+        return False
+
+
+class CgrComputer:
+    """Whole-sequence CGR (composition/src/cgr.rs:41-144)."""
+
+    def __init__(self, in_path: str, out_path: str, vecsize: int):
+        self.in_path = in_path
+        self.out_path = out_path
+        self.vecsize = vecsize
+        self.threads = 0
+        self.target_codes = iob.DEFAULT_TARGET_CODES
+
+    def set_threads(self, threads: int) -> None:
+        self.threads = threads
+
+    def _points_host(self, codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Sequential f64 walk for reads longer than the widest bucket."""
+        s = float(self.vecsize)
+        cx_t = np.array([0.0, 0.0, s, s], dtype=np.float64)
+        cy_t = np.array([0.0, s, s, 0.0], dtype=np.float64)
+        xs = np.empty(len(codes))
+        ys = np.empty(len(codes))
+        x = y = s / 2.0
+        for i, c in enumerate(codes):
+            x = (x + cx_t[c]) / 2.0
+            y = (y + cy_t[c]) / 2.0
+            xs[i] = x
+            ys[i] = y
+        return xs, ys
+
+    def vectorise(self) -> None:
+        use_device = _f64_supported()
+        records = fastx.sequences(self.in_path)
+
+        def write_block(payloads: list) -> None:
+            lines = []
+            for xs, ys in payloads:
+                lines.append(
+                    " ".join(f"({_repr(x)},{_repr(y)})" for x, y in zip(xs, ys))
+                )
+            out.write(("\n".join(lines) + "\n").encode())
+
+        with open(self.out_path, "wb") as out:
+            emitter = OrderedEmitter(write_block, block=1024)
+            max_w = _CGR_ROW_WIDTHS[-1]
+
+            def records_filtered():
+                for rec in records:
+                    if len(rec.seq) > max_w:
+                        codes = iob.encode_bases(rec.seq)
+                        self._check_codes(codes, rec.id)
+                        emitter.add(rec.n, self._points_host(codes))
+                    else:
+                        yield rec
+
+            for b in iob.batch_stream(
+                records_filtered(),
+                overlap=0,
+                row_widths=_CGR_ROW_WIDTHS,
+                target_codes=self.target_codes,
+            ):
+                lens = b.lengths
+                for i in np.nonzero(b.read_idx >= 0)[0]:
+                    self._check_codes(
+                        b.codes[i, : lens[i]], b.ids.get(int(b.read_idx[i]), "?")
+                    )
+                if use_device:
+                    xs, ys = cgr_ops.cgr_scan(
+                        jnp.asarray(b.codes), float(self.vecsize), jnp.float64
+                    )
+                    xs = np.asarray(xs)
+                    ys = np.asarray(ys)
+                else:
+                    full = np.empty(
+                        (b.codes.shape[0], b.codes.shape[1], 2), dtype=np.float64
+                    )
+                    s = float(self.vecsize)
+                    cx_t = np.array([0.0, 0.0, s, s, 0.0])
+                    cy_t = np.array([0.0, s, s, 0.0, 0.0])
+                    m = np.full((b.codes.shape[0], 2), s / 2.0)
+                    for t in range(b.codes.shape[1]):
+                        m = (m + np.stack(
+                            [cx_t[b.codes[:, t]], cy_t[b.codes[:, t]]], axis=1
+                        )) / 2.0
+                        full[:, t] = m
+                    xs, ys = full[..., 0], full[..., 1]
+                for i in np.nonzero(b.read_idx >= 0)[0]:
+                    n = int(lens[i])
+                    emitter.add(int(b.read_idx[i]), (xs[i, :n], ys[i, :n]))
+            emitter.finish()
+
+    @staticmethod
+    def _check_codes(codes: np.ndarray, rid: str) -> None:
+        if (codes >= 4).any():
+            raise ValueError("Bad nucleotide, unable to proceed")
+
+
+class OligoCgrComputer:
+    """k-mer CGR (composition/src/oligocgr.rs:16-163)."""
+
+    def __init__(self, in_path: str, out_path: str, ksize: int, vecsize: int):
+        self.in_path = in_path
+        self.out_path = out_path
+        self.ksize = ksize
+        self.vecsize = vecsize
+        self.norm = True
+        self.threads = 0
+        self.target_codes = iob.DEFAULT_TARGET_CODES
+        _, pos_kmer, self.kcount = codec.kmer_pos_maps(ksize)
+        kmer_vals = np.array([pos_kmer[i] for i in range(self.kcount)], dtype=np.uint64)
+        digits = np.empty((self.kcount, ksize), dtype=np.int64)
+        for j in range(ksize):
+            digits[:, j] = ((kmer_vals >> np.uint64(2 * (ksize - 1 - j))) & np.uint64(3)).astype(np.int64)
+        self._xs, self._ys = cgr_ops.kmer_cgr_points(digits, float(vecsize))
+        self._prefixes = [
+            f"({rust_f64_repr(x)},{rust_f64_repr(y)}," for x, y in zip(self._xs, self._ys)
+        ]
+
+    def set_threads(self, threads: int) -> None:
+        self.threads = threads
+
+    def set_norm(self, norm: bool) -> None:
+        self.norm = norm
+
+    def vectorise(self) -> None:
+        records = fastx.sequences(self.in_path)
+        slot_table = jnp.asarray(codec.canonical_slot_table(self.ksize))
+        prefixes = self._prefixes
+
+        def write_block(payloads: list) -> None:
+            lines = []
+            for vec, tot in payloads:
+                if self.norm:
+                    freqs = vec.astype(np.float64) / max(1.0, float(tot))
+                else:
+                    freqs = vec
+                lines.append(
+                    " ".join(
+                        p + _repr(float(f)) + ")" for p, f in zip(prefixes, freqs)
+                    )
+                )
+            out.write(("\n".join(lines) + "\n").encode())
+
+        with open(self.out_path, "wb") as out:
+            emitter = OrderedEmitter(write_block, block=1024)
+            agg = RowAggregator(lambda ridx, vec, tot: emitter.add(ridx, (vec, tot)))
+            for b in iob.batch_stream(
+                records, overlap=self.ksize - 1, target_codes=self.target_codes
+            ):
+                codes = jnp.asarray(b.codes)
+                fwd, rc, valid = encode.kmer_ids_small(codes, self.ksize)
+                ids = jnp.minimum(fwd, rc)
+                counts, totals = histogram.per_read_histogram_gathered(
+                    ids, valid, slot_table, self.kcount
+                )
+                agg.add_batch(
+                    b.read_idx, b.last_row, np.asarray(counts), np.asarray(totals)
+                )
+            agg.finish()
+            emitter.finish()
