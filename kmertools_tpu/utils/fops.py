@@ -15,5 +15,10 @@ def create_directory(path: str) -> None:
 
 
 def load_lines_sorted(path: str) -> list[str]:
+    """Trimmed, sorted lines (ktio/src/fops.rs:15-25 semantics: the
+    whole text and each line are trimmed before comparison)."""
     with open(path) as f:
-        return sorted(line.rstrip("\n") for line in f if line.strip())
+        text = f.read().strip()
+    if not text:
+        return []
+    return sorted(line.strip() for line in text.split("\n"))

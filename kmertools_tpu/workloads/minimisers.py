@@ -1,0 +1,216 @@
+"""Minimiser binning workloads (misc/src/minimisers.rs analog).
+
+Two output modes (kmertools `min` subcommand, args.rs:177-205):
+  * s2m (`seq_to_min`, minimisers.rs:87-160): one line per read,
+    ``id\\tMIN:s-e\\tMIN:s-e\\t\\n`` (the reference joins a trailing
+    "\\n" element with tabs, so a tab precedes the newline — we match
+    those bytes exactly).
+  * m2s (`bin_sequences`, minimisers.rs:11-85): reads grouped by
+    minimiser, ``MIN\\t[("id", s, e), ...]\\n`` (Rust Debug format of
+    Vec<(String, usize, usize)>). The reference's concurrent-map scan
+    order is nondeterministic; we write sorted by minimiser, a
+    deterministic member of the same equivalence class (its tests sort
+    before comparing: minimisers.rs:169-187).
+
+wsize == 0 means "window = whole read" (one minimiser per read,
+minimisers.rs:44-48).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from kmertools_tpu.io import batch as iob
+from kmertools_tpu.io import fastx
+from kmertools_tpu.ops import minimiser as mops
+from kmertools_tpu.utils import codec
+from kmertools_tpu.workloads.common import OrderedEmitter
+
+
+def _row_trail(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Per row: length of the trailing run of valid bases in [0, len)."""
+    R, W = codes.shape
+    pos = np.arange(W, dtype=np.int64)
+    bad = (codes >= 4) & (pos[None, :] < lengths[:, None])
+    last_bad = np.where(bad, pos[None, :], -1).max(axis=1)
+    return lengths.astype(np.int64) - 1 - last_bad
+
+
+def _row_has_bad(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    pos = np.arange(codes.shape[1], dtype=np.int64)
+    bad = (codes >= 4) & (pos[None, :] < lengths[:, None])
+    return bad.any(axis=1)
+
+
+class _ReadState:
+    __slots__ = ("rows_h", "rows_l", "rows_v", "length", "trail", "has_bad",
+                 "min_h", "min_l")
+
+    def __init__(self):
+        self.rows_h = []
+        self.rows_l = []
+        self.rows_v = []
+        self.length = 0
+        self.trail = 0
+        self.has_bad = False
+        self.min_h = 0xFFFFFFFF
+        self.min_l = 0xFFFFFFFF
+
+
+def _minimise_stream(in_path: str, wsize: int, msize: int, emit, target_codes=None):
+    """Drive the device kernels over the file; call emit(read_idx, id,
+    read_len, records) with records = list of (value_u64, start, end)."""
+    target = target_codes or iob.DEFAULT_TARGET_CODES
+    overlap = (wsize - 1) if wsize > 0 else (msize - 1)
+    max_val = (1 << (2 * msize)) - 1  # u64::MAX masked to 2m bits: all-T
+    nlo = min(msize, 16)
+
+    states: dict[int, _ReadState] = {}
+    meta: dict[int, tuple[str, int]] = {}
+
+    def handle_batch(b: iob.Batch):
+        meta.update({ridx: (rid, b.read_lengths[ridx]) for ridx, rid in b.ids.items()})
+        lengths = b.lengths.astype(np.int64)
+        trail = _row_trail(b.codes, lengths)
+        hasbad = _row_has_bad(b.codes, lengths)
+        if wsize > 0 and b.codes.shape[1] >= wsize:
+            h, l, v = mops.window_min(jnp.asarray(b.codes), msize, wsize)
+            h, l, v = np.asarray(h), np.asarray(l), np.asarray(v)
+        else:
+            h = l = v = None
+        if wsize == 0:
+            mh, ml = mops.whole_read_min(jnp.asarray(b.codes), msize)
+            mh, ml = np.asarray(mh), np.asarray(ml)
+
+        done = []
+        for i in range(len(b.read_idx)):
+            ridx = int(b.read_idx[i])
+            if ridx < 0:
+                continue
+            st = states.get(ridx)
+            if st is None:
+                st = states[ridx] = _ReadState()
+            rowlen = int(lengths[i])
+            first_row = st.length == 0 and int(b.row_start[i]) == 0
+            if wsize > 0 and h is not None:
+                J_row = max(0, rowlen - wsize + 1)
+                if J_row > 0:
+                    st.rows_h.append(h[i, :J_row])
+                    st.rows_l.append(l[i, :J_row])
+                    st.rows_v.append(v[i, :J_row])
+            if wsize == 0:
+                hh, ll = int(mh[i]), int(ml[i])
+                if (hh, ll) < (st.min_h, st.min_l):
+                    st.min_h, st.min_l = hh, ll
+            t_row = int(trail[i])
+            if first_row:
+                st.trail = t_row
+            else:
+                st.trail = t_row if t_row < rowlen else st.trail + rowlen - overlap
+            st.has_bad = st.has_bad or bool(hasbad[i])
+            st.length = int(b.row_start[i]) + rowlen
+            if b.last_row[i]:
+                done.append(ridx)
+        return done
+
+    def flush(done: list[int]):
+        if not done:
+            return
+        if wsize == 0:
+            for ridx in done:
+                st = states.pop(ridx)
+                rid, rlen = meta.pop(ridx)
+                recs = []
+                if not st.has_bad and rlen >= msize:
+                    val = (st.min_h << (2 * nlo)) | st.min_l
+                    recs.append((val, 0, rlen))
+                elif st.has_bad and msize <= st.trail:
+                    recs.append((max_val, rlen - st.trail, rlen))
+                emit(ridx, rid, rlen, recs)
+            return
+        # assemble flat arrays with one separator window per read
+        group = [(ridx, states.pop(ridx)) for ridx in done]
+        glens = np.array([meta[r][1] for r, _ in group], dtype=np.int64)
+        parts_h, parts_l, parts_v = [], [], []
+        sep_h = np.zeros(1, dtype=np.uint32)
+        sep_v = np.zeros(1, dtype=bool)
+        for (_, st), L in zip(group, glens):
+            J = max(0, int(L) - wsize + 1)
+            if J > 0:
+                gh = np.concatenate(st.rows_h) if len(st.rows_h) != 1 else st.rows_h[0]
+                gl = np.concatenate(st.rows_l) if len(st.rows_l) != 1 else st.rows_l[0]
+                gv = np.concatenate(st.rows_v) if len(st.rows_v) != 1 else st.rows_v[0]
+                assert len(gh) == J, (len(gh), J)
+                parts_h.append(gh)
+                parts_l.append(gl)
+                parts_v.append(gv)
+            parts_h.append(sep_h)
+            parts_l.append(sep_h)
+            parts_v.append(sep_v)
+        fh = np.concatenate(parts_h)
+        fl = np.concatenate(parts_l)
+        fv = np.concatenate(parts_v)
+        rof, val, s, e = mops.extract_records(fh, fl, fv, glens, wsize, msize)
+        per_read: dict[int, list] = {i: [] for i in range(len(group))}
+        for r, vv, ss, ee in zip(rof, val, s, e):
+            per_read[int(r)].append((int(vv), int(ss), int(ee)))
+        for gi, (ridx, st) in enumerate(group):
+            rid, rlen = meta.pop(ridx)
+            recs = per_read[gi]
+            if st.trail < wsize and st.trail >= msize:
+                recs.append((max_val, rlen - st.trail, rlen))
+            emit(ridx, rid, rlen, recs)
+
+    records = fastx.sequences(in_path)
+    for b in iob.batch_stream(records, overlap=overlap, target_codes=target):
+        flush(handle_batch(b))
+    assert not states, "incomplete reads at EOF"
+
+
+def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int = 0,
+               target_codes=None) -> None:
+    """S2m mode (minimisers.rs:87-160)."""
+
+    def write_block(payloads: list) -> None:
+        out.write(b"".join(payloads))
+
+    with open(out_path, "wb") as out:
+        emitter = OrderedEmitter(write_block, block=4096)
+
+        def emit(ridx, rid, rlen, recs):
+            parts = [rid]
+            parts.extend(
+                f"{codec.numeric_to_kmer(v, msize)}:{s}-{e}" for v, s, e in recs
+            )
+            parts.append("\n")
+            emitter.add(ridx, "\t".join(parts).encode())
+
+        _minimise_stream(in_path, wsize, msize, emit, target_codes)
+        emitter.finish()
+
+
+def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
+                  threads: int = 0, target_codes=None) -> None:
+    """M2s mode (minimisers.rs:11-85); deterministic minimiser-sorted
+    output with read-ordered group entries (reference map/scan order is
+    nondeterministic; its tests sort lines: minimisers.rs:169-187)."""
+    groups: dict[int, list] = {}
+
+    def write_block(payloads: list) -> None:
+        for rid, recs in payloads:
+            for v, s, e in recs:
+                groups.setdefault(v, []).append((rid, s, e))
+
+    emitter = OrderedEmitter(write_block, block=4096)
+
+    def emit(ridx, rid, rlen, recs):
+        emitter.add(ridx, (rid, recs))
+
+    _minimise_stream(in_path, wsize, msize, emit, target_codes)
+    emitter.finish()
+    with open(out_path, "wb") as out:
+        for v in sorted(groups):
+            acgt = codec.numeric_to_kmer(v, msize)
+            body = ", ".join(f'("{rid}", {s}, {e})' for rid, s, e in groups[v])
+            out.write(f"{acgt}\t[{body}]\n".encode())

@@ -1,0 +1,198 @@
+"""Minimiser engine: exact-emission tests (kmer/src/minimiser.rs:178-305
+ports), golden files, and property tests against a state-machine oracle."""
+
+import numpy as np
+import pytest
+
+from kmertools_tpu.utils import codec
+from kmertools_tpu.utils.fops import load_lines_sorted
+from kmertools_tpu.workloads import minimisers as wmin
+
+
+# ---------------------------------------------------------------- oracle
+def oracle_minimisers(seq: bytes, wsize: int, msize: int):
+    """Reimplementation of the reference's sequential state machine
+    (kmer/src/minimiser.rs:61-175) as a test oracle."""
+    U64MAX = (1 << 64) - 1
+    out = []
+    pos = 0
+    buff = []
+    buff_pos = 0
+    m_active = U64MAX
+    m_mask = (1 << (2 * msize)) - 1
+    m_shift = 2 * (msize - 1)
+    m_val_f = m_val_r = 0
+    m_val_l = 0
+    m_window_start = 0
+    n = len(seq)
+    W = wsize - msize + 1
+    while pos < n:
+        f = int(codec.SEQ_NT4_TABLE[seq[pos]])
+        r = f ^ 3
+        if f < 4:
+            m_val_f = ((m_val_f << 2) | f) & m_mask
+            m_val_r = (m_val_r >> 2) | (r << m_shift)
+            m_val_l += 1
+        else:
+            should_return = len(buff) == W
+            prev = (m_active, m_window_start, pos)
+            buff_pos = 0
+            m_active = U64MAX
+            m_val_f = m_val_r = 0
+            m_val_l = 0
+            m_window_start = pos + 1
+            buff = []
+            pos += 1
+            if should_return:
+                out.append(prev)
+            continue
+        if m_val_l < msize:
+            pos += 1
+            continue
+        m_val_l -= 1
+        mmin = min(m_val_f, m_val_r)
+        if len(buff) == W:
+            buff.pop(0)
+            buff.append(mmin)
+            if buff_pos == 0:
+                new_min = U64MAX
+                for j, v in enumerate(buff):
+                    if v < new_min:
+                        buff_pos = j
+                        new_min = v
+                if new_min != m_active:
+                    prev = (m_active, m_window_start, pos)
+                    m_active = new_min
+                    m_window_start = pos - wsize + 1
+                    pos += 1
+                    out.append(prev)
+                    continue
+            elif mmin < m_active:
+                prev = (m_active, m_window_start, pos)
+                m_active = mmin
+                buff_pos = len(buff) - 1
+                m_window_start = pos - wsize + 1
+                pos += 1
+                out.append(prev)
+                continue
+            else:
+                buff_pos -= 1
+        else:
+            buff.append(mmin)
+        if m_active == U64MAX and len(buff) == W:
+            for j, v in enumerate(buff):
+                if v < m_active:
+                    buff_pos = j
+                    m_active = v
+        if pos == n - 1:
+            pos += 1
+            out.append((m_active, m_window_start, n))
+            continue
+        pos += 1
+    # mask sentinel values to 2m bits like numeric_to_kmer would print
+    mask = (1 << (2 * msize)) - 1
+    return [(v & mask, s, e) for v, s, e in out]
+
+
+def run_framework(seq: str, wsize: int, msize: int, tmp_path):
+    fa = tmp_path / "in.fa"
+    fa.write_text(f">r\n{seq}\n")
+    recs = []
+
+    def emit(ridx, rid, rlen, r):
+        recs.extend(r)
+
+    wmin._minimise_stream(str(fa), wsize, msize, emit)
+    return recs
+
+
+# ------------------------------------------------------- reference tests
+BLOG_SEQ = (
+    "ATGCGATATCGTAGGCGTCGATGGAGAGCTAGATCGATCGATCTAAATCCCGATCGATTC"
+    "CGAGCGCGATCAAAGCGCGATAGGCTAGCTAAAGCTAGCA"
+)
+
+
+def test_blog_example(tmp_path):
+    """kmer/src/minimiser.rs:183-280: w=31 m=7 emission sequence."""
+    recs = run_framework(BLOG_SEQ, 31, 7, tmp_path)
+    expected = [
+        ("ACGATAT", 0, 36),
+        ("ACGCCTA", 7, 43),
+        ("AGAGCTA", 13, 51),
+        ("AAATCCC", 20, 75),
+        ("AATCCCG", 44, 75),  # placeholder, fixed below
+    ]
+    # verify against the reference's published (kmer, window-string) pairs
+    want = [
+        ("ACGATAT", "ATGCGATATCGTAGGCGTCGATGGAGAGCTAGATCG"),
+        ("ACGCCTA", "TATCGTAGGCGTCGATGGAGAGCTAGATCGATCGAT"),
+        ("AGAGCTA", "AGGCGTCGATGGAGAGCTAGATCGATCGATCTAAATCC"),
+        ("AAATCCC", "ATGGAGAGCTAGATCGATCGATCTAAATCCCGATCGATTCCGAGCGCGATCAAAG"),
+        ("AATCCCG", "AATCCCGATCGATTCCGAGCGCGATCAAAGC"),
+        ("AATCGAT", "ATCCCGATCGATTCCGAGCGCGATCAAAGCG"),
+        ("AAAGCGC", "TCCCGATCGATTCCGAGCGCGATCAAAGCGCGATAGGCTAGCTAAAGCTAGCA"),
+    ]
+    assert len(recs) == len(want)
+    for (v, s, e), (kstr, wstr) in zip(recs, want):
+        assert codec.numeric_to_kmer(v, 7) == kstr
+        assert BLOG_SEQ[s:e] == wstr
+
+
+def test_ambiguous_example(tmp_path):
+    """kmer/src/minimiser.rs:283-305: w=8 m=5 with an N."""
+    seq = "ATGCGATATCGNTAGGCGTCGATGGA"
+    recs = run_framework(seq, 8, 5, tmp_path)
+    want = [
+        ("ATGCGATA", "ATCGC"),
+        ("TGCGATATCG", "ATATC"),
+        ("TAGGCGTCGA", "ACGCC"),
+        ("GCGTCGATGGA", "ATCGA"),
+    ]
+    assert len(recs) == len(want)
+    for (v, s, e), (wstr, kstr) in zip(recs, want):
+        assert seq[s:e] == wstr
+        assert codec.numeric_to_kmer(v, 5) == kstr
+
+
+# --------------------------------------------------------- property tests
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("wsize,msize", [(8, 5), (31, 7), (12, 7), (10, 9)])
+def test_matches_oracle_random(tmp_path, seed, wsize, msize):
+    rng = np.random.default_rng(seed * 131 + wsize)
+    n = int(rng.integers(5, 250))
+    seq = "".join(
+        rng.choice(list("ACGTN"), size=n, p=[0.24, 0.24, 0.24, 0.24, 0.04])
+    )
+    got = run_framework(seq, wsize, msize, tmp_path)
+    want = oracle_minimisers(seq.encode(), wsize, msize)
+    assert got == want, f"seq={seq}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_matches_oracle_long_split(tmp_path, seed):
+    """Reads split across rows must stitch to identical records."""
+    rng = np.random.default_rng(seed)
+    seq = "".join(
+        rng.choice(list("ACGTN"), size=12000, p=[0.248, 0.248, 0.248, 0.248, 0.008])
+    )
+    got = run_framework(seq, 31, 7, tmp_path)
+    want = oracle_minimisers(seq.encode(), 31, 7)
+    assert got == want
+
+
+# ------------------------------------------------------------ golden files
+def test_s2m_golden(tmp_path, test_data):
+    out = tmp_path / "seq_minimisers"
+    wmin.seq_to_min(31, 7, str(test_data / "reads.fq"), str(out))
+    assert load_lines_sorted(str(out)) == load_lines_sorted(
+        str(test_data / "expected_seq_minimisers")
+    )
+
+
+def test_m2s_golden(tmp_path, test_data):
+    out = tmp_path / "minimisers"
+    wmin.bin_sequences(0, 10, str(test_data / "reads.fq"), str(out))
+    assert load_lines_sorted(str(out)) == load_lines_sorted(
+        str(test_data / "expected_minimisers")
+    )
