@@ -1,0 +1,73 @@
+"""Exact k-mer counting kernels (counter/src/lib.rs analog).
+
+The reference upserts into sharded lock-free hash maps
+(counter/src/lib.rs:123-132). Hash upserts don't vectorise on a TPU;
+instead each batch's canonical k-mers are sorted as (hi, lo) uint32
+pairs with a multi-key `lax.sort` and run-length encoded — invalid
+positions carry an all-ones sentinel and sort to the tail. The host
+aggregates the per-batch (kmer, count) runs into partition spills.
+
+Also here: the vectorised binary-search join used by the coverage
+workload to look per-read k-mers up in the global count table
+(coverage/src/lib.rs:169-178's HashMap lookup analog).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from kmertools_tpu.ops.encode import canonical_ids_pair
+
+_SENT = jnp.uint32(0xFFFFFFFF)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def batch_count_runs(codes: jnp.ndarray, k: int):
+    """Sort + RLE the batch's canonical k-mers.
+
+    Returns flat arrays (N = R * P):
+      sh, sl:  sorted canonical pairs (sentinels last)
+      first:   bool, position starts a new run
+      counts:  run length at `first` positions (garbage elsewhere)
+    """
+    hi, lo, _ = canonical_ids_pair(codes, k)
+    fh = hi.reshape(-1)
+    fl = lo.reshape(-1)
+    sh, sl = lax.sort((fh, fl), num_keys=2)
+    n = sh.shape[0]
+    ph = jnp.concatenate([jnp.full((1,), ~_SENT, jnp.uint32), sh[:-1]])
+    pl = jnp.concatenate([jnp.full((1,), ~_SENT, jnp.uint32), sl[:-1]])
+    first = (sh != ph) | (sl != pl)
+    # position 0 always starts a run (k-mer value 0 == AAAA.. is real)
+    first = first.at[0].set(True)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # next run boundary after i (reverse cummin of boundary positions)
+    nxt = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+    bpos = jnp.where(nxt, idx + 1, n)
+    nb = lax.associative_scan(jnp.minimum, bpos, reverse=True)
+    counts = nb - idx
+    return sh, sl, first, counts
+
+
+@functools.partial(jax.jit, static_argnames=())
+def lookup_counts(qh, ql, th, tl, tc):
+    """Vectorised lower-bound join: per-query count from the sorted
+    global table, 0 when absent. All query/table values uint32 pairs."""
+    n = th.shape[0]
+    lo = jnp.zeros(qh.shape, jnp.int32)
+    hi = jnp.full(qh.shape, n, jnp.int32)
+    steps = max(1, (n - 1).bit_length()) if n > 1 else 1
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        mh = th[jnp.clip(mid, 0, n - 1)]
+        ml = tl[jnp.clip(mid, 0, n - 1)]
+        less = (mh < qh) | ((mh == qh) & (ml < ql))
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    pos = jnp.clip(lo, 0, n - 1)
+    found = (lo < n) & (th[pos] == qh) & (tl[pos] == ql)
+    return jnp.where(found, tc[pos], 0)

@@ -1,0 +1,118 @@
+"""Counter golden parity (counter/src/lib.rs:252-311 equivalents)."""
+
+import shutil
+
+import numpy as np
+
+from kmertools_tpu.utils.fops import load_lines_sorted
+from kmertools_tpu.workloads.counter import CountComputer
+
+
+def test_count_golden(tmp_path, test_data):
+    ctr = CountComputer(str(test_data / "reads.fq"), str(tmp_path), 15)
+    ctr.debug = True
+    ctr.count()
+    assert ctr.n_parts == 1
+    assert ctr.chunks == 1
+    exp = load_lines_sorted(str(test_data / "expected_counts.part_0_chunk_0"))
+    res = load_lines_sorted(str(tmp_path / "temp_kmers.part_0_chunk_0"))
+    assert exp == res
+
+
+def test_merge_golden(tmp_path, test_data):
+    workdir = tmp_path / "counts_test"
+    shutil.copytree(str(test_data / "computed_counts_test"), str(workdir))
+    ctr = CountComputer(str(test_data / "reads.fq"), str(workdir), 15)
+    ctr.chunks = 2
+    ctr.n_parts = 2
+    ctr.merge(False)
+    exp = load_lines_sorted(str(test_data / "expected_counts_test.counts"))
+    res = load_lines_sorted(str(workdir / "kmers.counts"))
+    assert exp == res
+    # merge(False) must keep the spills (resume point)
+    assert (workdir / "temp_kmers.part_0_chunk_0").exists()
+
+
+def test_merge_acgt_golden(tmp_path, test_data):
+    workdir = tmp_path / "counts_acgt"
+    shutil.copytree(str(test_data / "computed_counts_acgt_test"), str(workdir))
+    ctr = CountComputer(str(test_data / "reads.fq"), str(workdir), 15)
+    ctr.chunks = 2
+    ctr.n_parts = 2
+    ctr.set_acgt_output(True)
+    ctr.merge(False)
+    exp = load_lines_sorted(str(test_data / "expected_counts_acgt_test.counts"))
+    res = load_lines_sorted(str(workdir / "kmers.counts"))
+    assert exp == res
+
+
+def test_count_multi_chunk_multi_part(tmp_path):
+    """Chunked spill + partitioned merge must aggregate exactly."""
+    rng = np.random.default_rng(11)
+    n = 300
+    fa = tmp_path / "many.fa"
+    with open(fa, "w") as f:
+        for i in range(n):
+            seq = "".join("ACGT"[j] for j in rng.integers(0, 4, size=150))
+            f.write(f">r{i}\n{seq}\n")
+    out1 = tmp_path / "one"
+    out1.mkdir()
+    ctr1 = CountComputer(str(fa), str(out1), 21)
+    ctr1.debug = True
+    ctr1.count()
+    ctr1.merge(True)
+    assert not list(out1.glob("temp_kmers.*")), "merge(True) must delete spills"
+
+    out2 = tmp_path / "many_parts"
+    out2.mkdir()
+    ctr2 = CountComputer(str(fa), str(out2), 21)
+    ctr2.set_threads(4)  # n_parts >= 4
+    ctr2.target_codes = 1 << 13
+    ctr2.memory_ceil_gb = 1e-5  # force many chunks
+    ctr2.count()
+    assert ctr2.chunks > 1
+    assert ctr2.n_parts >= 4
+    ctr2.merge(True)
+    assert load_lines_sorted(str(out1 / "kmers.counts")) == load_lines_sorted(
+        str(out2 / "kmers.counts")
+    )
+
+
+def test_count_matches_bruteforce(tmp_path):
+    from kmertools_tpu.utils import codec
+
+    rng = np.random.default_rng(2)
+    seqs = []
+    fa = tmp_path / "bf.fa"
+    with open(fa, "w") as f:
+        for i in range(20):
+            seq = "".join(
+                rng.choice(list("ACGTN"), size=80, p=[0.24, 0.24, 0.24, 0.24, 0.04])
+            )
+            seqs.append(seq)
+            f.write(f">r{i}\n{seq}\n")
+    out = tmp_path / "out"
+    out.mkdir()
+    k = 17
+    ctr = CountComputer(str(fa), str(out), k)
+    ctr.debug = True
+    ctr.count()
+    ctr.merge(True)
+    got = {}
+    for line in open(out / "kmers.counts"):
+        a, b = line.split("\t")
+        got[int(a)] = int(b)
+    want: dict[int, int] = {}
+    for seq in seqs:
+        s = seq.encode()
+        run = 0
+        for i, ch in enumerate(s):
+            if codec.SEQ_NT4_TABLE[ch] < 4:
+                run += 1
+            else:
+                run = 0
+            if run >= k:
+                f, r = codec.kmer_to_numeric(s[i - k + 1 : i + 1].decode())
+                key = min(f, r)
+                want[key] = want.get(key, 0) + 1
+    assert got == want
