@@ -1,0 +1,217 @@
+"""kmertools CLI — same subcommands, flags, defaults and validation as
+the reference clap CLI (kmertools/src/args.rs:13-368).
+
+    kmertools comp oligo -i reads.fq -o out.kmers -k 4
+    kmertools comp cgr   -i reads.fq -o out.cgr
+    kmertools cov -i reads.fq -o outdir -k 15
+    kmertools min -i reads.fq -o out -m 10 -w 0 -p s2m
+    kmertools ctr -i reads.fq -o outdir -k 21
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+ABOUT = (
+    "kmertools: DNA vectorisation\n\n"
+    "k-mer based vectorisation for DNA sequences for\n"
+    "metagenomics and AI/ML applications (TPU-native)"
+)
+
+_DELIMS = {"csv": ",", "tsv": "\t", "spc": " "}
+
+
+def _ranged_int(lo: int, hi: int | None, name: str):
+    def parse(s: str) -> int:
+        v = int(s)
+        if v < lo or (hi is not None and v > hi):
+            hint = f"{lo}..={hi}" if hi is not None else f">= {lo}"
+            raise argparse.ArgumentTypeError(f"{name} must be in range {hint}")
+        return v
+
+    return parse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="kmertools", description=ABOUT)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    comp = sub.add_parser("comp", help="Generate sequence composition based features")
+    compsub = comp.add_subparsers(dest="comp_command", required=True)
+
+    oligo = compsub.add_parser(
+        "oligo", help="Generate oligonucleotide frequency vectors"
+    )
+    oligo.add_argument("-i", "--input", required=True, help="Input file path")
+    oligo.add_argument("-o", "--output", required=True, help="Output vectors path")
+    oligo.add_argument(
+        "-c", "--counts", action="store_true",
+        help="Disable normalisation and output raw counts",
+    )
+    oligo.add_argument(
+        "-k", "--k-size", type=_ranged_int(3, 7, "k_size"), default=3,
+        help="Set k-mer size",
+    )
+    oligo.add_argument("-r", "--raw-count", action="store_true", help="Raw counts")
+    oligo.add_argument(
+        "-p", "--preset", choices=list(_DELIMS), default="spc",
+        help="Output type to write",
+    )
+    oligo.add_argument(
+        "-H", "--header", action="store_true",
+        help="Include header (with k-mer in ACGT format)",
+    )
+    oligo.add_argument("-t", "--threads", type=int, default=0)
+
+    cgr = compsub.add_parser("cgr", help="Generates Chaos Game Representations")
+    cgr.add_argument("-i", "--input", required=True)
+    cgr.add_argument("-o", "--output", required=True)
+    cgr.add_argument("-c", "--counts", action="store_true")
+    cgr.add_argument("-k", "--k-size", type=_ranged_int(3, 7, "k_size"), default=None)
+    cgr.add_argument("-v", "--vec-size", type=int, default=None)
+    cgr.add_argument("-t", "--threads", type=int, default=0)
+
+    cov = sub.add_parser("cov", help="Generates coverage histogram based on the reads")
+    cov.add_argument("-i", "--input", required=True)
+    cov.add_argument("-a", "--alt-input", default=None)
+    cov.add_argument("-o", "--output", required=True)
+    cov.add_argument("-k", "--k-size", type=_ranged_int(7, 31, "k_size"), default=15)
+    cov.add_argument("-p", "--preset", choices=list(_DELIMS), default="spc")
+    cov.add_argument(
+        "-s", "--bin-size", type=_ranged_int(5, None, "bin_size"), default=16
+    )
+    cov.add_argument(
+        "-c", "--bin-count", type=_ranged_int(5, None, "bin_count"), default=16
+    )
+    cov.add_argument(
+        "-m", "--memory", type=_ranged_int(6, 128, "memory"), default=6,
+        help="Max memory in GB",
+    )
+    cov.add_argument("--counts", action="store_true")
+    cov.add_argument("-t", "--threads", type=int, default=0)
+
+    mn = sub.add_parser("min", help="Bin reads using minimisers")
+    mn.add_argument("-i", "--input", required=True)
+    mn.add_argument("-o", "--output", required=True)
+    mn.add_argument("-m", "--m-size", type=_ranged_int(7, 28, "m_size"), default=10)
+    mn.add_argument("-w", "--w-size", type=_ranged_int(0, None, "w_size"), default=0)
+    mn.add_argument("-p", "--preset", choices=["s2m", "m2s"], default="s2m")
+    mn.add_argument("-t", "--threads", type=int, default=0)
+
+    ctr = sub.add_parser("ctr", help="Count k-mers")
+    ctr.add_argument("-i", "--input", required=True)
+    ctr.add_argument("-o", "--output", required=True)
+    ctr.add_argument("-k", "--k-size", type=_ranged_int(10, 31, "k_size"), required=True)
+    ctr.add_argument(
+        "-m", "--memory", type=_ranged_int(6, 128, "memory"), default=6
+    )
+    ctr.add_argument("-a", "--acgt", action="store_true")
+    ctr.add_argument("-t", "--threads", type=int, default=0)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from kmertools_tpu.utils.fops import create_directory
+
+    if args.command == "comp" and args.comp_command == "oligo":
+        from kmertools_tpu.workloads.oligo import OligoComputer
+
+        com = OligoComputer(args.input, args.output, args.k_size, not args.raw_count)
+        if args.threads > 0:
+            com.set_threads(args.threads)
+        com.set_norm(not args.counts)
+        com.set_header(args.header)
+        com.set_delim(_DELIMS[args.preset])
+        try:
+            com.vectorise()
+        except Exception as e:  # args.rs:260-262
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
+
+    elif args.command == "comp" and args.comp_command == "cgr":
+        if args.k_size is not None:
+            # oligo-CGR; default vecsize (k^4)^0.5 = k^2 (args.rs:266-269)
+            vecsize = args.vec_size or int((float(args.k_size) ** 4.0) ** 0.5)
+            from kmertools_tpu.workloads.cgr import OligoCgrComputer
+
+            cgr = OligoCgrComputer(args.input, args.output, args.k_size, vecsize)
+            if args.threads > 0:
+                cgr.set_threads(args.threads)
+            cgr.set_norm(not args.counts)
+            try:
+                cgr.vectorise()
+            except Exception as e:
+                print(f"Error: {e}", file=sys.stderr)
+                return 1
+        else:
+            if args.counts:
+                print("Error: cannot use counts in whole sequence CGR!", file=sys.stderr)
+                return 1
+            from kmertools_tpu.workloads.cgr import CgrComputer
+
+            cgr = CgrComputer(args.input, args.output, args.vec_size or 1)
+            if args.threads > 0:
+                cgr.set_threads(args.threads)
+            try:
+                cgr.vectorise()
+            except Exception as e:
+                print(f"Error: {e}", file=sys.stderr)
+                return 1
+
+    elif args.command == "cov":
+        from kmertools_tpu.workloads.coverage import CovComputer
+
+        create_directory(args.output)
+        cov = CovComputer(
+            args.input, args.output, args.k_size, args.bin_size, args.bin_count
+        )
+        if args.threads > 0:
+            cov.set_threads(args.threads)
+        if args.alt_input:
+            cov.set_kmer_path(args.alt_input)
+        if args.counts:
+            cov.set_norm(False)
+        cov.set_max_memory(float(args.memory))
+        cov.set_delim(_DELIMS[args.preset])
+        cov.build_table()
+        cov.compute_coverages()
+
+    elif args.command == "min":
+        if 0 < args.w_size <= args.m_size:
+            print("Window size must be longer than minimiser size!", file=sys.stderr)
+            return 1
+        if args.m_size >= 31:
+            print("Minimisers longer than 30 bases not allowed!", file=sys.stderr)
+            return 1
+        from kmertools_tpu.workloads import minimisers
+
+        if args.preset == "m2s":
+            minimisers.bin_sequences(
+                args.w_size, args.m_size, args.input, args.output, args.threads
+            )
+        else:
+            minimisers.seq_to_min(
+                args.w_size, args.m_size, args.input, args.output, args.threads
+            )
+
+    elif args.command == "ctr":
+        from kmertools_tpu.workloads.counter import CountComputer
+
+        create_directory(args.output)
+        ctr = CountComputer(args.input, args.output, args.k_size)
+        if args.threads > 0:
+            ctr.set_threads(args.threads)
+        if args.acgt:
+            ctr.set_acgt_output(True)
+        ctr.set_max_memory(float(args.memory))
+        ctr.count()
+        ctr.merge(True)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

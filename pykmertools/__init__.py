@@ -1,0 +1,235 @@
+"""Pykmertools: drop-in Python API compatible with the reference's PyO3
+module (pybindings/pykmertools.pyi:1-244), backed by the TPU-native
+kmertools_tpu kernels.
+
+Modules:
+    OligoComputer      - oligonucleotide frequency vectors
+    CgrComputer        - chaos game representations
+    KmerGenerator      - (forward, reverse) numeric k-mer iterator
+    MinimiserGenerator - (kmer, start, end) minimiser iterator
+    utils              - numeric <-> ACGT codecs
+    run_cli            - console entry point (pip/src/lib.rs:11-18)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kmertools_tpu.io.batch import encode_bases
+from kmertools_tpu.utils import codec
+from pykmertools import utils
+
+__all__ = [
+    "CgrComputer",
+    "KmerGenerator",
+    "MinimiserGenerator",
+    "OligoComputer",
+    "utils",
+    "run_cli",
+]
+
+_U64MAX = (1 << 64) - 1
+
+
+def _pad_codes(seq: str | bytes, width: int | None = None) -> np.ndarray:
+    if isinstance(seq, str):
+        seq = seq.encode()
+    arr = encode_bases(seq)
+    w = max(8, width or len(arr))
+    out = np.full((1, w), 4, dtype=np.uint8)
+    out[0, : len(arr)] = arr
+    return out
+
+
+class KmerGenerator:
+    """(forward, reverse) k-mer iterator (pybindings/src/kmer.rs:7-42)."""
+
+    def __init__(self, seq: str, ksize: int):
+        self._seq = seq
+        self._ksize = ksize
+        s = seq.encode() if isinstance(seq, str) else seq
+        codes = encode_bases(s).astype(np.int64)
+        P = max(0, len(codes) - ksize + 1)
+        if P > 0:
+            fwd = np.zeros(P, dtype=np.uint64)
+            rc = np.zeros(P, dtype=np.uint64)
+            for j in range(ksize):
+                c = codes[j : j + P].astype(np.uint64)
+                fwd = fwd * np.uint64(4) + c
+                c2 = codes[ksize - 1 - j : ksize - 1 - j + P].astype(np.uint64)
+                rc = rc * np.uint64(4) + (np.uint64(3) - c2)
+            bad = codes >= 4
+            inv = np.concatenate([[0], np.cumsum(bad)])
+            valid = (inv[ksize:] - inv[:-ksize]) == 0
+            self._pairs = [
+                (int(f), int(r)) for f, r, v in zip(fwd, rc, valid) if v
+            ]
+        else:
+            self._pairs = []
+        self._i = 0
+
+    def kmer_pos_maps(self):
+        pos_map, pos_kmer, count = codec.kmer_pos_maps(self._ksize)
+        return list(int(x) for x in pos_map), dict(pos_kmer), count
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._i >= len(self._pairs):
+            raise StopIteration
+        self._i += 1
+        return self._pairs[self._i - 1]
+
+
+class MinimiserGenerator:
+    """(kmer, start, end) minimiser iterator (pybindings/src/min.rs:7-48).
+
+    Sentinel emissions (reference m_active == u64::MAX for a trailing
+    segment shorter than the window) yield 2^64-1, exactly like the
+    PyO3 binding returns the raw u64.
+    """
+
+    def __init__(self, seq: str, wsize: int, msize: int):
+        if wsize < msize:
+            raise ValueError("window size must be >= minimiser size")
+        self._msize = msize
+        s = seq.encode() if isinstance(seq, str) else seq
+        self._records = _minimiser_records(s, wsize, msize)
+        self._i = 0
+
+    def to_acgt(self, mmer: int) -> str:
+        return codec.numeric_to_kmer(mmer, self._msize)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._i >= len(self._records):
+            raise StopIteration
+        self._i += 1
+        return self._records[self._i - 1]
+
+
+def _minimiser_records(seq: bytes, wsize: int, msize: int):
+    import jax.numpy as jnp
+
+    from kmertools_tpu.ops import minimiser as mops
+
+    L = len(seq)
+    codes = _pad_codes(seq, max(L, wsize))
+    trail = _trailing_valid(codes[0], L)
+    recs: list[tuple[int, int, int]] = []
+    J = max(0, L - wsize + 1)
+    if J > 0:
+        h, l, v = mops.window_min(jnp.asarray(codes), msize, wsize)
+        h = np.asarray(h)[0][:J]
+        l = np.asarray(l)[0][:J]
+        v = np.asarray(v)[0][:J]
+        fh = np.concatenate([h, np.zeros(1, np.uint32)])
+        fl = np.concatenate([l, np.zeros(1, np.uint32)])
+        fv = np.concatenate([v, np.zeros(1, bool)])
+        _, val, s0, e0 = mops.extract_records(
+            fh, fl, fv, np.array([L], dtype=np.int64), wsize, msize
+        )
+        recs = [(int(vv), int(ss), int(ee)) for vv, ss, ee in zip(val, s0, e0)]
+    if msize <= trail < wsize:
+        recs.append((_U64MAX, L - trail, L))
+    return recs
+
+
+def _trailing_valid(codes: np.ndarray, length: int) -> int:
+    t = 0
+    for i in range(length - 1, -1, -1):
+        if codes[i] >= 4:
+            break
+        t += 1
+    return t
+
+
+class OligoComputer:
+    """Oligo frequency vectors (pybindings/src/oligo.rs:7-100).
+
+    Reproduces the binding's quirk: in non-canonical mode (mins=False)
+    the normalisation total is incremented by 2 per k-mer
+    (pybindings/src/oligo.rs:61), unlike the CLI kernel's 1
+    (composition/src/oligo.rs:250).
+    """
+
+    def __init__(self, ksize: int):
+        self._ksize = ksize
+        self._pos_map, self._pos_kmer, self._kcount = codec.kmer_pos_maps(ksize)
+
+    def vectorise_one(self, seq: str, norm: bool = True, mins: bool = True):
+        return self.vectorise_batch([seq], norm, mins)[0]
+
+    def vectorise_batch(self, seqs, norm: bool = True, mins: bool = True):
+        import jax.numpy as jnp
+
+        from kmertools_tpu.ops import encode, histogram
+
+        k = self._ksize
+        nbins = self._kcount if mins else 4**k
+        width = max(max((len(s) for s in seqs), default=8), 8)
+        width = (width + 127) // 128 * 128
+        codes = np.full((len(seqs), width), 4, dtype=np.uint8)
+        for i, s in enumerate(seqs):
+            b = s.encode() if isinstance(s, str) else s
+            codes[i, : len(b)] = encode_bases(b)
+        fwd, rc, valid = encode.kmer_ids_small(jnp.asarray(codes), k)
+        if mins:
+            slot_table = jnp.asarray(codec.canonical_slot_table(k))
+            ids = jnp.minimum(fwd, rc)
+            counts, totals = histogram.per_read_histogram_gathered(
+                ids, valid, slot_table, nbins
+            )
+        else:
+            counts, totals = histogram.per_read_histogram(fwd, valid, nbins)
+        counts = np.asarray(counts).astype(np.float64)
+        totals = np.asarray(totals).astype(np.float64)
+        if not mins:
+            totals = totals * 2.0  # binding quirk, oligo.rs:61
+        if norm:
+            counts /= np.maximum(1.0, totals)[:, None]
+        return [list(map(float, row)) for row in counts]
+
+    def get_header(self, mins: bool = True):
+        if mins:
+            return [
+                codec.numeric_to_kmer(self._pos_kmer[i], self._ksize)
+                for i in range(self._kcount)
+            ]
+        return [codec.numeric_to_kmer(v, self._ksize) for v in range(4**self._ksize)]
+
+
+class CgrComputer:
+    """Chaos game representations (pybindings/src/cgr.rs)."""
+
+    def __init__(self, vecsize: int):
+        self._vecsize = float(vecsize)
+        s = self._vecsize
+        self._cx = np.array([0.0, 0.0, s, s], dtype=np.float64)
+        self._cy = np.array([0.0, s, s, 0.0], dtype=np.float64)
+
+    def vectorise_one(self, seq: str):
+        b = seq.encode() if isinstance(seq, str) else seq
+        codes = encode_bases(b)
+        if (codes >= 4).any():
+            raise ValueError("Bad nucleotide, unable to proceed")
+        x = y = self._vecsize / 2.0
+        out = []
+        for c in codes:
+            x = (x + self._cx[c]) / 2.0
+            y = (y + self._cy[c]) / 2.0
+            out.append((x, y))
+        return out
+
+    def vectorise_batch(self, seqs):
+        return [self.vectorise_one(s) for s in seqs]
+
+
+def run_cli(argv=None) -> int:
+    """Console entry point, mirroring pip/src/lib.rs:11-18."""
+    from kmertools_tpu.cli import main
+
+    return main(argv)

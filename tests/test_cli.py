@@ -1,0 +1,114 @@
+"""CLI surface tests (kmertools/src/args.rs:239-368 dispatcher)."""
+
+import pytest
+
+from kmertools_tpu.cli import main
+from kmertools_tpu.utils.fops import load_lines_sorted
+
+
+def test_cli_oligo(tmp_path, test_data):
+    out = tmp_path / "out.kmers"
+    rc = main(["comp", "oligo", "-i", str(test_data / "reads.fq"), "-o", str(out), "-k", "4"])
+    assert rc == 0
+    assert out.read_bytes() == (test_data / "expected_fa.kmers").read_bytes()
+
+
+def test_cli_oligo_header_tsv(tmp_path, test_data):
+    out = tmp_path / "out.kmers"
+    rc = main(
+        ["comp", "oligo", "-i", str(test_data / "reads.fq"), "-o", str(out),
+         "-k", "4", "-p", "tsv", "-H"]
+    )
+    assert rc == 0
+    first = out.read_text().splitlines()[0]
+    assert first.split("\t")[0] == "AAAA"
+    assert len(first.split("\t")) == 136
+
+
+def test_cli_cgr(tmp_path, test_data):
+    out = tmp_path / "out.cgr"
+    rc = main(["comp", "cgr", "-i", str(test_data / "reads.fq"), "-o", str(out)])
+    assert rc == 0
+    assert out.read_bytes() == (test_data / "expected_reads.cgr").read_bytes()
+
+
+def test_cli_oligocgr_default_vecsize(tmp_path, test_data):
+    """cgr -k 4 defaults vecsize to k^2 = 16 (args.rs:266-269)."""
+    out = tmp_path / "out.k4.cgr"
+    rc = main(
+        ["comp", "cgr", "-i", str(test_data / "reads.fq"), "-o", str(out),
+         "-k", "4", "-c"]
+    )
+    assert rc == 0
+    assert out.read_bytes() == (test_data / "expected_reads.k4.cgr").read_bytes()
+
+
+def test_cli_cgr_counts_rejected(tmp_path, test_data, capsys):
+    rc = main(["comp", "cgr", "-i", str(test_data / "reads.fq"),
+               "-o", str(tmp_path / "x"), "-c"])
+    assert rc == 1
+    assert "cannot use counts" in capsys.readouterr().err
+
+
+def test_cli_min_s2m(tmp_path, test_data):
+    out = tmp_path / "mins"
+    rc = main(["min", "-i", str(test_data / "reads.fq"), "-o", str(out),
+               "-m", "7", "-w", "31", "-p", "s2m"])
+    assert rc == 0
+    assert load_lines_sorted(str(out)) == load_lines_sorted(
+        str(test_data / "expected_seq_minimisers")
+    )
+
+
+def test_cli_min_m2s(tmp_path, test_data):
+    out = tmp_path / "mins"
+    rc = main(["min", "-i", str(test_data / "reads.fq"), "-o", str(out),
+               "-m", "10", "-p", "m2s"])
+    assert rc == 0
+    assert load_lines_sorted(str(out)) == load_lines_sorted(
+        str(test_data / "expected_minimisers")
+    )
+
+
+def test_cli_min_validation(tmp_path, test_data, capsys):
+    rc = main(["min", "-i", str(test_data / "reads.fq"),
+               "-o", str(tmp_path / "x"), "-m", "10", "-w", "8"])
+    assert rc == 1
+    assert "Window size must be longer" in capsys.readouterr().err
+
+
+def test_cli_ctr(tmp_path, test_data):
+    out = tmp_path / "ctrout"
+    rc = main(["ctr", "-i", str(test_data / "reads.fq"), "-o", str(out), "-k", "15"])
+    assert rc == 0
+    assert (out / "kmers.counts").exists()
+    assert not list(out.glob("temp_kmers.*"))
+
+
+def test_cli_cov(tmp_path, test_data):
+    out = tmp_path / "covout"
+    rc = main(["cov", "-i", str(test_data / "reads.fq"), "-o", str(out), "-k", "15"])
+    assert rc == 0
+    lines = (out / "kmers.vectors").read_text().splitlines()
+    assert len(lines) == 2
+    assert len(lines[0].split(" ")) == 16  # default bin_count
+
+
+def test_cli_range_validation():
+    with pytest.raises(SystemExit):
+        main(["comp", "oligo", "-i", "x", "-o", "y", "-k", "9"])
+    with pytest.raises(SystemExit):
+        main(["ctr", "-i", "x", "-o", "y", "-k", "8"])
+    with pytest.raises(SystemExit):
+        main(["cov", "-i", "x", "-o", "y", "-m", "200"])
+
+
+def test_run_cli_entry(tmp_path, test_data):
+    """pykmertools.run_cli mirrors pip/src/lib.rs:11-18."""
+    import pykmertools as kt
+
+    out = tmp_path / "out.kmers"
+    rc = kt.run_cli(["comp", "oligo", "-i", str(test_data / "reads.fq"),
+                     "-o", str(out), "-k", "4"])
+    assert rc == 0
+    assert out.exists()
