@@ -1,0 +1,133 @@
+"""Benchmark harness.
+
+Headline: end-to-end oligo k=4 vectorisation throughput (bases/s),
+FASTQ file -> normalised vector file, on the available accelerator.
+
+Baseline: the reference publishes no numbers (BASELINE.md) and its Rust
+toolchain is unavailable here, so the recorded baseline is an optimised
+single-process numpy implementation of the same workload measured on
+this host (a stand-in for the Rust CLI; see BASELINE.md for the
+methodology note). vs_baseline = ours / numpy-host.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_READS = int(os.environ.get("BENCH_READS", 200_000))
+READ_LEN = int(os.environ.get("BENCH_READ_LEN", 150))
+K = 4
+
+
+def make_corpus(path: str) -> int:
+    rng = np.random.default_rng(42)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    qual = b"I" * READ_LEN
+    total = 0
+    with open(path, "wb") as f:
+        chunk = 10_000
+        for start in range(0, N_READS, chunk):
+            n = min(chunk, N_READS - start)
+            seqs = bases[rng.integers(0, 4, size=(n, READ_LEN))]
+            blocks = []
+            for i in range(n):
+                blocks.append(
+                    b"@r%d\n%s\n+\n%s\n"
+                    % (start + i, seqs[i].tobytes(), qual)
+                )
+            f.write(b"".join(blocks))
+            total += n * READ_LEN
+    return total
+
+
+def baseline_numpy(in_path: str, out_path: str) -> float:
+    """Single-process numpy oligo k=4: the host-CPU stand-in baseline."""
+    from kmertools_tpu.io import fastx
+    from kmertools_tpu.io.batch import encode_bases
+    from kmertools_tpu.utils.codec import canonical_slot_table
+    from kmertools_tpu.utils.fmt import format_fixed6
+
+    table = canonical_slot_table(K).astype(np.int64)
+    t0 = time.perf_counter()
+    rows = []
+    lens = []
+    for rec in fastx.sequences(in_path):
+        rows.append(encode_bases(rec.seq))
+        lens.append(len(rec.seq))
+    L = max(lens)
+    codes = np.full((len(rows), L), 4, dtype=np.uint8)
+    for i, r in enumerate(rows):
+        codes[i, : len(r)] = r
+    c = codes.astype(np.int64)
+    P = L - K + 1
+    fwd = np.zeros((len(rows), P), dtype=np.int64)
+    for j in range(K):
+        fwd = fwd * 4 + c[:, j : j + P]
+    bad = (codes >= 4).astype(np.int64)
+    inv = np.concatenate([np.zeros((len(rows), 1), np.int64), np.cumsum(bad, 1)], 1)
+    valid = (inv[:, K:] - inv[:, :P]) == 0
+    slots = table[np.where(valid, fwd, 0)]
+    nb = 136
+    flat = slots + np.arange(len(rows))[:, None] * nb
+    counts = np.bincount(
+        flat[valid].ravel(), minlength=len(rows) * nb
+    ).reshape(len(rows), nb)
+    totals = valid.sum(1)
+    vecs = counts / np.maximum(1, totals)[:, None]
+    with open(out_path, "wb") as f:
+        f.write(format_fixed6(vecs, " "))
+    return time.perf_counter() - t0
+
+
+def ours(in_path: str, out_path: str) -> float:
+    from kmertools_tpu.workloads.oligo import OligoComputer
+
+    com = OligoComputer(in_path, out_path, K, True)
+    # warm the compile cache so we measure steady-state throughput
+    t0 = time.perf_counter()
+    com.vectorise()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    import tempfile
+
+    os.environ.setdefault("KMERTOOLS_QUIET", "1")
+    tmp = tempfile.mkdtemp(prefix="ktbench")
+    corpus = os.path.join(tmp, "bench.fq")
+    total_bases = make_corpus(corpus)
+
+    base_t = baseline_numpy(corpus, os.path.join(tmp, "base.kmers"))
+    # warmup (compile) then measure
+    ours(corpus, os.path.join(tmp, "warm.kmers"))
+    ours_t = ours(corpus, os.path.join(tmp, "ours.kmers"))
+
+    # outputs must agree byte-for-byte
+    with open(os.path.join(tmp, "base.kmers"), "rb") as a, open(
+        os.path.join(tmp, "ours.kmers"), "rb"
+    ) as b:
+        assert a.read() == b.read(), "bench output mismatch vs host baseline"
+
+    ours_rate = total_bases / ours_t
+    base_rate = total_bases / base_t
+    print(
+        json.dumps(
+            {
+                "metric": "oligo_k4_bases_per_sec",
+                "value": round(ours_rate),
+                "unit": "bases/s",
+                "vs_baseline": round(ours_rate / base_rate, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,14 @@
+from kmertools_tpu.parallel.mesh import make_mesh, shard_batch
+from kmertools_tpu.parallel.ops import (
+    distributed_dense_count,
+    distributed_oligo_step,
+    partitioned_count_exchange,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "distributed_dense_count",
+    "distributed_oligo_step",
+    "partitioned_count_exchange",
+]
