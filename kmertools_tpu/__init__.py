@@ -18,6 +18,38 @@ as multi-key sort + run-length encoding; parallel/ scales the same
 kernels over a `jax.sharding.Mesh` with shard_map + collectives.
 """
 
+import os as _os
+
 from kmertools_tpu.version import __version__
 
 __all__ = ["__version__"]
+
+
+def _configure_jax() -> None:
+    """Enable JAX's persistent compilation cache (opt-out via
+    KMERTOOLS_NO_JAX_CACHE / KMERTOOLS_JAX_CACHE_DIR).
+
+    Remote TPU compiles can take minutes with high variance; every
+    batch-bucket shape compiles exactly once per machine and is reused
+    by all later runs (CLI invocations, bench, pipelines).
+    """
+    if _os.environ.get("KMERTOOLS_NO_JAX_CACHE"):
+        return
+    cache = _os.environ.get(
+        "KMERTOOLS_JAX_CACHE_DIR",
+        _os.path.join(
+            _os.environ.get("XDG_CACHE_HOME", _os.path.expanduser("~/.cache")),
+            "kmertools_tpu",
+            "jax_cache",
+        ),
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - jax absent or too old
+        pass
+
+
+_configure_jax()

@@ -165,3 +165,102 @@ def batch_stream(
             out = b.snapshot()
             b.reset()
             yield out
+
+
+def native_batch_stream(
+    path: str,
+    overlap: int,
+    row_widths: tuple[int, ...] = DEFAULT_ROW_WIDTHS,
+    target_codes: int = DEFAULT_TARGET_CODES,
+) -> Iterator[Batch]:
+    """batch_stream via the C++ host runtime (kmertools_tpu.native)."""
+    import ctypes
+
+    from kmertools_tpu import native
+
+    so = native.lib()
+    assert so is not None
+    widths = np.array(sorted(row_widths), dtype=np.int64)
+    h = so.kt_batcher_open(
+        path.encode(),
+        overlap,
+        widths.ctypes.data_as(native.c_i64_p),
+        len(widths),
+        target_codes,
+    )
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        while True:
+            bi = so.kt_batcher_next(h)
+            if bi < 0:
+                return
+            rows = ctypes.c_int64()
+            width = ctypes.c_int64()
+            fill = ctypes.c_int64()
+            so.kt_bucket_shape(h, bi, rows, width, fill)
+            R, W = rows.value, width.value
+            codes_p = native.c_u8_p()
+            len_p = native.c_i32_p()
+            ridx_p = native.c_i64_p()
+            rstart_p = native.c_i64_p()
+            last_p = native.c_u8_p()
+            blob_p = ctypes.c_char_p()
+            blob_len = ctypes.c_int64()
+            idr_p = native.c_i64_p()
+            idl_p = native.c_i64_p()
+            n_ids = ctypes.c_int64()
+            so.kt_bucket_data(
+                h, bi, codes_p, len_p, ridx_p, rstart_p, last_p,
+                blob_p, blob_len, idr_p, idl_p, n_ids,
+            )
+            # everything is copied out of the C++-owned bucket buffers:
+            # consumers (pipelined workloads) hold Batch objects across
+            # iterations, after which the buckets are reset and refilled
+            codes = np.ctypeslib.as_array(codes_p, shape=(R, W)).copy()
+            lengths = np.ctypeslib.as_array(len_p, shape=(R,)).copy()
+            read_idx = np.ctypeslib.as_array(ridx_p, shape=(R,)).copy()
+            row_start = np.ctypeslib.as_array(rstart_p, shape=(R,)).copy()
+            last_row = np.ctypeslib.as_array(last_p, shape=(R,)).astype(bool)
+            nid = n_ids.value
+            ids: dict = {}
+            read_lengths: dict = {}
+            if nid:
+                blob = ctypes.string_at(blob_p, blob_len.value)
+                names = blob.split(b"\0")[:nid]
+                idr = np.ctypeslib.as_array(idr_p, shape=(nid,))
+                idl = np.ctypeslib.as_array(idl_p, shape=(nid,))
+                for name, r, l in zip(names, idr, idl):
+                    ids[int(r)] = name.decode()
+                    read_lengths[int(r)] = int(l)
+            yield Batch(
+                codes=codes,
+                lengths=lengths,
+                read_idx=read_idx,
+                row_start=row_start,
+                last_row=last_row,
+                ids=ids,
+                read_lengths=read_lengths,
+            )
+    finally:
+        so.kt_batcher_close(h)
+
+
+def stream_path(
+    path: str,
+    overlap: int,
+    row_widths: tuple[int, ...] = DEFAULT_ROW_WIDTHS,
+    target_codes: int = DEFAULT_TARGET_CODES,
+) -> Iterator[Batch]:
+    """Batches from a file path ("-" = stdin): native C++ runtime when
+    available, pure Python otherwise. Both yield identical Batch
+    streams."""
+    from kmertools_tpu import native
+
+    if native.lib() is not None:
+        return native_batch_stream(path, overlap, row_widths, target_codes)
+    from kmertools_tpu.io import fastx
+
+    return batch_stream(
+        fastx.sequences(path), overlap, row_widths, target_codes
+    )

@@ -143,6 +143,17 @@ def sequences(path_or_reader, fmt: SeqFormat | None = None) -> Iterator[Sequence
 
 def seq_stats(path: str, fmt: SeqFormat | None = None) -> SeqStats:
     """Pre-pass over the file counting records and bases (seq.rs:69-94)."""
+    if fmt is None and path != "-":
+        from kmertools_tpu import native
+
+        so = native.lib()
+        if so is not None:
+            import ctypes
+
+            reads = ctypes.c_int64()
+            bases = ctypes.c_int64()
+            if so.kt_seq_stats(path.encode(), reads, bases) == 0:
+                return SeqStats(seq_count=reads.value, total_length=bases.value)
     count = 0
     total = 0
     for rec in sequences(path, fmt):

@@ -1,0 +1,115 @@
+"""ctypes loader for the kthost native host runtime.
+
+Builds ``libkthost.so`` from ``kthost.cpp`` on first use (g++ -O3, cached
+by source mtime) and exposes the C ABI. Every consumer treats ``lib()``
+returning ``None`` as "fall back to the pure-Python path", so the
+framework stays fully functional without a toolchain.
+
+Set KMERTOOLS_NO_NATIVE=1 to force the Python paths (used by tests to
+cover both).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "kthost.cpp")
+_SO = os.path.join(_HERE, "libkthost.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+c_i64 = ctypes.c_int64
+c_i64_p = ctypes.POINTER(ctypes.c_int64)
+c_i32_p = ctypes.POINTER(ctypes.c_int32)
+c_u8_p = ctypes.POINTER(ctypes.c_uint8)
+c_u64_p = ctypes.POINTER(ctypes.c_uint64)
+c_char_pp = ctypes.POINTER(ctypes.c_char_p)
+
+
+def _build() -> bool:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return True
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                "-fPIC", _SRC, "-o", _SO + ".tmp", "-lz",
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
+    so.kt_batcher_open.restype = ctypes.c_void_p
+    so.kt_batcher_open.argtypes = [
+        ctypes.c_char_p, c_i64, c_i64_p, ctypes.c_int, c_i64,
+    ]
+    so.kt_batcher_close.argtypes = [ctypes.c_void_p]
+    so.kt_batcher_next.restype = ctypes.c_int
+    so.kt_batcher_next.argtypes = [ctypes.c_void_p]
+    so.kt_bucket_shape.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, c_i64_p, c_i64_p, c_i64_p,
+    ]
+    so.kt_bucket_data.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(c_u8_p), ctypes.POINTER(c_i32_p),
+        ctypes.POINTER(c_i64_p), ctypes.POINTER(c_i64_p),
+        ctypes.POINTER(c_u8_p), ctypes.POINTER(ctypes.c_char_p),
+        c_i64_p, ctypes.POINTER(c_i64_p), ctypes.POINTER(c_i64_p), c_i64_p,
+    ]
+    so.kt_seq_stats.restype = ctypes.c_int
+    so.kt_seq_stats.argtypes = [ctypes.c_char_p, c_i64_p, c_i64_p]
+    so.kt_format_fixed6.restype = c_i64
+    so.kt_format_fixed6.argtypes = [
+        ctypes.POINTER(ctypes.c_double), c_i64, c_i64, ctypes.c_char,
+        ctypes.c_char_p,
+    ]
+    so.kt_format_counts.restype = c_i64
+    so.kt_format_counts.argtypes = so.kt_format_fixed6.argtypes
+    so.kt_emit_oligo_norm.restype = c_i64
+    so.kt_emit_oligo_norm.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int32),
+        c_i64, c_i64, ctypes.c_char, ctypes.c_char_p,
+    ]
+    so.kt_format_counts_i16.restype = c_i64
+    so.kt_format_counts_i16.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), c_i64, c_i64, ctypes.c_char,
+        ctypes.c_char_p,
+    ]
+    so.kt_format_u64_tsv.restype = c_i64
+    so.kt_format_u64_tsv.argtypes = [c_u64_p, c_u64_p, c_i64, ctypes.c_char_p]
+    so.kt_format_acgt_tsv.restype = c_i64
+    so.kt_format_acgt_tsv.argtypes = [
+        c_u64_p, c_u64_p, c_i64, ctypes.c_int, ctypes.c_char_p,
+    ]
+    return so
+
+
+def lib() -> ctypes.CDLL | None:
+    """The loaded native library, or None when unavailable/disabled."""
+    global _lib, _tried
+    if os.environ.get("KMERTOOLS_NO_NATIVE"):
+        return None
+    if _tried:
+        return _lib
+    with _lock:
+        if not _tried:
+            if _build():
+                try:
+                    _lib = _bind(ctypes.CDLL(_SO))
+                except OSError:
+                    _lib = None
+            _tried = True
+    return _lib

@@ -1,0 +1,580 @@
+// kthost — native host runtime for kmertools_tpu.
+//
+// TPU-native analog of the reference's Rust host stack: the sequence
+// reader (ktio/src/seq.rs), the batch assembly that feeds the device
+// (the Arc<Mutex<Sequences>> work queue of composition/src/oligo.rs:192-226
+// re-imagined as fixed-shape padded batches), and the fixed-width text
+// emitters ({:.6} formatting, composition/src/oligo.rs:134).
+//
+// Exposed as a C ABI consumed via ctypes (no pybind11 in this image).
+// Python owns nothing here: the batcher owns its bucket buffers and
+// hands out pointers that stay valid until the next kt_batcher_next
+// call on the same handle.
+//
+// Build: g++ -O3 -shared -fPIC kthost.cpp -o libkthost.so -lz
+
+#include <zlib.h>
+
+#include <cctype>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Base LUT: A/a=0 C/c=1 G/g=2 T/t/U/u=3, else 4 (kmer/src/kmer.rs:6-15).
+// ---------------------------------------------------------------------------
+struct Nt4 {
+  uint8_t t[256];
+  Nt4() {
+    memset(t, 4, sizeof(t));
+    t[(int)'A'] = t[(int)'a'] = 0;
+    t[(int)'C'] = t[(int)'c'] = 1;
+    t[(int)'G'] = t[(int)'g'] = 2;
+    t[(int)'T'] = t[(int)'t'] = 3;
+    t[(int)'U'] = t[(int)'u'] = 3;
+  }
+};
+const Nt4 NT4;
+
+// ---------------------------------------------------------------------------
+// Buffered line reader over gzFile (transparently reads plain files too).
+// ---------------------------------------------------------------------------
+class LineReader {
+ public:
+  explicit LineReader(gzFile f) : f_(f), buf_(1 << 20), pos_(0), end_(0), eof_(false) {}
+  ~LineReader() {
+    if (f_) gzclose(f_);
+  }
+
+  // Appends the next line (without \n / \r\n) to out. Returns false at EOF
+  // with no bytes read.
+  bool next_line(std::string &out) {
+    out.clear();
+    bool any = false;
+    for (;;) {
+      if (pos_ >= end_) {
+        if (!refill()) return any;
+      }
+      const char *base = buf_.data() + pos_;
+      size_t avail = end_ - pos_;
+      const char *nl = (const char *)memchr(base, '\n', avail);
+      if (nl) {
+        size_t n = (size_t)(nl - base);
+        out.append(base, n);
+        pos_ += n + 1;
+        any = true;
+        break;
+      }
+      out.append(base, avail);
+      pos_ = end_;
+      any = any || avail > 0;
+    }
+    if (!out.empty() && out.back() == '\r') out.pop_back();
+    return any;
+  }
+
+ private:
+  bool refill() {
+    if (eof_) return false;
+    int n = gzread(f_, buf_.data(), (unsigned)buf_.size());
+    if (n <= 0) {
+      eof_ = true;
+      return false;
+    }
+    pos_ = 0;
+    end_ = (size_t)n;
+    return true;
+  }
+
+  gzFile f_;
+  std::vector<char> buf_;
+  size_t pos_, end_;
+  bool eof_;
+};
+
+gzFile open_path(const char *path) {
+  if (strcmp(path, "-") == 0) {
+    return gzdopen(0, "rb");  // stdin; gzread is transparent for plain text
+  }
+  return gzopen(path, "rb");
+}
+
+// ---------------------------------------------------------------------------
+// FASTX record parser (ktio/src/seq.rs:100-131 semantics).
+// ---------------------------------------------------------------------------
+struct Record {
+  std::string id;           // first whitespace token of the header
+  std::vector<uint8_t> codes;  // 2-bit codes, 4 = ambiguous
+};
+
+class FastxParser {
+ public:
+  explicit FastxParser(gzFile f) : rd_(f), fmt_(FMT_UNKNOWN), have_line_(false) {}
+
+  bool next(Record &rec) {
+    if (fmt_ == FMT_UNKNOWN) {
+      if (!peek_line()) return false;
+      fmt_ = (!line_.empty() && line_[0] == '>') ? FMT_FASTA : FMT_FASTQ;
+    }
+    return fmt_ == FMT_FASTA ? next_fasta(rec) : next_fastq(rec);
+  }
+
+ private:
+  enum Fmt { FMT_UNKNOWN, FMT_FASTA, FMT_FASTQ };
+
+  bool peek_line() {
+    if (have_line_) return true;
+    have_line_ = rd_.next_line(line_);
+    return have_line_;
+  }
+  bool get_line() {
+    if (have_line_) {
+      have_line_ = false;
+      return true;
+    }
+    return rd_.next_line(line_);
+  }
+
+  static void set_id(Record &rec, const std::string &header, size_t skip) {
+    size_t s = skip, e = s;
+    while (e < header.size() && !isspace((unsigned char)header[e])) e++;
+    rec.id.assign(header, s, e - s);
+  }
+
+  static void append_codes(Record &rec, const std::string &line) {
+    size_t n = line.size();
+    size_t base = rec.codes.size();
+    rec.codes.resize(base + n);
+    const uint8_t *src = (const uint8_t *)line.data();
+    uint8_t *dst = rec.codes.data() + base;
+    for (size_t i = 0; i < n; i++) dst[i] = NT4.t[src[i]];
+  }
+
+  bool next_fasta(Record &rec) {
+    // invariant: if have_line_, line_ is a '>' header (or junk pre-header)
+    for (;;) {
+      if (!get_line()) return false;
+      if (!line_.empty() && line_[0] == '>') break;
+    }
+    rec.codes.clear();
+    set_id(rec, line_, 1);
+    for (;;) {
+      if (!rd_.next_line(line_)) return true;
+      if (!line_.empty() && line_[0] == '>') {
+        have_line_ = true;
+        return true;
+      }
+      append_codes(rec, line_);
+    }
+  }
+
+  bool next_fastq(Record &rec) {
+    std::string header;
+    for (;;) {
+      if (!get_line()) return false;
+      if (!line_.empty()) break;  // skip blank lines (fastx.py:117-118)
+    }
+    header = line_;
+    rec.codes.clear();
+    if (!get_line()) return false;
+    set_id(rec, header, 1);
+    append_codes(rec, line_);
+    if (!get_line()) return false;  // '+' line
+    if (!get_line()) return false;  // quality line
+    return true;
+  }
+
+  LineReader rd_;
+  Fmt fmt_;
+  bool have_line_;
+  std::string line_;
+};
+
+// ---------------------------------------------------------------------------
+// Bucketed batcher (io/batch.py:87-167 semantics, native).
+// ---------------------------------------------------------------------------
+struct Bucket {
+  int64_t width = 0, rows = 0, fill = 0;
+  std::vector<uint8_t> codes;     // rows*width, pad = 4
+  std::vector<int32_t> lengths;   // rows
+  std::vector<int64_t> read_idx;  // rows, -1 = padding row
+  std::vector<int64_t> row_start; // rows
+  std::vector<uint8_t> last_row;  // rows (bool)
+  // ids for reads whose FIRST row landed in this bucket
+  std::vector<char> ids_blob;     // NUL-separated id strings
+  std::vector<int64_t> id_ridx;   // read index per id
+  std::vector<int64_t> id_rlen;   // full read length per id
+
+  void init(int64_t w, int64_t r) {
+    width = w;
+    rows = r;
+    codes.assign((size_t)(w * r), 4);
+    lengths.assign((size_t)r, 0);
+    read_idx.assign((size_t)r, -1);
+    row_start.assign((size_t)r, 0);
+    last_row.assign((size_t)r, 0);
+    fill = 0;
+  }
+  void reset() {
+    memset(codes.data(), 4, codes.size());
+    memset(lengths.data(), 0, lengths.size() * sizeof(int32_t));
+    for (auto &v : read_idx) v = -1;
+    memset(row_start.data(), 0, row_start.size() * sizeof(int64_t));
+    memset(last_row.data(), 0, last_row.size());
+    ids_blob.clear();
+    id_ridx.clear();
+    id_rlen.clear();
+    fill = 0;
+  }
+};
+
+struct Batcher {
+  FastxParser parser;
+  std::vector<Bucket> buckets;  // sorted by width asc
+  int64_t overlap = 0;
+  int64_t next_ridx = 0;
+  int last_emitted = -1;  // bucket index handed to Python last call
+  int flush_cursor = 0;   // EOF flush progress
+  bool parser_done = false;
+  // mid-record resume state for split long reads
+  Record pending;
+  int64_t pending_pos = 0;
+  bool pending_active = false;
+  int64_t pending_ridx = 0;
+  bool pending_first = false;
+
+  explicit Batcher(gzFile f) : parser(f) {}
+
+  Bucket &maxb() { return buckets.back(); }
+
+  // Places one row. Returns bucket index if it filled, else -1.
+  int put_row(int bi, const uint8_t *chunk, int64_t n, int64_t ridx,
+              int64_t start, bool last, const std::string *id, int64_t rlen) {
+    Bucket &b = buckets[bi];
+    int64_t i = b.fill;
+    memcpy(b.codes.data() + (size_t)(i * b.width), chunk, (size_t)n);
+    b.lengths[(size_t)i] = (int32_t)n;
+    b.read_idx[(size_t)i] = ridx;
+    b.row_start[(size_t)i] = start;
+    b.last_row[(size_t)i] = last ? 1 : 0;
+    if (id) {
+      b.ids_blob.insert(b.ids_blob.end(), id->begin(), id->end());
+      b.ids_blob.push_back('\0');
+      b.id_ridx.push_back(ridx);
+      b.id_rlen.push_back(rlen);
+    }
+    b.fill++;
+    return b.fill == b.rows ? bi : -1;
+  }
+
+  // Advances the pending split read; returns filled bucket index or -1
+  // when the record is fully consumed.
+  int advance_pending() {
+    int bi = (int)buckets.size() - 1;
+    int64_t max_w = buckets[(size_t)bi].width;
+    int64_t stride = max_w - overlap;
+    int64_t L = (int64_t)pending.codes.size();
+    while (pending_active) {
+      int64_t start = pending_pos;
+      int64_t end = start + max_w < L ? start + max_w : L;
+      bool last = end >= L;
+      const std::string *id = pending_first ? &pending.id : nullptr;
+      pending_first = false;
+      if (last) {
+        pending_active = false;
+      } else {
+        pending_pos = start + stride;
+      }
+      int filled = put_row(bi, pending.codes.data() + start, end - start,
+                           pending_ridx, start, last, id, L);
+      if (filled >= 0) return filled;
+    }
+    return -1;
+  }
+
+  // Parses and places records until a bucket fills (returns its index),
+  // or EOF (returns -1).
+  int pump() {
+    if (pending_active) {
+      int r = advance_pending();
+      if (r >= 0) return r;
+    }
+    Record rec;
+    while (!parser_done) {
+      if (!parser.next(rec)) {
+        parser_done = true;
+        break;
+      }
+      int64_t L = (int64_t)rec.codes.size();
+      int64_t ridx = next_ridx++;
+      if (L <= maxb().width) {
+        int bi = 0;
+        while (buckets[(size_t)bi].width < L) bi++;
+        int filled = put_row(bi, rec.codes.data(), L, ridx, 0, true, &rec.id, L);
+        if (filled >= 0) return filled;
+      } else {
+        pending = rec;
+        pending_pos = 0;
+        pending_active = true;
+        pending_ridx = ridx;
+        pending_first = true;
+        int r = advance_pending();
+        if (r >= 0) return r;
+      }
+    }
+    return -1;
+  }
+
+  // Returns next ready bucket index, or -1 when fully drained.
+  int next() {
+    if (last_emitted >= 0) {
+      buckets[(size_t)last_emitted].reset();
+      last_emitted = -1;
+    }
+    if (!parser_done) {
+      int r = pump();
+      if (r >= 0) {
+        last_emitted = r;
+        return r;
+      }
+    }
+    // EOF: flush partial buckets in width order (io/batch.py:163-167)
+    while (flush_cursor < (int)buckets.size()) {
+      int bi = flush_cursor++;
+      if (buckets[(size_t)bi].fill > 0) {
+        last_emitted = bi;
+        return bi;
+      }
+    }
+    return -1;
+  }
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+extern "C" {
+
+void *kt_batcher_open(const char *path, int64_t overlap,
+                      const int64_t *widths, int n_widths,
+                      int64_t target_codes) {
+  gzFile f = open_path(path);
+  if (!f) return nullptr;
+  Batcher *b = new Batcher(f);
+  b->overlap = overlap;
+  b->buckets.resize((size_t)n_widths);
+  for (int i = 0; i < n_widths; i++) {
+    int64_t w = widths[i];
+    int64_t rows = target_codes / w;
+    if (rows < 1) rows = 1;
+    b->buckets[(size_t)i].init(w, rows);
+  }
+  return b;
+}
+
+void kt_batcher_close(void *h) { delete (Batcher *)h; }
+
+// Returns the bucket index of the next ready batch, or -1 when done.
+int kt_batcher_next(void *h) { return ((Batcher *)h)->next(); }
+
+void kt_bucket_shape(void *h, int bi, int64_t *rows, int64_t *width,
+                     int64_t *fill) {
+  Bucket &b = ((Batcher *)h)->buckets[(size_t)bi];
+  *rows = b.rows;
+  *width = b.width;
+  *fill = b.fill;
+}
+
+void kt_bucket_data(void *h, int bi, uint8_t **codes, int32_t **lengths,
+                    int64_t **read_idx, int64_t **row_start,
+                    uint8_t **last_row, char **ids_blob, int64_t *ids_blob_len,
+                    int64_t **id_ridx, int64_t **id_rlen, int64_t *n_ids) {
+  Bucket &b = ((Batcher *)h)->buckets[(size_t)bi];
+  *codes = b.codes.data();
+  *lengths = b.lengths.data();
+  *read_idx = b.read_idx.data();
+  *row_start = b.row_start.data();
+  *last_row = b.last_row.data();
+  *ids_blob = b.ids_blob.data();
+  *ids_blob_len = (int64_t)b.ids_blob.size();
+  *id_ridx = b.id_ridx.data();
+  *id_rlen = b.id_rlen.data();
+  *n_ids = (int64_t)b.id_ridx.size();
+}
+
+// seq_stats pre-pass (ktio/src/seq.rs:69-94). Returns 0 on success.
+int kt_seq_stats(const char *path, int64_t *n_reads, int64_t *n_bases) {
+  gzFile f = open_path(path);
+  if (!f) return 1;
+  FastxParser p(f);
+  Record rec;
+  int64_t reads = 0, bases = 0;
+  while (p.next(rec)) {
+    reads++;
+    bases += (int64_t)rec.codes.size();
+  }
+  *n_reads = reads;
+  *n_bases = bases;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// {:.6} fixed formatter (composition/src/oligo.rs:134). Values must lie in
+// [0, 1] so every cell is exactly 8 chars ("d.dddddd"). Returns bytes
+// written, or -1 if any value formatted to a different width (caller
+// falls back to the Python path).
+// ---------------------------------------------------------------------------
+int64_t kt_format_fixed6(const double *vals, int64_t nrows, int64_t ncols,
+                         char delim, char *out) {
+  // open-address cache keyed on the f64 bit pattern: batches have few
+  // distinct count/total ratios, so snprintf runs ~once per unique value
+  enum { CACHE = 1 << 12 };
+  static thread_local uint64_t keys[CACHE];
+  static thread_local char reps[CACHE][8];
+  static thread_local bool used[CACHE];
+  memset(used, 0, sizeof(used));
+  int64_t cache_fill = 0;
+
+  char *p = out;
+  for (int64_t r = 0; r < nrows; r++) {
+    for (int64_t c = 0; c < ncols; c++) {
+      double v = vals[r * ncols + c];
+      uint64_t bits;
+      memcpy(&bits, &v, 8);
+      uint64_t slot = (bits * 0x9E3779B97F4A7C15ull) >> 52;  // 12-bit hash
+      while (used[slot] && keys[slot] != bits) slot = (slot + 1) & (CACHE - 1);
+      if (!used[slot]) {
+        char tmp[32];
+        int n = snprintf(tmp, sizeof(tmp), "%.6f", v);
+        if (n != 8) return -1;
+        if (cache_fill < CACHE - 1) {  // keep >=1 empty slot: probe terminates
+          used[slot] = true;
+          keys[slot] = bits;
+          memcpy(reps[slot], tmp, 8);
+          cache_fill++;
+        }
+        memcpy(p, tmp, 8);
+        p += 8;
+        *p++ = (c + 1 == ncols) ? '\n' : delim;
+        continue;
+      }
+      memcpy(p, reps[slot], 8);
+      p += 8;
+      *p++ = (c + 1 == ncols) ? '\n' : delim;
+    }
+  }
+  return p - out;
+}
+
+// Fused normalise+format for the oligo hot path: per-row counts are
+// still int16/int32 exactly as fetched from the device, so no f64
+// intermediates are materialised. Value formatted is the f64 quotient
+// count / max(1, total) — identical to the reference's normalisation
+// (composition/src/oligo.rs:255-257) followed by {:.6}. Cache is keyed
+// on the (total, count) pair; a slab has few distinct pairs.
+int64_t kt_emit_oligo_norm(const int16_t *counts, const int32_t *totals,
+                           int64_t nrows, int64_t ncols, char delim,
+                           char *out) {
+  enum { CACHE = 1 << 12 };
+  static thread_local uint32_t keys[CACHE];
+  static thread_local char reps[CACHE][8];
+  static thread_local bool used[CACHE];
+  memset(used, 0, sizeof(used));
+  int64_t cache_fill = 0;
+
+  char *p = out;
+  for (int64_t r = 0; r < nrows; r++) {
+    int32_t t = totals[r];
+    double tdiv = (double)(t < 1 ? 1 : t);  // exact / , NOT *1/t: rounding
+    if (t > 0x7FFF) return -1;  // pair key would overflow: caller falls back
+    uint32_t tkey = (uint32_t)(t < 1 ? 1 : t) << 16;
+    const int16_t *row = counts + r * ncols;
+    for (int64_t c = 0; c < ncols; c++) {
+      uint32_t key = tkey | (uint16_t)row[c];
+      uint32_t slot = (key * 2654435761u) >> 20;  // 12-bit hash
+      while (used[slot] && keys[slot] != key) slot = (slot + 1) & (CACHE - 1);
+      if (!used[slot]) {
+        char tmp[32];
+        int n = snprintf(tmp, sizeof(tmp), "%.6f", (double)row[c] / tdiv);
+        if (n != 8) return -1;
+        if (cache_fill < CACHE - 1) {
+          used[slot] = true;
+          keys[slot] = key;
+          memcpy(reps[slot], tmp, 8);
+          cache_fill++;
+        }
+        memcpy(p, tmp, 8);
+      } else {
+        memcpy(p, reps[slot], 8);
+      }
+      p += 8;
+      *p++ = (c + 1 == ncols) ? '\n' : delim;
+    }
+  }
+  return p - out;
+}
+
+// Raw integer rows straight from device int16 counts (unnormalised path).
+int64_t kt_format_counts_i16(const int16_t *vals, int64_t nrows, int64_t ncols,
+                             char delim, char *out) {
+  char *p = out;
+  for (int64_t r = 0; r < nrows; r++) {
+    for (int64_t c = 0; c < ncols; c++) {
+      p += sprintf(p, "%d", (int)vals[r * ncols + c]);
+      *p++ = (c + 1 == ncols) ? '\n' : delim;
+    }
+  }
+  return p - out;
+}
+
+// Raw integer count rows (Rust `{}` on whole f64s, oligo.rs:136).
+// Returns bytes written (caller sizes out as nrows*ncols*21).
+int64_t kt_format_counts(const double *vals, int64_t nrows, int64_t ncols,
+                         char delim, char *out) {
+  char *p = out;
+  for (int64_t r = 0; r < nrows; r++) {
+    for (int64_t c = 0; c < ncols; c++) {
+      long long v = (long long)vals[r * ncols + c];
+      p += sprintf(p, "%lld", v);
+      *p++ = (c + 1 == ncols) ? '\n' : delim;
+    }
+  }
+  return p - out;
+}
+
+// kmer\tcount TSV lines (counter spill/merge, counter/src/lib.rs:151-167).
+int64_t kt_format_u64_tsv(const uint64_t *keys, const uint64_t *vals,
+                          int64_t n, char *out) {
+  char *p = out;
+  for (int64_t i = 0; i < n; i++) {
+    p += sprintf(p, "%llu\t%llu\n", (unsigned long long)keys[i],
+                 (unsigned long long)vals[i]);
+  }
+  return p - out;
+}
+
+// ACGT-keyed TSV lines (counter merge --acgt, counter/src/lib.rs:224-228).
+int64_t kt_format_acgt_tsv(const uint64_t *keys, const uint64_t *vals,
+                           int64_t n, int k, char *out) {
+  static const char B[4] = {'A', 'C', 'G', 'T'};
+  char *p = out;
+  for (int64_t i = 0; i < n; i++) {
+    uint64_t kv = keys[i];
+    for (int j = k - 1; j >= 0; j--) {
+      p[j] = B[kv & 3];
+      kv >>= 2;
+    }
+    p += k;
+    p += sprintf(p, "\t%llu\n", (unsigned long long)vals[i]);
+  }
+  return p - out;
+}
+
+}  // extern "C"

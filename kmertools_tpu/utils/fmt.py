@@ -56,6 +56,23 @@ def format_fixed6(values: np.ndarray, delim: str) -> bytes:
     nrows, ncols = values.shape
     if nrows == 0:
         return b""
+    if len(delim) == 1:
+        import ctypes
+
+        from kmertools_tpu import native
+
+        so = native.lib()
+        if so is not None:
+            vals = np.ascontiguousarray(values)
+            cap = nrows * ncols * 9
+            buf = ctypes.create_string_buffer(cap)
+            n = so.kt_format_fixed6(
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                nrows, ncols, delim.encode(), buf,
+            )
+            if n == cap:
+                return buf.raw
+            # n == -1: a value rendered wider than 8 chars — Python fallback
     uniq, inv = np.unique(values, return_inverse=True)
     lut = np.array([f"{v:.6f}".encode() for v in uniq], dtype="S8")
     cells = lut[inv.reshape(nrows, ncols)]
@@ -72,9 +89,80 @@ def format_fixed6(values: np.ndarray, delim: str) -> bytes:
     return plane.tobytes()
 
 
+def emit_norm_slab(counts: np.ndarray, totals: np.ndarray, delim: str) -> bytes:
+    """Normalised {:.6} rows from a completed-read slab.
+
+    Fused native path when counts are still raw device int16 (no f64
+    intermediates); otherwise divides in f64 and formats. Both produce
+    the bytes of ``count / max(1, total)`` per cell.
+    """
+    if (
+        len(delim) == 1
+        and counts.dtype == np.int16
+        and counts.size
+    ):
+        import ctypes
+
+        from kmertools_tpu import native
+
+        so = native.lib()
+        if so is not None:
+            c = np.ascontiguousarray(counts)
+            t = np.ascontiguousarray(totals, dtype=np.int32)
+            nrows, ncols = c.shape
+            cap = nrows * ncols * 9
+            buf = ctypes.create_string_buffer(cap)
+            n = so.kt_emit_oligo_norm(
+                c.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                t.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                nrows, ncols, delim.encode(), buf,
+            )
+            if n == cap:
+                return buf.raw
+    vecs = counts.astype(np.float64) / np.maximum(
+        1.0, totals.astype(np.float64)
+    )[:, None]
+    return format_fixed6(vecs, delim)
+
+
+def emit_count_slab(counts: np.ndarray, delim: str) -> bytes:
+    """Raw integer rows from a completed-read slab (unnormalised path)."""
+    if len(delim) == 1 and counts.dtype == np.int16 and counts.size:
+        import ctypes
+
+        from kmertools_tpu import native
+
+        so = native.lib()
+        if so is not None:
+            c = np.ascontiguousarray(counts)
+            nrows, ncols = c.shape
+            buf = ctypes.create_string_buffer(nrows * ncols * 8)
+            n = so.kt_format_counts_i16(
+                c.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                nrows, ncols, delim.encode(), buf,
+            )
+            return buf.raw[:n]
+    return format_counts(counts, delim)
+
+
 def format_counts(values: np.ndarray, delim: str) -> bytes:
     """Render raw integer count vectors like Rust `{}` on whole f64s."""
     values = np.asarray(values)
+    if len(delim) == 1 and values.ndim == 2 and values.size:
+        import ctypes
+
+        from kmertools_tpu import native
+
+        so = native.lib()
+        if so is not None:
+            vals = np.ascontiguousarray(values, dtype=np.float64)
+            nrows, ncols = vals.shape
+            buf = ctypes.create_string_buffer(nrows * ncols * 21)
+            n = so.kt_format_counts(
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                nrows, ncols, delim.encode(), buf,
+            )
+            return buf.raw[:n]
     lines = []
     for row in values:
         lines.append(delim.join(str(int(v)) for v in row))

@@ -165,7 +165,6 @@ class OligoCgrComputer:
         self.norm = norm
 
     def vectorise(self) -> None:
-        records = fastx.sequences(self.in_path)
         slot_table = jnp.asarray(codec.canonical_slot_table(self.ksize))
         prefixes = self._prefixes
 
@@ -186,8 +185,8 @@ class OligoCgrComputer:
         with open(self.out_path, "wb") as out:
             emitter = OrderedEmitter(write_block, block=1024)
             agg = RowAggregator(lambda ridx, vec, tot: emitter.add(ridx, (vec, tot)))
-            for b in iob.batch_stream(
-                records, overlap=self.ksize - 1, target_codes=self.target_codes
+            for b in iob.stream_path(
+                self.in_path, overlap=self.ksize - 1, target_codes=self.target_codes
             ):
                 codes = jnp.asarray(b.codes)
                 fwd, rc, valid = encode.kmer_ids_small(codes, self.ksize)

@@ -9,9 +9,56 @@ buckets interleave), and the emitter flushes the contiguous prefix.
 
 from __future__ import annotations
 
-from typing import Callable
+import queue
+import threading
+from typing import Callable, Iterable
 
 import numpy as np
+
+
+def run_pipelined(batches: Iterable, dispatch: Callable, consume: Callable,
+                  depth: int = 2) -> None:
+    """Producer/consumer pipeline around the device.
+
+    The calling thread iterates `batches` and calls `dispatch(batch)`
+    (host->device upload + async device dispatch); a writer thread calls
+    `consume(batch, *dispatch_result)` (device fetch + host
+    post-processing). With JAX's async dispatch this overlaps host
+    parsing, device compute, both tunnel transfers, and output writing.
+    `depth` bounds in-flight batches so device memory stays bounded.
+
+    This is the TPU-era analog of the reference's N-thread shared-
+    iterator work pool (composition/src/oligo.rs:192-226): one thread
+    feeds the accelerator, one drains it, order is preserved by the
+    queue.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    err: list[BaseException] = []
+
+    def worker() -> None:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            try:
+                consume(item[0], *item[1])
+            except BaseException as e:  # propagated after join
+                err.append(e)
+                return
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        for b in batches:
+            res = dispatch(b)
+            if err:
+                break
+            q.put((b, res if isinstance(res, tuple) else (res,)))
+    finally:
+        q.put(None)
+        t.join()
+    if err:
+        raise err[0]
 
 
 class RowAggregator:
@@ -59,6 +106,124 @@ class RowAggregator:
 
     def finish(self) -> None:
         assert not self._partial, f"incomplete reads: {list(self._partial)[:5]}"
+
+
+class ArrayAggregator:
+    """Vectorised RowAggregator: batches in, slabs of completed reads out.
+
+    `add_batch` returns ``(ridx, vecs, tots)`` arrays covering every read
+    completed by this batch (vecs float64 2-D, tots float64). Reads split
+    across batch boundaries (rare: only max-width bucket splits) are
+    carried in a small dict; everything else stays in numpy.
+    """
+
+    def __init__(self, ncols: int):
+        self._ncols = ncols
+        self._partial: dict[int, tuple[np.ndarray, float]] = {}
+
+    def add_batch(self, read_idx, last_row, counts, totals):
+        real = read_idx >= 0
+        n = int(real.sum())
+        if n == 0:
+            return (
+                np.empty(0, np.int64),
+                np.empty((0, self._ncols), np.float64),
+                np.empty(0, np.float64),
+            )
+        read_idx = read_idx[:n]
+        last_row = last_row[:n]
+        counts = counts[:n]
+        totals = totals[:n]
+        uniq, starts = np.unique(read_idx, return_index=True)
+        if len(uniq) == n and bool(last_row.all()) and not self._partial:
+            # fast path: every row is a complete single-row read — keep
+            # the device dtypes (int16/int32) for the fused native emit
+            return uniq, counts, totals
+        counts = counts.astype(np.float64)
+        totals = totals.astype(np.float64)
+        grp_counts = np.add.reduceat(counts, starts, axis=0)
+        grp_totals = np.add.reduceat(totals, starts)
+        ends = np.append(starts[1:], n) - 1
+        grp_done = last_row[ends]
+        if self._partial:
+            for i, ridx in enumerate(uniq):
+                ridx = int(ridx)
+                if ridx in self._partial:
+                    pvec, ptot = self._partial.pop(ridx)
+                    grp_counts[i] += pvec
+                    grp_totals[i] += ptot
+        done = np.asarray(grp_done, dtype=bool)
+        for i in np.flatnonzero(~done):
+            self._partial[int(uniq[i])] = (grp_counts[i], float(grp_totals[i]))
+        return uniq[done], grp_counts[done], grp_totals[done]
+
+    def finish(self) -> None:
+        assert not self._partial, f"incomplete reads: {list(self._partial)[:5]}"
+
+
+class OrderedArrayEmitter:
+    """Vectorised OrderedEmitter: buffers out-of-order completed-read
+    slabs and flushes the contiguous read-index prefix as one slab via
+    ``write(vecs, tots)``.
+
+    With a single active length bucket (uniform corpora) every incoming
+    slab is already the contiguous prefix and passes straight through.
+    """
+
+    def __init__(self, write: Callable[[np.ndarray, np.ndarray], None],
+                 flush_rows: int = 4096):
+        self._write = write
+        self._flush_rows = flush_rows
+        self._next = 0
+        self._ridx: list[np.ndarray] = []
+        self._vecs: list[np.ndarray] = []
+        self._tots: list[np.ndarray] = []
+        self._buffered = 0
+
+    def add(self, ridx: np.ndarray, vecs: np.ndarray, tots: np.ndarray) -> None:
+        if len(ridx) == 0:
+            return
+        if (
+            not self._buffered
+            and ridx[0] == self._next
+            and len(ridx) == ridx[-1] - ridx[0] + 1
+        ):
+            # contiguous prefix: write through without buffering
+            self._write(vecs, tots)
+            self._next += len(ridx)
+            return
+        self._ridx.append(np.asarray(ridx))
+        self._vecs.append(vecs)
+        self._tots.append(tots)
+        self._buffered += len(ridx)
+        if self._buffered >= self._flush_rows:
+            self._flush()
+
+    def _flush(self) -> None:
+        ridx = np.concatenate(self._ridx)
+        order = np.argsort(ridx, kind="stable")
+        ridx = ridx[order]
+        vecs = np.concatenate(self._vecs, axis=0)[order]
+        tots = np.concatenate(self._tots)[order]
+        # contiguous prefix starting at self._next
+        run = np.flatnonzero(ridx != self._next + np.arange(len(ridx)))
+        cut = int(run[0]) if len(run) else len(ridx)
+        if cut:
+            self._write(vecs[:cut], tots[:cut])
+            self._next += cut
+        if cut < len(ridx):
+            self._ridx = [ridx[cut:]]
+            self._vecs = [vecs[cut:]]
+            self._tots = [tots[cut:]]
+            self._buffered = len(ridx) - cut
+        else:
+            self._ridx, self._vecs, self._tots = [], [], []
+            self._buffered = 0
+
+    def finish(self) -> None:
+        if self._buffered:
+            self._flush()
+        assert not self._buffered, "gap in read ordering at finish"
 
 
 class OrderedEmitter:

@@ -151,9 +151,8 @@ class CountComputer:
             chunk_bases = 0
             self.chunks += 1
 
-        records = fastx.sequences(self.in_path)
-        for b in iob.batch_stream(
-            records, overlap=self.ksize - 1, target_codes=self.target_codes
+        for b in iob.stream_path(
+            self.in_path, overlap=self.ksize - 1, target_codes=self.target_codes
         ):
             sh, sl, first, counts = cops.batch_count_runs(
                 jnp.asarray(b.codes), self.ksize

@@ -102,7 +102,6 @@ class CovComputer:
     def compute_coverages(self) -> None:
         th, tl, tc = self._load_table()
         vec_path = os.path.join(self.out_dir, "kmers.vectors")
-        records = fastx.sequences(self.in_path)
 
         with open(vec_path, "wb") as out:
             if self.norm:
@@ -121,8 +120,8 @@ class CovComputer:
 
             emitter = OrderedEmitter(write_block)
             agg = RowAggregator(lambda ridx, vec, tot: emitter.add(ridx, (vec, tot)))
-            for b in iob.batch_stream(
-                records, overlap=self.ksize - 1, target_codes=self.target_codes
+            for b in iob.stream_path(
+                self.in_path, overlap=self.ksize - 1, target_codes=self.target_codes
             ):
                 counts, totals = _coverage_batch(
                     jnp.asarray(b.codes), th, tl, tc,

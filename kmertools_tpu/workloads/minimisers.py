@@ -162,8 +162,7 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit, target_codes=No
                 recs.append((max_val, rlen - st.trail, rlen))
             emit(ridx, rid, rlen, recs)
 
-    records = fastx.sequences(in_path)
-    for b in iob.batch_stream(records, overlap=overlap, target_codes=target):
+    for b in iob.stream_path(in_path, overlap=overlap, target_codes=target):
         flush(handle_batch(b))
     assert not states, "incomplete reads at EOF"
 

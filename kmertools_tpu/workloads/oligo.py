@@ -18,11 +18,14 @@ import numpy as np
 import jax.numpy as jnp
 
 from kmertools_tpu.io import batch as iob
-from kmertools_tpu.io import fastx
-from kmertools_tpu.ops import encode, histogram
+from kmertools_tpu.ops import encode, histogram, pallas_histogram
 from kmertools_tpu.utils import codec
-from kmertools_tpu.utils.fmt import format_fixed6
-from kmertools_tpu.workloads.common import OrderedEmitter, RowAggregator
+from kmertools_tpu.utils.fmt import emit_count_slab, emit_norm_slab
+from kmertools_tpu.workloads.common import (
+    ArrayAggregator,
+    OrderedArrayEmitter,
+    run_pipelined,
+)
 
 
 class OligoComputer:
@@ -70,7 +73,6 @@ class OligoComputer:
         return self.kcount if self.count_min else 4**self.ksize
 
     def vectorise(self) -> None:
-        records = fastx.sequences(self.in_path)
         nbins = self.nbins
         slot_table = (
             jnp.asarray(codec.canonical_slot_table(self.ksize))
@@ -78,44 +80,64 @@ class OligoComputer:
             else None
         )
 
+        use_pallas = pallas_histogram.use_pallas()
+
+        def device_step(codes):
+            fwd, rc, valid = encode.kmer_ids_small(codes, self.ksize)
+            if self.count_min:
+                ids = jnp.minimum(fwd, rc)
+                if use_pallas:
+                    slots = jnp.take(
+                        slot_table, jnp.where(valid, ids, 0), mode="clip"
+                    ).astype(jnp.int32)
+                    return pallas_histogram.per_read_histogram_tpu(
+                        slots, valid, nbins
+                    )
+                counts, totals = histogram.per_read_histogram_gathered(
+                    ids, valid, slot_table, nbins
+                )
+            elif use_pallas:
+                return pallas_histogram.per_read_histogram_tpu(
+                    fwd.astype(jnp.int32), valid, nbins
+                )
+            else:
+                counts, totals = histogram.per_read_histogram(fwd, valid, nbins)
+            # per-row counts fit in int16 (row width <= 8192): halves the
+            # device->host transfer; host aggregation widens to f64
+            return counts.astype(jnp.int16), totals.astype(jnp.int32)
+
         with open(self.out_path, "wb") as out:
             if self.header:
                 out.write((self.delim.join(self.get_header()) + "\n").encode())
 
             if self.norm:
-                def write_block(payloads: list) -> None:
-                    vecs = np.stack([p[0] for p in payloads]).astype(np.float64)
-                    tots = np.array([p[1] for p in payloads], dtype=np.float64)
-                    vecs /= np.maximum(1.0, tots)[:, None]
-                    out.write(format_fixed6(vecs, self.delim))
+                def write_slab(vecs: np.ndarray, tots: np.ndarray) -> None:
+                    out.write(emit_norm_slab(vecs, tots, self.delim))
             else:
-                def write_block(payloads: list) -> None:
-                    lines = [
-                        self.delim.join(str(int(v)) for v in p[0]) + "\n"
-                        for p in payloads
-                    ]
-                    out.write("".join(lines).encode())
+                def write_slab(vecs: np.ndarray, tots: np.ndarray) -> None:
+                    out.write(emit_count_slab(vecs, self.delim))
 
-            emitter = OrderedEmitter(write_block)
-            agg = RowAggregator(lambda ridx, vec, tot: emitter.add(ridx, (vec, tot)))
+            emitter = OrderedArrayEmitter(write_slab)
+            agg = ArrayAggregator(nbins)
 
-            for b in iob.batch_stream(
-                records, overlap=self.ksize - 1, target_codes=self.target_codes
-            ):
-                codes = jnp.asarray(b.codes)
-                fwd, rc, valid = encode.kmer_ids_small(codes, self.ksize)
-                if self.count_min:
-                    ids = jnp.minimum(fwd, rc)
-                    counts, totals = histogram.per_read_histogram_gathered(
-                        ids, valid, slot_table, nbins
-                    )
-                else:
-                    counts, totals = histogram.per_read_histogram(fwd, valid, nbins)
-                agg.add_batch(
-                    b.read_idx,
-                    b.last_row,
-                    np.asarray(counts),
-                    np.asarray(totals),
+            def consume(meta, counts, totals) -> None:
+                ridx, vecs, tots = agg.add_batch(
+                    meta.read_idx, meta.last_row,
+                    np.asarray(counts), np.asarray(totals),
                 )
+                emitter.add(ridx, vecs, tots)
+
+            # pipeline: the main thread parses/uploads/dispatches; the
+            # writer thread fetches results and formats/writes — device
+            # compute, tunnel transfers, and disk writes all overlap
+            run_pipelined(
+                iob.stream_path(
+                    self.in_path,
+                    overlap=self.ksize - 1,
+                    target_codes=self.target_codes,
+                ),
+                lambda b: device_step(jnp.asarray(b.codes)),
+                consume,
+            )
             agg.finish()
             emitter.finish()
