@@ -1,21 +1,24 @@
-"""Pallas TPU kernel: fused per-read k-mer histogram.
+"""Pallas TPU kernel: fused per-read k-mer histogram with in-kernel
+canonical remap.
 
-The XLA path (ops/histogram.py) factors the histogram into one-hot
-matmuls; XLA materialises the (R, P, 128) bf16 one-hots in HBM, so the
-op runs at HBM bandwidth over ~130x the useful data. This kernel keeps
-the accumulator in VMEM and streams each position's slot column through
-the VPU — the only HBM traffic is the (P, R) slot/valid planes in and
-the (R, C) counts out.
+The XLA path (ops/histogram.py) needs (a) a table gather remapping
+canonical k-mer values to dense slots (kmer/src/kmer.rs:54-73) — which
+XLA lowers to a catastrophically slow scalar gather on TPU (~18 ms for
+a 2 M-element batch) — and (b) one-hot matmuls whose (R, P, 128) bf16
+one-hots it materialises in HBM. This kernel does neither: the
+accumulator lives in VMEM and each histogram bin is matched by
+comparing the raw k-mer id against that bin's *value* (`bin_values`),
+so the dense-slot remap costs nothing extra:
 
-Layout: reads live on the *lane* dimension (inputs transposed to
-(P, R) outside the kernel, output produced as (C, TILE_R) and
-transposed back), so each loop step is a full-width VPU
-compare-and-add of shape (C, TILE_R):
+    acc[c, r] += (ids[p, r] == bin_values[c])
 
-    acc[c, r] += (slots[p, r] == c) & valid[p, r]
+Invalid positions carry id -1, which matches no bin. Layout: reads on
+the lane dimension (inputs transposed to (P, R) outside, output (C,
+TILE_R) transposed back), so every loop step is a full-width VPU
+compare-and-add.
 
-Semantics match ops/histogram.per_read_histogram exactly (the golden
-suite pins that path to the reference's per-read counts,
+Semantics match ops/histogram.per_read_histogram_gathered exactly (the
+golden suite pins that path to the reference's per-read counts,
 composition/src/oligo.rs:240-254).
 """
 
@@ -35,17 +38,16 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _hist_kernel(slots_ref, valid_ref, out_ref, acc_ref, *, nbins_pad: int):
-    P = slots_ref.shape[0]
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (nbins_pad, _TILE_R), 0)
+def _hist_kernel(ids_ref, bins_ref, out_ref, acc_ref):
+    P = ids_ref.shape[0]
+    C = bins_ref.shape[0]
+    bins = bins_ref[:]  # (C, 1) int32 bin values
 
-    acc_ref[:] = jnp.zeros((nbins_pad, _TILE_R), jnp.float32)
+    acc_ref[:] = jnp.zeros((C, _TILE_R), jnp.float32)
 
     def body(p, _):
-        s = slots_ref[p, :].reshape(1, _TILE_R)
-        v = valid_ref[p, :].reshape(1, _TILE_R)
-        hit = (iota_c == s) & (v != 0)
-        acc_ref[:] += hit.astype(jnp.float32)
+        s = ids_ref[p, :].reshape(1, _TILE_R)
+        acc_ref[:] += (bins == s).astype(jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, P, body, 0)
@@ -54,29 +56,37 @@ def _hist_kernel(slots_ref, valid_ref, out_ref, acc_ref, *, nbins_pad: int):
 
 @functools.partial(jax.jit, static_argnames=("nbins", "interpret"))
 def per_read_histogram_tpu(
-    slots: jnp.ndarray,
+    ids: jnp.ndarray,
     valid: jnp.ndarray,
+    bin_values: jnp.ndarray,
     nbins: int,
     interpret: bool = False,
 ):
-    """slots (R, P) int32 in [0, nbins), valid (R, P) bool ->
+    """ids (R, P) int32 raw k-mer values, valid (R, P) bool,
+    bin_values (nbins,) int32 — the k-mer value counted by each output
+    bin (canonical values for min-mer mode, arange(4^k) for raw mode) ->
     (counts int16 (R, nbins), totals int32 (R,)).
 
     R must be a multiple of 128 (all bucket row counts are).
     """
-    R, P = slots.shape
+    R, P = ids.shape
     assert R % _TILE_R == 0, R
     C = _round_up(nbins, 128)
-    slots_t = jnp.where(valid, slots, -1).T.astype(jnp.int32)  # (P, R)
-    valid_t = valid.T.astype(jnp.int32)
+    ids_t = jnp.where(valid, ids, -1).T.astype(jnp.int32)  # (P, R)
+    bins_pad = (
+        jnp.full((C,), -2, jnp.int32)
+        .at[:nbins]
+        .set(bin_values.astype(jnp.int32))
+        .reshape(C, 1)
+    )
 
     grid = (R // _TILE_R,)
     counts_t = pl.pallas_call(
-        functools.partial(_hist_kernel, nbins_pad=C),
+        _hist_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((P, _TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, _TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (C, _TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -84,7 +94,7 @@ def per_read_histogram_tpu(
         out_shape=jax.ShapeDtypeStruct((C, R), jnp.int16),
         scratch_shapes=[pltpu.VMEM((C, _TILE_R), jnp.float32)],
         interpret=interpret,
-    )(slots_t, valid_t)
+    )(ids_t, bins_pad)
     counts = counts_t.T[:, :nbins]
     totals = jnp.sum(valid, axis=1, dtype=jnp.int32)
     return counts, totals

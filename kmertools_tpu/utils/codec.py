@@ -65,6 +65,21 @@ def kmer_pos_maps(ksize: int):
 
 
 @functools.lru_cache(maxsize=None)
+def canonical_bin_values(ksize: int) -> np.ndarray:
+    """int32[n_canonical]: dense slot -> canonical k-mer value (sorted).
+
+    The inverse of `canonical_slot_table` restricted to canonical
+    values; bin c of the per-read histogram counts k-mers whose
+    canonical value equals this array's element c.
+    """
+    n = 4**ksize
+    kmers = np.arange(n, dtype=np.uint64)
+    rc = _rev_comp_array(kmers, ksize)
+    canon = np.minimum(kmers, rc)
+    return np.unique(canon).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
 def canonical_slot_table(ksize: int) -> np.ndarray:
     """int32[4^k]: ANY k-mer value -> dense canonical slot.
 

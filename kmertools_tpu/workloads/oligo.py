@@ -81,24 +81,27 @@ class OligoComputer:
         )
 
         use_pallas = pallas_histogram.use_pallas()
+        if use_pallas:
+            # bins count raw values directly: canonical values for
+            # min-mer mode, every k-mer value for raw mode — no slot
+            # remap gather anywhere on the device path
+            bin_values = jnp.asarray(
+                codec.canonical_bin_values(self.ksize)
+                if self.count_min
+                else np.arange(4**self.ksize, dtype=np.int32)
+            )
 
         def device_step(codes):
             fwd, rc, valid = encode.kmer_ids_small(codes, self.ksize)
+            if use_pallas:
+                ids = jnp.minimum(fwd, rc) if self.count_min else fwd
+                return pallas_histogram.per_read_histogram_tpu(
+                    ids.astype(jnp.int32), valid, bin_values, nbins
+                )
             if self.count_min:
                 ids = jnp.minimum(fwd, rc)
-                if use_pallas:
-                    slots = jnp.take(
-                        slot_table, jnp.where(valid, ids, 0), mode="clip"
-                    ).astype(jnp.int32)
-                    return pallas_histogram.per_read_histogram_tpu(
-                        slots, valid, nbins
-                    )
                 counts, totals = histogram.per_read_histogram_gathered(
                     ids, valid, slot_table, nbins
-                )
-            elif use_pallas:
-                return pallas_histogram.per_read_histogram_tpu(
-                    fwd.astype(jnp.int32), valid, nbins
                 )
             else:
                 counts, totals = histogram.per_read_histogram(fwd, valid, nbins)

@@ -10,23 +10,26 @@ from kmertools_tpu.ops.pallas_histogram import per_read_histogram_tpu
 from kmertools_tpu.utils import codec
 
 
-@pytest.mark.parametrize("k,nbins_mode", [(4, "canon"), (3, "raw"), (7, "canon")])
-def test_pallas_histogram_matches_xla(k, nbins_mode):
+@pytest.mark.parametrize("k,mode", [(4, "canon"), (3, "raw"), (7, "canon")])
+def test_pallas_histogram_matches_xla(k, mode):
     rng = np.random.default_rng(7)
     codes = rng.integers(0, 5, size=(128, 128)).astype(np.uint8)
     fwd, rc, valid = encode.kmer_ids_small(jnp.asarray(codes), k)
-    if nbins_mode == "canon":
+    if mode == "canon":
         table = jnp.asarray(codec.canonical_slot_table(k))
         _, _, nbins = codec.kmer_pos_maps(k)
         ids = jnp.minimum(fwd, rc)
-        slots = jnp.take(table, jnp.where(valid, ids, 0), mode="clip")
-        c_ref, t_ref = histogram.per_read_histogram(slots, valid, nbins)
+        bin_values = jnp.asarray(codec.canonical_bin_values(k))
+        c_ref, t_ref = histogram.per_read_histogram_gathered(
+            ids, valid, table, nbins
+        )
     else:
         nbins = 4**k
-        slots = fwd
+        ids = fwd
+        bin_values = jnp.asarray(np.arange(nbins, dtype=np.int32))
         c_ref, t_ref = histogram.per_read_histogram(fwd, valid, nbins)
     c_pal, t_pal = per_read_histogram_tpu(
-        slots.astype(jnp.int32), valid, nbins, interpret=True
+        ids.astype(jnp.int32), valid, bin_values, nbins, interpret=True
     )
     np.testing.assert_array_equal(
         np.asarray(c_ref).astype(np.int32), np.asarray(c_pal).astype(np.int32)
@@ -37,6 +40,9 @@ def test_pallas_histogram_matches_xla(k, nbins_mode):
 def test_pallas_histogram_all_ambiguous():
     codes = np.full((128, 64), 4, dtype=np.uint8)
     fwd, rc, valid = encode.kmer_ids_small(jnp.asarray(codes), 4)
-    c, t = per_read_histogram_tpu(fwd.astype(jnp.int32), valid, 136, interpret=True)
+    bins = jnp.asarray(np.arange(136, dtype=np.int32))
+    c, t = per_read_histogram_tpu(
+        fwd.astype(jnp.int32), valid, bins, 136, interpret=True
+    )
     assert int(np.asarray(c).sum()) == 0
     assert int(np.asarray(t).sum()) == 0
