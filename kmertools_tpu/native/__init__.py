@@ -90,6 +90,10 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
     ]
     so.kt_format_u64_tsv.restype = c_i64
     so.kt_format_u64_tsv.argtypes = [c_u64_p, c_u64_p, c_i64, ctypes.c_char_p]
+    so.kt_parse_u64_tsv.restype = c_i64
+    so.kt_parse_u64_tsv.argtypes = [
+        ctypes.c_char_p, c_i64, c_u64_p, c_u64_p,
+    ]
     so.kt_format_acgt_tsv.restype = c_i64
     so.kt_format_acgt_tsv.argtypes = [
         c_u64_p, c_u64_p, c_i64, ctypes.c_int, ctypes.c_char_p,

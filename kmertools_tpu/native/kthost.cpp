@@ -560,6 +560,28 @@ int64_t kt_format_u64_tsv(const uint64_t *keys, const uint64_t *vals,
   return p - out;
 }
 
+// Parse `u64\tu64\n` TSV bytes into two arrays (counter merge reading
+// spill files back, counter/src/lib.rs:195-210). Returns row count.
+int64_t kt_parse_u64_tsv(const char *buf, int64_t len, uint64_t *keys,
+                         uint64_t *vals) {
+  const char *p = buf, *end = buf + len;
+  int64_t n = 0;
+  while (p < end) {
+    while (p < end && (*p == '\n' || *p == '\r')) p++;
+    if (p >= end) break;
+    uint64_t k = 0;
+    while (p < end && *p >= '0' && *p <= '9') k = k * 10 + (uint64_t)(*p++ - '0');
+    while (p < end && (*p == '\t' || *p == ' ')) p++;
+    uint64_t v = 0;
+    while (p < end && *p >= '0' && *p <= '9') v = v * 10 + (uint64_t)(*p++ - '0');
+    keys[n] = k;
+    vals[n] = v;
+    n++;
+    while (p < end && *p != '\n') p++;
+  }
+  return n;
+}
+
 // ACGT-keyed TSV lines (counter merge --acgt, counter/src/lib.rs:224-228).
 int64_t kt_format_acgt_tsv(const uint64_t *keys, const uint64_t *vals,
                            int64_t n, int k, char *out) {

@@ -51,26 +51,85 @@ def _aggregate(kmers: np.ndarray, counts: np.ndarray):
     return k[starts], np.add.reduceat(c, starts)
 
 
+def _format_tsv(kmers: np.ndarray, counts: np.ndarray) -> bytes:
+    """`kmer\\tcount` lines; native fast path when available."""
+    if not len(kmers):
+        return b""
+    from kmertools_tpu import native
+
+    so = native.lib()
+    if so is not None:
+        import ctypes
+
+        k = np.ascontiguousarray(kmers, dtype=np.uint64)
+        c = np.ascontiguousarray(counts, dtype=np.uint64)
+        buf = ctypes.create_string_buffer(len(k) * 42)
+        n = so.kt_format_u64_tsv(
+            k.ctypes.data_as(native.c_u64_p),
+            c.ctypes.data_as(native.c_u64_p),
+            len(k), buf,
+        )
+        return buf.raw[:n]
+    ks = np.char.mod("%d", kmers.astype(np.uint64))
+    cs = np.char.mod("%d", counts.astype(np.uint64))
+    return ("\n".join(np.char.add(np.char.add(ks, "\t"), cs).tolist()) + "\n").encode()
+
+
+def _format_acgt_tsv(kmers: np.ndarray, counts: np.ndarray, k: int) -> bytes:
+    """`ACGT...\\tcount` lines; native fast path when available."""
+    if not len(kmers):
+        return b""
+    from kmertools_tpu import native
+
+    so = native.lib()
+    if so is not None:
+        import ctypes
+
+        ka = np.ascontiguousarray(kmers, dtype=np.uint64)
+        c = np.ascontiguousarray(counts, dtype=np.uint64)
+        buf = ctypes.create_string_buffer(len(ka) * (k + 22))
+        n = so.kt_format_acgt_tsv(
+            ka.ctypes.data_as(native.c_u64_p),
+            c.ctypes.data_as(native.c_u64_p),
+            len(ka), k, buf,
+        )
+        return buf.raw[:n]
+    keys = codec.numeric_to_kmer_array(kmers, k)
+    keys = np.char.decode(keys.astype(f"S{k}"))
+    vals = np.char.mod("%d", counts)
+    return ("\n".join(np.char.add(np.char.add(keys, "\t"), vals).tolist()) + "\n").encode()
+
+
 def _write_tsv(path: str, kmers: np.ndarray, counts: np.ndarray) -> None:
     with open(path, "wb") as f:
-        if len(kmers):
-            ks = np.char.mod("%d", kmers.astype(np.uint64))
-            cs = np.char.mod("%d", counts.astype(np.uint64))
-            body = "\n".join(np.char.add(np.char.add(ks, "\t"), cs).tolist())
-            f.write(body.encode() + b"\n")
+        f.write(_format_tsv(kmers, counts))
 
 
 def _read_tsv(path: str):
+    with open(path, "rb") as f:
+        data = f.read()
+    from kmertools_tpu import native
+
+    so = native.lib()
+    if so is not None and data:
+        cap = data.count(b"\n") + 2
+        kmers = np.empty(cap, dtype=np.uint64)
+        counts = np.empty(cap, dtype=np.uint64)
+        n = so.kt_parse_u64_tsv(
+            data, len(data),
+            kmers.ctypes.data_as(native.c_u64_p),
+            counts.ctypes.data_as(native.c_u64_p),
+        )
+        return kmers[:n].copy(), counts[:n].copy()
     kmers = []
     counts = []
-    with open(path, "rb") as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            a, b = line.split(b"\t")
-            kmers.append(int(a))
-            counts.append(int(b))
+    for line in data.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        a, b = line.split(b"\t")
+        kmers.append(int(a))
+        counts.append(int(b))
     return np.array(kmers, dtype=np.uint64), np.array(counts, dtype=np.uint64)
 
 
@@ -199,11 +258,7 @@ class CountComputer:
                 if not len(kmers):
                     continue
                 if self.acgt:
-                    keys = codec.numeric_to_kmer_array(kmers, self.ksize)
-                    keys = np.char.decode(keys.astype(f"S{self.ksize}"))
+                    out.write(_format_acgt_tsv(kmers, counts, self.ksize))
                 else:
-                    keys = np.char.mod("%d", kmers)
-                vals = np.char.mod("%d", counts)
-                body = "\n".join(np.char.add(np.char.add(keys, "\t"), vals).tolist())
-                out.write(body.encode() + b"\n")
+                    out.write(_format_tsv(kmers, counts))
         pbar.finish()

@@ -112,39 +112,9 @@ class MinimiserGenerator:
 
 
 def _minimiser_records(seq: bytes, wsize: int, msize: int):
-    import jax.numpy as jnp
+    from kmertools_tpu.ops.kmer_minimiser import sequence_minimiser_records
 
-    from kmertools_tpu.ops import minimiser as mops
-
-    L = len(seq)
-    codes = _pad_codes(seq, max(L, wsize))
-    trail = _trailing_valid(codes[0], L)
-    recs: list[tuple[int, int, int]] = []
-    J = max(0, L - wsize + 1)
-    if J > 0:
-        h, l, v = mops.window_min(jnp.asarray(codes), msize, wsize)
-        h = np.asarray(h)[0][:J]
-        l = np.asarray(l)[0][:J]
-        v = np.asarray(v)[0][:J]
-        fh = np.concatenate([h, np.zeros(1, np.uint32)])
-        fl = np.concatenate([l, np.zeros(1, np.uint32)])
-        fv = np.concatenate([v, np.zeros(1, bool)])
-        _, val, s0, e0 = mops.extract_records(
-            fh, fl, fv, np.array([L], dtype=np.int64), wsize, msize
-        )
-        recs = [(int(vv), int(ss), int(ee)) for vv, ss, ee in zip(val, s0, e0)]
-    if msize <= trail < wsize:
-        recs.append((_U64MAX, L - trail, L))
-    return recs
-
-
-def _trailing_valid(codes: np.ndarray, length: int) -> int:
-    t = 0
-    for i in range(length - 1, -1, -1):
-        if codes[i] >= 4:
-            break
-        t += 1
-    return t
+    return sequence_minimiser_records(seq, wsize, msize)
 
 
 class OligoComputer:
