@@ -207,8 +207,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.acgt:
             ctr.set_acgt_output(True)
         ctr.set_max_memory(float(args.memory))
-        ctr.count()
-        ctr.merge(True)
+        ctr.count_and_merge(True)
 
     return 0
 

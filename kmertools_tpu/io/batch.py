@@ -28,7 +28,7 @@ from kmertools_tpu.utils.codec import SEQ_NT4_TABLE
 
 import os
 
-DEFAULT_ROW_WIDTHS = (128, 512, 2048, 8192)
+DEFAULT_ROW_WIDTHS = (128, 256, 512, 2048, 8192)
 DEFAULT_TARGET_CODES = int(os.environ.get("KMERTOOLS_TARGET_CODES", 1 << 22))
 
 

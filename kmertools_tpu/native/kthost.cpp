@@ -549,13 +549,28 @@ int64_t kt_format_counts(const double *vals, int64_t nrows, int64_t ncols,
   return p - out;
 }
 
+// Fast u64 -> decimal (sprintf is ~5x slower and dominates counter
+// merge output at tens of millions of lines).
+static inline char *itoa_u64(uint64_t v, char *p) {
+  char tmp[20];
+  int n = 0;
+  do {
+    tmp[n++] = (char)('0' + (v % 10));
+    v /= 10;
+  } while (v);
+  while (n) *p++ = tmp[--n];
+  return p;
+}
+
 // kmer\tcount TSV lines (counter spill/merge, counter/src/lib.rs:151-167).
 int64_t kt_format_u64_tsv(const uint64_t *keys, const uint64_t *vals,
                           int64_t n, char *out) {
   char *p = out;
   for (int64_t i = 0; i < n; i++) {
-    p += sprintf(p, "%llu\t%llu\n", (unsigned long long)keys[i],
-                 (unsigned long long)vals[i]);
+    p = itoa_u64(keys[i], p);
+    *p++ = '\t';
+    p = itoa_u64(vals[i], p);
+    *p++ = '\n';
   }
   return p - out;
 }
@@ -594,7 +609,9 @@ int64_t kt_format_acgt_tsv(const uint64_t *keys, const uint64_t *vals,
       kv >>= 2;
     }
     p += k;
-    p += sprintf(p, "\t%llu\n", (unsigned long long)vals[i]);
+    *p++ = '\t';
+    p = itoa_u64(vals[i], p);
+    *p++ = '\n';
   }
   return p - out;
 }

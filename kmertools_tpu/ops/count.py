@@ -53,6 +53,24 @@ def batch_count_runs(codes: jnp.ndarray, k: int):
     return sh, sl, first, counts
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def batch_sorted_pairs(codes: jnp.ndarray, k: int):
+    """Sorted canonical (hi, lo) pairs only — the minimal device->host
+    payload for the counter. Boundary detection and run-length counting
+    are a vectorised diff+reduceat on the host over the already-sorted
+    arrays (they cost nothing there, and halving the transfer dominates).
+
+    For k <= 23 the hi half holds <= 14 bits, so it travels as uint16
+    (sentinel 0xFFFFFFFF truncates to 0xFFFF, still above every valid
+    value) — 25% less device->host traffic.
+    """
+    hi, lo, _ = canonical_ids_pair(codes, k)
+    sh, sl = lax.sort((hi.reshape(-1), lo.reshape(-1)), num_keys=2)
+    if k <= 23:
+        sh = sh.astype(jnp.uint16)
+    return sh, sl
+
+
 @functools.partial(jax.jit, static_argnames=())
 def lookup_counts(qh, ql, th, tl, tc):
     """Vectorised lower-bound join: per-query count from the sorted

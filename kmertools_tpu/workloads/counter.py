@@ -145,6 +145,7 @@ class CountComputer:
         self.n_parts = 0
         self.memory_ceil_gb = 6.0
         self.seq_count = 0
+        self.total_bases = 0
         self.debug = False
         self.acgt = False
         self.target_codes = iob.DEFAULT_TARGET_CODES
@@ -168,6 +169,7 @@ class CountComputer:
             int(np.ceil(8.0 * data_gb / (2.0 * self.memory_ceil_gb))),
         )
         self.seq_count = stats.seq_count
+        self.total_bases = stats.total_length
 
     def _write_manifest(self) -> None:
         with open(os.path.join(self.out_dir, "manifest.json"), "w") as f:
@@ -177,6 +179,8 @@ class CountComputer:
             )
 
     def count(self) -> None:
+        from kmertools_tpu.workloads.common import run_pipelined
+
         self.init()
         pbar = Progress(self.seq_count, "counting")
         gate = 1_000_000_000.0 * self.memory_ceil_gb / 8.0
@@ -199,43 +203,127 @@ class CountComputer:
             bounds = np.searchsorted(parts, np.arange(self.n_parts + 1))
             for p in range(self.n_parts):
                 s, e = bounds[p], bounds[p + 1]
-                _write_tsv(
-                    os.path.join(
-                        self.out_dir, f"temp_kmers.part_{p}_chunk_{self.chunks}"
-                    ),
-                    kmers[s:e],
-                    counts[s:e],
-                )
+                self._write_spill(p, self.chunks, kmers[s:e], counts[s:e])
             acc_k, acc_c = [], []
             chunk_bases = 0
             self.chunks += 1
 
-        for b in iob.stream_path(
-            self.in_path, overlap=self.ksize - 1, target_codes=self.target_codes
-        ):
-            sh, sl, first, counts = cops.batch_count_runs(
-                jnp.asarray(b.codes), self.ksize
-            )
+        def consume(b, sh, sl) -> None:
+            nonlocal chunk_bases
+            # host-side RLE over the device-sorted pairs: boundaries by
+            # neighbour diff, run lengths by reduceat (counter/src/
+            # lib.rs:123-132's upsert, reorganised as sort+reduce)
             sh = np.asarray(sh)
             sl = np.asarray(sl)
-            first = np.asarray(first)
-            counts = np.asarray(counts)
-            sel = np.flatnonzero(first)
-            kh = sh[sel].astype(np.uint64)
-            kl = sl[sel].astype(np.uint64)
-            kc = counts[sel].astype(np.uint64)
-            keys = (kh << shift) | kl
-            sentinel = (np.uint64(0xFFFFFFFF) << shift) | np.uint64(0xFFFFFFFF)
-            keep = keys != sentinel
-            acc_k.append(keys[keep])
-            acc_c.append(kc[keep])
-            nreads = int((b.read_idx >= 0).sum())
-            pbar.update(nreads)
+            sent_hi = np.iinfo(sh.dtype).max  # all-ones sentinel of the wire dtype
+            valid_n = int(np.searchsorted(sh, sent_hi))  # sentinels sort last
+            sh = sh[:valid_n]
+            sl = sl[:valid_n]
+            if valid_n:
+                keys = (sh.astype(np.uint64) << shift) | sl.astype(np.uint64)
+                firsts = np.empty(valid_n, dtype=bool)
+                firsts[0] = True
+                np.not_equal(keys[1:], keys[:-1], out=firsts[1:])
+                starts = np.flatnonzero(firsts)
+                runs = np.diff(np.append(starts, valid_n)).astype(np.uint64)
+                acc_k.append(keys[starts])
+                acc_c.append(runs)
+            pbar.update(int((b.read_idx >= 0).sum()))
             chunk_bases += int(b.lengths.sum())
             if chunk_bases > gate:
                 spill()
+
+        run_pipelined(
+            iob.stream_path(
+                self.in_path, overlap=self.ksize - 1, target_codes=self.target_codes
+            ),
+            lambda b: cops.batch_sorted_pairs(jnp.asarray(b.codes), self.ksize),
+            consume,
+        )
         spill()
         pbar.finish()
+        self._write_manifest()
+
+    def _spill_path(self, p: int, c: int) -> str:
+        return os.path.join(self.out_dir, f"temp_kmers.part_{p}_chunk_{c}")
+
+    def _write_spill(self, p: int, c: int, kmers, counts) -> None:
+        """Spills keep the reference's TSV format byte-for-byte
+        (temp_kmers.part_p_chunk_c, counter/src/lib.rs:151-167): the
+        spill files are the durable resume point and a golden file
+        (expected_counts.part_0_chunk_0) pins their format."""
+        _write_tsv(self._spill_path(p, c), kmers, counts)
+
+    def _read_spill(self, p: int, c: int, delete: bool):
+        path = self._spill_path(p, c)
+        k, v = _read_tsv(path)
+        if delete:
+            delete_file_if_exists(path)
+        return k, v
+
+    def count_and_merge(self, delete: bool = True) -> None:
+        """count() + merge() with the spill round-trip elided when the
+        whole run fits in one chunk (the common case below the memory
+        gate). End state matches the reference CLI's count->merge(true):
+        the out dir holds kmers.counts; multi-chunk runs fall back to
+        the durable spill/merge path (the resume point stays intact)."""
+        from kmertools_tpu.workloads.common import run_pipelined
+
+        self.init()
+        gate = 1_000_000_000.0 * self.memory_ceil_gb / 8.0
+        if self.total_bases > gate:
+            # above the memory gate: the durable spill/merge path
+            self.count()
+            self.merge(delete)
+            return
+        pbar = Progress(self.seq_count, "counting")
+        nlo = min(self.ksize, 16)
+        shift = np.uint64(2 * nlo)
+
+        acc_k: list[np.ndarray] = []
+        acc_c: list[np.ndarray] = []
+
+        def consume(b, sh, sl) -> None:
+            sh = np.asarray(sh)
+            sl = np.asarray(sl)
+            sent_hi = np.iinfo(sh.dtype).max  # all-ones sentinel of the wire dtype
+            valid_n = int(np.searchsorted(sh, sent_hi))
+            if valid_n:
+                keys = (
+                    sh[:valid_n].astype(np.uint64) << shift
+                ) | sl[:valid_n].astype(np.uint64)
+                firsts = np.empty(valid_n, dtype=bool)
+                firsts[0] = True
+                np.not_equal(keys[1:], keys[:-1], out=firsts[1:])
+                starts = np.flatnonzero(firsts)
+                runs = np.diff(np.append(starts, valid_n)).astype(np.uint64)
+                acc_k.append(keys[starts])
+                acc_c.append(runs)
+            pbar.update(int((b.read_idx >= 0).sum()))
+
+        run_pipelined(
+            iob.stream_path(
+                self.in_path, overlap=self.ksize - 1, target_codes=self.target_codes
+            ),
+            lambda b: cops.batch_sorted_pairs(jnp.asarray(b.codes), self.ksize),
+            consume,
+        )
+        pbar.finish()
+        out_path = os.path.join(self.out_dir, "kmers.counts")
+        with open(out_path, "wb") as out:
+            if acc_k:
+                kmers, counts = _aggregate(
+                    np.concatenate(acc_k), np.concatenate(acc_c)
+                )
+                # partition-major order, matching merge()'s output
+                parts = (kmers % np.uint64(max(1, self.n_parts))).astype(np.int64)
+                order = np.argsort(parts, kind="stable")
+                kmers, counts = kmers[order], counts[order]
+                if self.acgt:
+                    out.write(_format_acgt_tsv(kmers, counts, self.ksize))
+                else:
+                    out.write(_format_tsv(kmers, counts))
+        self.chunks = 0
         self._write_manifest()
 
     def merge(self, delete: bool) -> None:
@@ -245,12 +333,9 @@ class CountComputer:
             for p in range(self.n_parts):
                 ks, cs = [], []
                 for c in range(self.chunks):
-                    path = os.path.join(self.out_dir, f"temp_kmers.part_{p}_chunk_{c}")
-                    k, v = _read_tsv(path)
+                    k, v = self._read_spill(p, c, delete)
                     ks.append(k)
                     cs.append(v)
-                    if delete:
-                        delete_file_if_exists(path)
                     pbar.update()
                 if not ks:
                     continue

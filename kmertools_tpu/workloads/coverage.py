@@ -74,8 +74,7 @@ class CovComputer:
             ctr.set_threads(self.threads)
         ctr.set_max_memory(self.memory_ceil_gb)
         ctr.target_codes = self.target_codes
-        ctr.count()
-        ctr.merge(True)
+        ctr.count_and_merge(True)
 
     def _load_table(self):
         """kmers.counts -> device-resident sorted (hi, lo, count)."""

@@ -116,3 +116,20 @@ def test_count_matches_bruteforce(tmp_path):
                 key = min(f, r)
                 want[key] = want.get(key, 0) + 1
     assert got == want
+
+
+def test_count_and_merge_fused_matches_classic(tmp_path, test_data):
+    a = tmp_path / "classic"
+    b = tmp_path / "fused"
+    a.mkdir()
+    b.mkdir()
+    c1 = CountComputer(str(test_data / "reads.fq"), str(a), 15)
+    c1.count()
+    c1.merge(True)
+    c2 = CountComputer(str(test_data / "reads.fq"), str(b), 15)
+    c2.count_and_merge(True)
+    assert load_lines_sorted(str(a / "kmers.counts")) == load_lines_sorted(
+        str(b / "kmers.counts")
+    )
+    # fused path must not leave temp spills behind
+    assert not list(b.glob("temp_kmers.*"))
