@@ -114,6 +114,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    from kmertools_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace(args.command):
+        return _dispatch(args)
+
+
+def _dispatch(args) -> int:
     from kmertools_tpu.utils.fops import create_directory
 
     if args.command == "comp" and args.comp_command == "oligo":

@@ -74,18 +74,26 @@ def batch_sorted_pairs(codes: jnp.ndarray, k: int):
 @functools.partial(jax.jit, static_argnames=())
 def lookup_counts(qh, ql, th, tl, tc):
     """Vectorised lower-bound join: per-query count from the sorted
-    global table, 0 when absent. All query/table values uint32 pairs."""
+    global table, 0 when absent. All query/table values uint32 pairs.
+
+    The binary search runs as a `fori_loop` (NOT unrolled): unrolling
+    log2(n) gather steps into the HLO made remote TPU compiles take
+    tens of minutes for multi-million-entry tables."""
     n = th.shape[0]
-    lo = jnp.zeros(qh.shape, jnp.int32)
-    hi = jnp.full(qh.shape, n, jnp.int32)
     steps = max(1, (n - 1).bit_length()) if n > 1 else 1
-    for _ in range(steps):
+
+    def body(_, state):
+        lo, hi = state
         mid = (lo + hi) // 2
-        mh = th[jnp.clip(mid, 0, n - 1)]
-        ml = tl[jnp.clip(mid, 0, n - 1)]
+        safe = jnp.clip(mid, 0, n - 1)
+        mh = jnp.take(th, safe)
+        ml = jnp.take(tl, safe)
         less = (mh < qh) | ((mh == qh) & (ml < ql))
-        lo = jnp.where(less, mid + 1, lo)
-        hi = jnp.where(less, hi, mid)
+        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+
+    lo0 = jnp.zeros(qh.shape, jnp.int32)
+    hi0 = jnp.full(qh.shape, n, jnp.int32)
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
     pos = jnp.clip(lo, 0, n - 1)
-    found = (lo < n) & (th[pos] == qh) & (tl[pos] == ql)
-    return jnp.where(found, tc[pos], 0)
+    found = (lo < n) & (jnp.take(th, pos) == qh) & (jnp.take(tl, pos) == ql)
+    return jnp.where(found, jnp.take(tc, pos), 0)

@@ -67,12 +67,15 @@ def per_read_histogram_tpu(
     bin (canonical values for min-mer mode, arange(4^k) for raw mode) ->
     (counts int16 (R, nbins), totals int32 (R,)).
 
-    R must be a multiple of 128 (all bucket row counts are).
+    Rows pad to a multiple of 128 internally.
     """
     R, P = ids.shape
-    assert R % _TILE_R == 0, R
+    R_pad = _round_up(R, _TILE_R)
     C = _round_up(nbins, 128)
-    ids_t = jnp.where(valid, ids, -1).T.astype(jnp.int32)  # (P, R)
+    ids_m = jnp.where(valid, ids, -1).astype(jnp.int32)
+    if R_pad != R:
+        ids_m = jnp.pad(ids_m, ((0, R_pad - R), (0, 0)), constant_values=-1)
+    ids_t = ids_m.T  # (P, R_pad)
     bins_pad = (
         jnp.full((C,), -2, jnp.int32)
         .at[:nbins]
@@ -80,7 +83,7 @@ def per_read_histogram_tpu(
         .reshape(C, 1)
     )
 
-    grid = (R // _TILE_R,)
+    grid = (R_pad // _TILE_R,)
     counts_t = pl.pallas_call(
         _hist_kernel,
         grid=grid,
@@ -91,11 +94,11 @@ def per_read_histogram_tpu(
         out_specs=pl.BlockSpec(
             (C, _TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((C, R), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((C, R_pad), jnp.int16),
         scratch_shapes=[pltpu.VMEM((C, _TILE_R), jnp.float32)],
         interpret=interpret,
     )(ids_t, bins_pad)
-    counts = counts_t.T[:, :nbins]
+    counts = counts_t.T[:R, :nbins]
     totals = jnp.sum(valid, axis=1, dtype=jnp.int32)
     return counts, totals
 

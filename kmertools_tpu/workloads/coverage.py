@@ -22,11 +22,14 @@ import numpy as np
 import jax.numpy as jnp
 
 from kmertools_tpu.io import batch as iob
-from kmertools_tpu.io import fastx
 from kmertools_tpu.ops import count as cops
-from kmertools_tpu.ops import encode, histogram
-from kmertools_tpu.utils.fmt import format_fixed6
-from kmertools_tpu.workloads.common import OrderedEmitter, RowAggregator
+from kmertools_tpu.ops import encode, histogram, pallas_histogram
+from kmertools_tpu.utils.fmt import emit_count_slab, emit_norm_slab
+from kmertools_tpu.workloads.common import (
+    ArrayAggregator,
+    OrderedArrayEmitter,
+    run_pipelined,
+)
 from kmertools_tpu.workloads.counter import CountComputer
 
 
@@ -78,18 +81,10 @@ class CovComputer:
 
     def _load_table(self):
         """kmers.counts -> device-resident sorted (hi, lo, count)."""
-        kmers = []
-        counts = []
-        with open(os.path.join(self.out_dir, "kmers.counts"), "rb") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                a, b = line.split(b"\t")
-                kmers.append(int(a))
-                counts.append(int(b))
-        kmers = np.array(kmers, dtype=np.uint64)
-        counts = np.array(counts, dtype=np.int64)
+        from kmertools_tpu.workloads.counter import _read_tsv
+
+        kmers, counts = _read_tsv(os.path.join(self.out_dir, "kmers.counts"))
+        counts = counts.astype(np.int64)
         order = np.argsort(kmers)
         kmers, counts = kmers[order], counts[order]
         nlo = min(self.ksize, 16)
@@ -104,31 +99,34 @@ class CovComputer:
 
         with open(vec_path, "wb") as out:
             if self.norm:
-                def write_block(payloads: list) -> None:
-                    vecs = np.stack([p[0] for p in payloads]).astype(np.float64)
-                    tots = np.array([p[1] for p in payloads], dtype=np.float64)
-                    vecs /= np.maximum(1.0, tots)[:, None]
-                    out.write(format_fixed6(vecs, self.delim))
+                def write_slab(vecs: np.ndarray, tots: np.ndarray) -> None:
+                    out.write(emit_norm_slab(vecs, tots, self.delim))
             else:
-                def write_block(payloads: list) -> None:
-                    lines = [
-                        self.delim.join(str(int(v)) for v in p[0]) + "\n"
-                        for p in payloads
-                    ]
-                    out.write("".join(lines).encode())
+                def write_slab(vecs: np.ndarray, tots: np.ndarray) -> None:
+                    out.write(emit_count_slab(vecs, self.delim))
 
-            emitter = OrderedEmitter(write_block)
-            agg = RowAggregator(lambda ridx, vec, tot: emitter.add(ridx, (vec, tot)))
-            for b in iob.stream_path(
-                self.in_path, overlap=self.ksize - 1, target_codes=self.target_codes
-            ):
-                counts, totals = _coverage_batch(
+            emitter = OrderedArrayEmitter(write_slab)
+            agg = ArrayAggregator(self.bin_count)
+
+            def consume(meta, counts, totals) -> None:
+                ridx, vecs, tots = agg.add_batch(
+                    meta.read_idx, meta.last_row,
+                    np.asarray(counts), np.asarray(totals),
+                )
+                emitter.add(ridx, vecs, tots)
+
+            run_pipelined(
+                iob.stream_path(
+                    self.in_path,
+                    overlap=self.ksize - 1,
+                    target_codes=self.target_codes,
+                ),
+                lambda b: _coverage_batch(
                     jnp.asarray(b.codes), th, tl, tc,
                     self.ksize, self.bin_size, self.bin_count,
-                )
-                agg.add_batch(
-                    b.read_idx, b.last_row, np.asarray(counts), np.asarray(totals)
-                )
+                ),
+                consume,
+            )
             agg.finish()
             emitter.finish()
 
@@ -142,4 +140,10 @@ def _coverage_batch(codes, th, tl, tc, k, bin_size, bin_count):
     qh, ql, valid = encode.canonical_ids_pair(codes, k)
     cnt = cops.lookup_counts(qh, ql, th, tl, tc)
     bins = jnp.minimum(cnt // bin_size, bin_count - 1).astype(jnp.int32)
-    return histogram.per_read_histogram(bins, valid, bin_count)
+    if pallas_histogram.use_pallas():
+        bin_values = jnp.arange(bin_count, dtype=jnp.int32)
+        return pallas_histogram.per_read_histogram_tpu(
+            bins, valid, bin_values, bin_count
+        )
+    counts, totals = histogram.per_read_histogram(bins, valid, bin_count)
+    return counts.astype(jnp.int16), totals.astype(jnp.int32)

@@ -46,3 +46,19 @@ def test_pallas_histogram_all_ambiguous():
     )
     assert int(np.asarray(c).sum()) == 0
     assert int(np.asarray(t).sum()) == 0
+
+
+def test_pallas_histogram_ragged_rows():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 5, size=(37, 64)).astype(np.uint8)  # R % 128 != 0
+    fwd, rc, valid = encode.kmer_ids_small(jnp.asarray(codes), 4)
+    bins = jnp.asarray(np.arange(256, dtype=np.int32))
+    c_ref, t_ref = histogram.per_read_histogram(fwd, valid, 256)
+    c_pal, t_pal = per_read_histogram_tpu(
+        fwd.astype(jnp.int32), valid, bins, 256, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_ref).astype(np.int32), np.asarray(c_pal).astype(np.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_pal))
