@@ -89,10 +89,15 @@ def lookup_counts(qh, ql, th, tl, tc):
         mh = jnp.take(th, safe)
         ml = jnp.take(tl, safe)
         less = (mh < qh) | ((mh == qh) & (ml < ql))
-        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+        return (
+            jnp.where(less, mid + 1, lo).astype(jnp.int32),
+            jnp.where(less, hi, mid).astype(jnp.int32),
+        )
 
-    lo0 = jnp.zeros(qh.shape, jnp.int32)
-    hi0 = jnp.full(qh.shape, n, jnp.int32)
+    # derive the initial carry from the queries so it carries the same
+    # manual-sharding axes as the loop body's outputs under shard_map
+    lo0 = (qh * 0).astype(jnp.int32)
+    hi0 = lo0 + jnp.int32(n)
     lo, _ = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
     pos = jnp.clip(lo, 0, n - 1)
     found = (lo < n) & (jnp.take(th, pos) == qh) & (jnp.take(tl, pos) == ql)

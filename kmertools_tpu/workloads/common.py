@@ -108,6 +108,56 @@ class RowAggregator:
         assert not self._partial, f"incomplete reads: {list(self._partial)[:5]}"
 
 
+def data_parallel_step(step):
+    """Wrap a per-batch device step (codes (R, W) -> row-aligned outputs)
+    with shard_map over every visible device when more than one exists.
+
+    This is the framework's DP axis: batch rows shard across the mesh
+    (the TPU replacement for the reference's N work-stealing threads,
+    composition/src/oligo.rs:192-226); each device runs the identical
+    kernel on its row shard and outputs stay row-sharded, so the host
+    sees one logical array. Row counts are padded bucket sizes (powers
+    of two), always divisible by the device count.
+    """
+    import jax
+
+    ndev = jax.device_count()
+    if ndev <= 1:
+        return step
+
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map as _shard_map
+
+        def smap(fn, mesh, in_specs, out_specs):
+            return _shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        def smap(fn, mesh, in_specs, out_specs):
+            return _shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+    from kmertools_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_batch
+
+    mesh = make_mesh()
+    sharded = jax.jit(
+        smap(
+            step,
+            mesh,
+            in_specs=(P(DATA_AXIS, None),),
+            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+        )
+    )
+
+    def wrapped(codes):
+        if codes.shape[0] % ndev:
+            return step(codes)
+        return sharded(shard_batch(mesh, codes))
+
+    return wrapped
+
+
 class ArrayAggregator:
     """Vectorised RowAggregator: batches in, slabs of completed reads out.
 

@@ -28,6 +28,7 @@ from kmertools_tpu.utils.fmt import emit_count_slab, emit_norm_slab
 from kmertools_tpu.workloads.common import (
     ArrayAggregator,
     OrderedArrayEmitter,
+    data_parallel_step,
     run_pipelined,
 )
 from kmertools_tpu.workloads.counter import CountComputer
@@ -115,16 +116,19 @@ class CovComputer:
                 )
                 emitter.add(ridx, vecs, tots)
 
+            sharded_step = data_parallel_step(
+                lambda codes: _coverage_batch(
+                    codes, th, tl, tc,
+                    self.ksize, self.bin_size, self.bin_count,
+                )
+            )
             run_pipelined(
                 iob.stream_path(
                     self.in_path,
                     overlap=self.ksize - 1,
                     target_codes=self.target_codes,
                 ),
-                lambda b: _coverage_batch(
-                    jnp.asarray(b.codes), th, tl, tc,
-                    self.ksize, self.bin_size, self.bin_count,
-                ),
+                lambda b: sharded_step(jnp.asarray(b.codes)),
                 consume,
             )
             agg.finish()

@@ -24,6 +24,7 @@ from kmertools_tpu.utils.fmt import emit_count_slab, emit_norm_slab
 from kmertools_tpu.workloads.common import (
     ArrayAggregator,
     OrderedArrayEmitter,
+    data_parallel_step,
     run_pipelined,
 )
 
@@ -132,14 +133,16 @@ class OligoComputer:
 
             # pipeline: the main thread parses/uploads/dispatches; the
             # writer thread fetches results and formats/writes — device
-            # compute, tunnel transfers, and disk writes all overlap
+            # compute, tunnel transfers, and disk writes all overlap.
+            # With >1 device the step row-shards over the mesh (DP).
+            sharded_step = data_parallel_step(device_step)
             run_pipelined(
                 iob.stream_path(
                     self.in_path,
                     overlap=self.ksize - 1,
                     target_codes=self.target_codes,
                 ),
-                lambda b: device_step(jnp.asarray(b.codes)),
+                lambda b: sharded_step(jnp.asarray(b.codes)),
                 consume,
             )
             agg.finish()
