@@ -85,7 +85,8 @@ def whole_read_min(codes: jnp.ndarray, m: int):
     return min_hi, min_lo
 
 
-def extract_records(wmin_hi, wmin_lo, wvalid, lengths, wsize: int, m: int):
+def extract_records(wmin_hi, wmin_lo, wvalid, lengths, wsize: int, m: int,
+                    span: int | None = None):
     """Host-side run extraction over a flat batch.
 
     Inputs are per-read stitched numpy arrays flattened with one
@@ -93,6 +94,9 @@ def extract_records(wmin_hi, wmin_lo, wvalid, lengths, wsize: int, m: int):
       wmin_hi/lo: uint32 (T,), wvalid: bool (T,)
       lengths: (B,) read lengths; read b owns J_b = max(0, len_b-wsize+1)
       windows at flat offset off_b (with separators accounted).
+      span: when given, every read occupies exactly `span` flat slots
+      (a raveled fixed-width (B, span) layout with windows beyond J_b
+      marked invalid) instead of the packed J_b+1 layout.
 
     Returns (read_of_record, value_u64, start, end) arrays, in read
     order then window order; the MAX-sentinel records are NOT included
@@ -128,8 +132,8 @@ def extract_records(wmin_hi, wmin_lo, wvalid, lengths, wsize: int, m: int):
 
     # map flat windows back to reads
     J = np.maximum(0, lengths.astype(np.int64) - wsize + 1)
-    span = J + 1  # +1 separator after each read
-    offsets = np.concatenate([[0], np.cumsum(span)])[:-1]
+    spans = (J + 1) if span is None else np.full(len(J), span, np.int64)
+    offsets = np.concatenate([[0], np.cumsum(spans)])[:-1]
     read_of = np.searchsorted(offsets, starts, side="right") - 1
     local_start = starts - offsets[read_of]
     local_last = run_last - offsets[read_of]

@@ -69,11 +69,75 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit, target_codes=No
     states: dict[int, _ReadState] = {}
     meta: dict[int, tuple[str, int]] = {}
 
+    def handle_batch_fast(b: iob.Batch, lengths, trail, hasbad) -> bool:
+        """Vectorised path for batches of complete single-row reads (the
+        common case): no per-row state machine, one extract_records call
+        over the raveled fixed-width window grid."""
+        real = b.read_idx >= 0
+        if states or not bool((b.last_row | ~real).all()) or bool(
+            (b.row_start[real] != 0).any()
+        ):
+            return False
+        n = int(real.sum())
+        if n == 0:
+            return True
+        lengths = lengths[:n]
+        trail = trail[:n]
+        hasbad = hasbad[:n]
+        rids = b.read_idx[:n]
+
+        per_read: list[list] = [[] for _ in range(n)]
+        if wsize == 0:
+            mh, ml = mops.whole_read_min(jnp.asarray(b.codes), msize)
+            mh = np.asarray(mh)[:n].astype(np.uint64)
+            ml = np.asarray(ml)[:n].astype(np.uint64)
+            vals = (mh << np.uint64(2 * nlo)) | ml
+            ok = (~hasbad) & (lengths >= msize)
+            sent = hasbad & (trail >= msize)
+            for i in np.flatnonzero(ok):
+                per_read[i].append((int(vals[i]), 0, int(lengths[i])))
+            for i in np.flatnonzero(sent):
+                per_read[i].append(
+                    (max_val, int(lengths[i] - trail[i]), int(lengths[i]))
+                )
+        else:
+            if b.codes.shape[1] >= wsize:
+                h, l, v = mops.window_min(jnp.asarray(b.codes), msize, wsize)
+                h = np.asarray(h)[:n]
+                l = np.asarray(l)[:n]
+                v = np.asarray(v)[:n]
+                Jm = h.shape[1]
+                J_row = np.maximum(0, lengths - wsize + 1)
+                col = np.arange(Jm, dtype=np.int64)
+                v2 = v & (col[None, :] < J_row[:, None])
+                zcol_u = np.zeros((n, 1), dtype=h.dtype)
+                zcol_b = np.zeros((n, 1), dtype=bool)
+                fh = np.concatenate([h, zcol_u], axis=1).ravel()
+                fl = np.concatenate([l, zcol_u], axis=1).ravel()
+                fv = np.concatenate([v2, zcol_b], axis=1).ravel()
+                rof, val, s, e = mops.extract_records(
+                    fh, fl, fv, lengths, wsize, msize, span=Jm + 1
+                )
+                for r, vv, ss, ee in zip(rof, val, s, e):
+                    per_read[int(r)].append((int(vv), int(ss), int(ee)))
+            sent = (trail >= msize) & (trail < wsize)
+            for i in np.flatnonzero(sent):
+                per_read[i].append(
+                    (max_val, int(lengths[i] - trail[i]), int(lengths[i]))
+                )
+        for i in range(n):
+            ridx = int(rids[i])
+            rid, rlen = meta.pop(ridx)
+            emit(ridx, rid, rlen, per_read[i])
+        return True
+
     def handle_batch(b: iob.Batch):
         meta.update({ridx: (rid, b.read_lengths[ridx]) for ridx, rid in b.ids.items()})
         lengths = b.lengths.astype(np.int64)
         trail = _row_trail(b.codes, lengths)
         hasbad = _row_has_bad(b.codes, lengths)
+        if handle_batch_fast(b, lengths, trail, hasbad):
+            return []
         if wsize > 0 and b.codes.shape[1] >= wsize:
             h, l, v = mops.window_min(jnp.asarray(b.codes), msize, wsize)
             h, l, v = np.asarray(h), np.asarray(l), np.asarray(v)
@@ -172,18 +236,29 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
     """S2m mode (minimisers.rs:87-160)."""
 
     def write_block(payloads: list) -> None:
-        out.write(b"".join(payloads))
+        # bulk ACGT conversion: one vectorised pass over every record in
+        # the block instead of a per-record Python char loop
+        all_vals = np.fromiter(
+            (v for _, recs in payloads for v, _, _ in recs),
+            dtype=np.uint64,
+        )
+        acgt = codec.numeric_to_kmer_array(all_vals, msize)
+        i = 0
+        lines = []
+        for rid, recs in payloads:
+            parts = [rid.encode()]
+            for _, s, e in recs:
+                parts.append(b"%s:%d-%d" % (acgt[i], s, e))
+                i += 1
+            parts.append(b"\n")
+            lines.append(b"\t".join(parts))
+        out.write(b"".join(lines))
 
     with open(out_path, "wb") as out:
         emitter = OrderedEmitter(write_block, block=4096)
 
         def emit(ridx, rid, rlen, recs):
-            parts = [rid]
-            parts.extend(
-                f"{codec.numeric_to_kmer(v, msize)}:{s}-{e}" for v, s, e in recs
-            )
-            parts.append("\n")
-            emitter.add(ridx, "\t".join(parts).encode())
+            emitter.add(ridx, (rid, recs))
 
         _minimise_stream(in_path, wsize, msize, emit, target_codes)
         emitter.finish()
@@ -209,7 +284,10 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
     _minimise_stream(in_path, wsize, msize, emit, target_codes)
     emitter.finish()
     with open(out_path, "wb") as out:
-        for v in sorted(groups):
-            acgt = codec.numeric_to_kmer(v, msize)
+        keys = sorted(groups)
+        acgts = codec.numeric_to_kmer_array(
+            np.array(keys, dtype=np.uint64), msize
+        ) if keys else []
+        for v, acgt in zip(keys, acgts):
             body = ", ".join(f'("{rid}", {s}, {e})' for rid, s, e in groups[v])
-            out.write(f"{acgt}\t[{body}]\n".encode())
+            out.write(b'%s\t[%s]\n' % (acgt, body.encode()))

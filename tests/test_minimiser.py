@@ -196,3 +196,26 @@ def test_m2s_golden(tmp_path, test_data):
     assert load_lines_sorted(str(out)) == load_lines_sorted(
         str(test_data / "expected_minimisers")
     )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_matches_oracle_mixed_batch(tmp_path, seed):
+    """Short (fast-path) and long split (slow-path) reads interleaved in
+    one stream must each produce their oracle records."""
+    rng = np.random.default_rng(100 + seed)
+    reads = []
+    for i in range(12):
+        n = int(rng.integers(40, 200)) if i % 3 else int(rng.integers(9000, 12000))
+        reads.append("".join(
+            rng.choice(list("ACGTN"), size=n, p=[0.247, 0.247, 0.247, 0.247, 0.012])
+        ))
+    fa = tmp_path / "mixed.fa"
+    fa.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(reads)))
+    per_read = {}
+
+    def emit(ridx, rid, rlen, recs):
+        per_read[rid] = recs
+
+    wmin._minimise_stream(str(fa), 31, 7, emit)
+    for i, s in enumerate(reads):
+        assert per_read[f"r{i}"] == oracle_minimisers(s.encode(), 31, 7), f"r{i}"
