@@ -98,6 +98,11 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
     so.kt_format_acgt_tsv.argtypes = [
         c_u64_p, c_u64_p, c_i64, ctypes.c_int, ctypes.c_char_p,
     ]
+    so.kt_format_cgr.restype = c_i64
+    so.kt_format_cgr.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        c_i32_p, c_i64, c_i64, ctypes.c_char_p, c_i64,
+    ]
     return so
 
 

@@ -16,6 +16,8 @@
 #include <zlib.h>
 
 #include <cctype>
+#include <charconv>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -611,6 +613,120 @@ int64_t kt_format_acgt_tsv(const uint64_t *keys, const uint64_t *vals,
     p += k;
     *p++ = '\t';
     p = itoa_u64(vals[i], p);
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Rust `{}` f64 Display: shortest round-trip decimal, ALWAYS positional
+// (never scientific), integral values drop the ".0"
+// (utils/fmt.rust_f64_repr semantics, composition/src/cgr.rs:99 output).
+// std::to_chars gives the shortest digits; we re-expand any exponent form.
+// ---------------------------------------------------------------------------
+static char *fmt_f64_rust(double v, char *p) {
+  if (v != v) {
+    memcpy(p, "NaN", 3);
+    return p + 3;
+  }
+  if (std::isinf(v)) {
+    if (v < 0) *p++ = '-';
+    memcpy(p, "inf", 3);
+    return p + 3;
+  }
+  if (v > -9.2e18 && v < 9.2e18 && v == (double)(long long)v) {
+    long long i = (long long)v;
+    if (i == 0 && std::signbit(v)) {
+      *p++ = '-';
+      *p++ = '0';
+      return p;
+    }
+    if (i < 0) {
+      *p++ = '-';
+      i = -i;
+    }
+    return itoa_u64((uint64_t)i, p);
+  }
+  char tmp[64];
+  auto res = std::to_chars(tmp, tmp + sizeof(tmp) - 1, v);
+  int64_t n = res.ptr - tmp;
+  tmp[n] = '\0';  // to_chars does not terminate; strtol below needs it
+  // find exponent marker
+  int64_t epos = -1;
+  for (int64_t i = 0; i < n; i++) {
+    if (tmp[i] == 'e') {
+      epos = i;
+      break;
+    }
+  }
+  if (epos < 0) {
+    memcpy(p, tmp, (size_t)n);
+    return p + n;
+  }
+  // mantissa: [sign]d[.ddd], exponent after 'e'
+  int64_t mstart = 0;
+  if (tmp[0] == '-') {
+    *p++ = '-';
+    mstart = 1;
+  }
+  char digits[32];
+  int64_t nd = 0;
+  for (int64_t i = mstart; i < epos; i++) {
+    if (tmp[i] != '.') digits[nd++] = tmp[i];
+  }
+  int exp = (int)strtol(tmp + epos + 1, nullptr, 10);
+  // value = 0.digits * 10^(exp+1) with digits[0] the leading digit:
+  // point sits after the first digit, so shift = exp
+  if (exp >= 0) {
+    int64_t int_digits = exp + 1;
+    if (int_digits >= nd) {
+      memcpy(p, digits, (size_t)nd);
+      p += nd;
+      for (int64_t i = nd; i < int_digits; i++) *p++ = '0';
+    } else {
+      memcpy(p, digits, (size_t)int_digits);
+      p += int_digits;
+      *p++ = '.';
+      memcpy(p, digits + int_digits, (size_t)(nd - int_digits));
+      p += nd - int_digits;
+    }
+  } else {
+    *p++ = '0';
+    *p++ = '.';
+    for (int i = 0; i < -exp - 1; i++) *p++ = '0';
+    memcpy(p, digits, (size_t)nd);
+    p += nd;
+  }
+  return p;
+}
+
+extern "C" {
+
+// CGR point lines: per row, "(x,y) (x,y) ... (x,y)\n" over lens[r]
+// points (composition/src/cgr.rs:86-123 output). xs/ys are (nrows,
+// stride) row-major. Returns bytes written, or -1 if `cap` would
+// overflow (caller retries with a larger buffer).
+int64_t kt_format_cgr(const double *xs, const double *ys,
+                      const int32_t *lens, int64_t nrows, int64_t stride,
+                      char *out, int64_t cap) {
+  char *p = out;
+  char *end = out + cap;
+  for (int64_t r = 0; r < nrows; r++) {
+    const double *xr = xs + r * stride;
+    const double *yr = ys + r * stride;
+    int32_t L = lens[r];
+    for (int32_t i = 0; i < L; i++) {
+      if (end - p < 1400) return -1;  // worst-case denormal expansion
+      if (i) *p++ = ' ';
+      *p++ = '(';
+      p = fmt_f64_rust(xr[i], p);
+      *p++ = ',';
+      p = fmt_f64_rust(yr[i], p);
+      *p++ = ')';
+    }
+    if (end - p < 1) return -1;
     *p++ = '\n';
   }
   return p - out;

@@ -75,6 +75,33 @@ class CgrComputer:
         records = fastx.sequences(self.in_path)
 
         def write_block(payloads: list) -> None:
+            from kmertools_tpu import native
+
+            so = native.lib()
+            if so is not None:
+                import ctypes
+
+                lens = np.array([len(xs) for xs, _ in payloads], dtype=np.int32)
+                stride = int(lens.max()) if len(lens) else 0
+                if stride:
+                    fx = np.zeros((len(payloads), stride), dtype=np.float64)
+                    fy = np.zeros((len(payloads), stride), dtype=np.float64)
+                    for i, (xs, ys) in enumerate(payloads):
+                        fx[i, : len(xs)] = xs
+                        fy[i, : len(ys)] = ys
+                    cap = int(lens.sum()) * 64 + len(payloads) * 2 + 64
+                    while True:
+                        buf = ctypes.create_string_buffer(cap)
+                        n = so.kt_format_cgr(
+                            fx.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                            fy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                            lens.ctypes.data_as(native.c_i32_p),
+                            len(payloads), stride, buf, cap,
+                        )
+                        if n >= 0:
+                            out.write(buf.raw[:n])
+                            return
+                        cap *= 4  # rare deep-walk denormal expansion
             lines = []
             for xs, ys in payloads:
                 lines.append(

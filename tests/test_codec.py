@@ -47,3 +47,42 @@ def test_numeric_to_kmer_array():
     arr = codec.numeric_to_kmer_array(np.array([0b0001101111, 0b0000011011]), 5)
     assert arr[0] == b"ACGTT"
     assert arr[1] == b"AACGT"
+
+
+def test_native_f64_matches_rust_repr():
+    """kt_format_cgr's f64 formatter must byte-match rust_f64_repr."""
+    import ctypes
+
+    import numpy as np
+
+    from kmertools_tpu import native
+    from kmertools_tpu.utils.fmt import rust_f64_repr
+
+    so = native.lib()
+    if so is None:
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        rng.random(200),                       # typical CGR range
+        rng.random(50) * 2.0**-40,             # deep positional expansion
+        np.array([0.0, 1.0, 0.5, 0.3125, 123456.0, 2.0**-60, 1e-30]),
+        (rng.integers(0, 100, 20)).astype(np.float64),  # integral
+    ])
+    xs = vals.reshape(1, -1)
+    ys = xs.copy()
+    lens = np.array([xs.shape[1]], dtype=np.int32)
+    buf = ctypes.create_string_buffer(xs.size * 1500)
+    n = so.kt_format_cgr(
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ys.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        lens.ctypes.data_as(native.c_i32_p),
+        1, xs.shape[1], buf, len(buf),
+    )
+    assert n > 0
+    got = buf.raw[:n].decode()
+    want = " ".join(
+        f"({rust_f64_repr(v)},{rust_f64_repr(v)})" for v in vals
+    ) + "\n"
+    assert got == want
