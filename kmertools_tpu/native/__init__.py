@@ -103,6 +103,11 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         c_i32_p, c_i64, c_i64, ctypes.c_char_p, c_i64,
     ]
+    so.kt_format_oligocgr.restype = c_i64
+    so.kt_format_oligocgr.argtypes = [
+        ctypes.c_char_p, c_i32_p, c_i64,
+        ctypes.POINTER(ctypes.c_double), c_i64, ctypes.c_char_p, c_i64,
+    ]
     return so
 
 

@@ -618,8 +618,6 @@ int64_t kt_format_acgt_tsv(const uint64_t *keys, const uint64_t *vals,
   return p - out;
 }
 
-}  // extern "C"
-
 // ---------------------------------------------------------------------------
 // Rust `{}` f64 Display: shortest round-trip decimal, ALWAYS positional
 // (never scientific), integral values drop the ".0"
@@ -732,4 +730,57 @@ int64_t kt_format_cgr(const double *xs, const double *ys,
   return p - out;
 }
 
+// Oligo-CGR lines: per row, "(x,y,freq) (x,y,freq) ... (x,y,freq)\n"
+// (composition/src/oligocgr.rs:82-119). The "(x,y," prefixes are fixed
+// per column (NUL-separated blob); freq renders via fmt_f64_rust with a
+// bit-pattern cache (few distinct count/total ratios per slab).
+int64_t kt_format_oligocgr(const char *prefix_blob, const int32_t *prefix_off,
+                           int64_t ncols, const double *freqs, int64_t nrows,
+                           char *out, int64_t cap) {
+  enum { CACHE = 1 << 12 };
+  static thread_local uint64_t keys[CACHE];
+  static thread_local char reps[CACHE][40];
+  static thread_local uint8_t replen[CACHE];
+  static thread_local bool used[CACHE];
+  memset(used, 0, sizeof(used));
+  int64_t cache_fill = 0;
+
+  char *p = out;
+  char *end = out + cap;
+  for (int64_t r = 0; r < nrows; r++) {
+    const double *row = freqs + r * ncols;
+    for (int64_t c = 0; c < ncols; c++) {
+      if (end - p < 1500) return -1;
+      if (c) *p++ = ' ';
+      const char *pref = prefix_blob + prefix_off[c];
+      while (*pref) *p++ = *pref++;
+      double v = row[c];
+      uint64_t bits;
+      memcpy(&bits, &v, 8);
+      uint64_t slot = (bits * 0x9E3779B97F4A7C15ull) >> 52;
+      while (used[slot] && keys[slot] != bits) slot = (slot + 1) & (CACHE - 1);
+      if (used[slot]) {
+        memcpy(p, reps[slot], replen[slot]);
+        p += replen[slot];
+      } else {
+        char *q = fmt_f64_rust(v, p);
+        int64_t n = q - p;
+        if (n <= 40 && cache_fill < CACHE - 1) {
+          used[slot] = true;
+          keys[slot] = bits;
+          memcpy(reps[slot], p, (size_t)n);
+          replen[slot] = (uint8_t)n;
+          cache_fill++;
+        }
+        p = q;
+      }
+      *p++ = ')';
+    }
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
 }  // extern "C"
+
+}  // outer extern "C"

@@ -191,38 +191,99 @@ class OligoCgrComputer:
     def set_norm(self, norm: bool) -> None:
         self.norm = norm
 
-    def vectorise(self) -> None:
-        slot_table = jnp.asarray(codec.canonical_slot_table(self.ksize))
-        prefixes = self._prefixes
+    def _emit_slab(self, out, vecs: np.ndarray, tots: np.ndarray) -> None:
+        freqs = vecs.astype(np.float64)
+        if self.norm:
+            freqs = freqs / np.maximum(1.0, tots.astype(np.float64))[:, None]
+        from kmertools_tpu import native
 
-        def write_block(payloads: list) -> None:
-            lines = []
-            for vec, tot in payloads:
-                if self.norm:
-                    freqs = vec.astype(np.float64) / max(1.0, float(tot))
-                else:
-                    freqs = vec
-                lines.append(
-                    " ".join(
-                        p + _repr(float(f)) + ")" for p, f in zip(prefixes, freqs)
-                    )
+        so = native.lib()
+        if so is not None:
+            import ctypes
+
+            if not hasattr(self, "_prefix_blob"):
+                parts = [p.encode() + b"\0" for p in self._prefixes]
+                off = np.zeros(len(parts), dtype=np.int32)
+                pos = 0
+                for i, part in enumerate(parts):
+                    off[i] = pos
+                    pos += len(part)
+                self._prefix_blob = b"".join(parts)
+                self._prefix_off = off
+            freqs = np.ascontiguousarray(freqs)
+            nrows, ncols = freqs.shape
+            cap = nrows * (len(self._prefix_blob) + ncols * 32) + nrows * 2 + 64
+            while True:
+                buf = ctypes.create_string_buffer(cap)
+                n = so.kt_format_oligocgr(
+                    self._prefix_blob,
+                    self._prefix_off.ctypes.data_as(native.c_i32_p),
+                    ncols,
+                    freqs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                    nrows, buf, cap,
                 )
-            out.write(("\n".join(lines) + "\n").encode())
+                if n >= 0:
+                    out.write(buf.raw[:n])
+                    return
+                cap *= 4
+        lines = []
+        for row in freqs:
+            lines.append(
+                " ".join(
+                    p + _repr(float(f)) + ")"
+                    for p, f in zip(self._prefixes, row)
+                )
+            )
+        out.write(("\n".join(lines) + "\n").encode())
+
+    def vectorise(self) -> None:
+        from kmertools_tpu.ops import pallas_histogram
+        from kmertools_tpu.workloads.common import (
+            ArrayAggregator,
+            OrderedArrayEmitter,
+            data_parallel_step,
+            run_pipelined,
+        )
+
+        slot_table = jnp.asarray(codec.canonical_slot_table(self.ksize))
+        use_pallas = pallas_histogram.use_pallas()
+        if use_pallas:
+            bin_values = jnp.asarray(codec.canonical_bin_values(self.ksize))
+
+        def device_step(codes):
+            fwd, rc, valid = encode.kmer_ids_small(codes, self.ksize)
+            ids = jnp.minimum(fwd, rc)
+            if use_pallas:
+                return pallas_histogram.per_read_histogram_tpu(
+                    ids.astype(jnp.int32), valid, bin_values, self.kcount
+                )
+            counts, totals = histogram.per_read_histogram_gathered(
+                ids, valid, slot_table, self.kcount
+            )
+            return counts.astype(jnp.int16), totals.astype(jnp.int32)
 
         with open(self.out_path, "wb") as out:
-            emitter = OrderedEmitter(write_block, block=1024)
-            agg = RowAggregator(lambda ridx, vec, tot: emitter.add(ridx, (vec, tot)))
-            for b in iob.stream_path(
-                self.in_path, overlap=self.ksize - 1, target_codes=self.target_codes
-            ):
-                codes = jnp.asarray(b.codes)
-                fwd, rc, valid = encode.kmer_ids_small(codes, self.ksize)
-                ids = jnp.minimum(fwd, rc)
-                counts, totals = histogram.per_read_histogram_gathered(
-                    ids, valid, slot_table, self.kcount
+            emitter = OrderedArrayEmitter(
+                lambda vecs, tots: self._emit_slab(out, vecs, tots)
+            )
+            agg = ArrayAggregator(self.kcount)
+
+            def consume(meta, counts, totals) -> None:
+                ridx, vecs, tots = agg.add_batch(
+                    meta.read_idx, meta.last_row,
+                    np.asarray(counts), np.asarray(totals),
                 )
-                agg.add_batch(
-                    b.read_idx, b.last_row, np.asarray(counts), np.asarray(totals)
-                )
+                emitter.add(ridx, vecs, tots)
+
+            sharded_step = data_parallel_step(device_step)
+            run_pipelined(
+                iob.stream_path(
+                    self.in_path,
+                    overlap=self.ksize - 1,
+                    target_codes=self.target_codes,
+                ),
+                lambda b: sharded_step(jnp.asarray(b.codes)),
+                consume,
+            )
             agg.finish()
             emitter.finish()
