@@ -1,0 +1,70 @@
+"""Multi-host byte-range input sharding (parallel/dataflow)."""
+
+import numpy as np
+import pytest
+
+from kmertools_tpu.io import fastx
+from kmertools_tpu.parallel import dataflow
+
+
+def _write_fastq(path, rng, n):
+    names = []
+    with open(path, "w") as f:
+        for i in range(n):
+            L = int(rng.integers(30, 200))
+            s = "".join(rng.choice(list("ACGT"), size=L))
+            # qualities that start with '@' to stress boundary detection
+            qual = "@" * L
+            f.write(f"@read_{i} extra meta\n{s}\n+\n{qual}\n")
+            names.append(f"read_{i}")
+    return names
+
+
+def _write_fasta(path, rng, n):
+    names = []
+    with open(path, "w") as f:
+        for i in range(n):
+            L = int(rng.integers(30, 300))
+            s = "".join(rng.choice(list("ACGT"), size=L))
+            # multi-line sequences
+            f.write(f">seq{i}\n")
+            for j in range(0, L, 60):
+                f.write(s[j : j + 60] + "\n")
+            names.append(f"seq{i}")
+    return names
+
+
+@pytest.mark.parametrize("n_shards", [1, 2, 3, 7])
+def test_fastq_shards_cover_exactly(tmp_path, n_shards):
+    rng = np.random.default_rng(1)
+    path = str(tmp_path / "r.fq")
+    names = _write_fastq(path, rng, 53)
+    shards = dataflow.split_file(path, n_shards)
+    assert shards[0].start == 0
+    for a, b in zip(shards, shards[1:]):
+        assert a.end == b.start
+    got = []
+    for sh in shards:
+        got.extend(rec.id for rec in dataflow.shard_sequences(path, sh))
+    assert got == names
+
+
+@pytest.mark.parametrize("n_shards", [2, 5])
+def test_fasta_shards_cover_exactly(tmp_path, n_shards):
+    rng = np.random.default_rng(2)
+    path = str(tmp_path / "r.fa")
+    names = _write_fasta(path, rng, 31)
+    shards = dataflow.split_file(path, n_shards)
+    got = []
+    total_bases = 0
+    for sh in shards:
+        for rec in dataflow.shard_sequences(path, sh):
+            got.append(rec.id)
+            total_bases += len(rec.seq)
+    assert got == names
+    assert total_bases == fastx.seq_stats(path).total_length
+
+
+def test_gzip_not_splittable(tmp_path):
+    with pytest.raises(ValueError):
+        dataflow.split_file("reads.fq.gz", 2)
