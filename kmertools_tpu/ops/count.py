@@ -71,6 +71,34 @@ def batch_sorted_pairs(codes: jnp.ndarray, k: int):
     return sh, sl
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def batch_count_compact(codes: jnp.ndarray, k: int):
+    """Sort + RLE + device-side compaction: run starts move to the array
+    prefix via a second stable sort on the boundary flag, so the host
+    fetches only ``n_runs`` (unique, counted) entries — transfer scales
+    with the batch's UNIQUE k-mers, not its length. Wins when reads are
+    duplicated (real coverage >1x); the counter switches to this path
+    adaptively after observing the first batch's duplication ratio."""
+    hi, lo, _ = canonical_ids_pair(codes, k)
+    sh, sl = lax.sort((hi.reshape(-1), lo.reshape(-1)), num_keys=2)
+    n = sh.shape[0]
+    ph = jnp.concatenate([jnp.full((1,), ~_SENT, jnp.uint32), sh[:-1]])
+    pl = jnp.concatenate([jnp.full((1,), ~_SENT, jnp.uint32), sl[:-1]])
+    sent = (sh == _SENT) & (sl == _SENT)
+    first = (((sh != ph) | (sl != pl)).at[0].set(True)) & ~sent
+    idx = jnp.arange(n, dtype=jnp.int32)
+    nxt = jnp.concatenate([first[1:] | sent[1:], jnp.ones((1,), bool)])
+    bpos = jnp.where(nxt, idx + 1, n)
+    nb = lax.associative_scan(jnp.minimum, bpos, reverse=True)
+    counts = (nb - idx).astype(jnp.int32)
+    n_runs = jnp.sum(first, dtype=jnp.int32)
+    notfirst = (~first).astype(jnp.uint8)
+    _, uh, ul, uc = lax.sort((notfirst, sh, sl, counts), num_keys=1)
+    if k <= 23:
+        uh = uh.astype(jnp.uint16)
+    return uh, ul, uc, n_runs
+
+
 @functools.partial(jax.jit, static_argnames=())
 def lookup_counts(qh, ql, th, tl, tc):
     """Vectorised lower-bound join: per-query count from the sorted

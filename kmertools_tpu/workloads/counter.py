@@ -133,6 +133,61 @@ def _read_tsv(path: str):
     return np.array(kmers, dtype=np.uint64), np.array(counts, dtype=np.uint64)
 
 
+class _BatchCounter:
+    """Adaptive device-batch counting: starts on the plain sorted-pairs
+    wire format (minimal for low-duplication inputs); after observing
+    the first batch, switches to the device-compacted format when the
+    duplication ratio makes transfer-per-unique cheaper (real coverage
+    >2x). Both decode to (keys u64, counts u64) of unique k-mers."""
+
+    def __init__(self, ksize: int):
+        self.ksize = ksize
+        nlo = min(ksize, 16)
+        self.shift = np.uint64(2 * nlo)
+        self.mode = "pairs"
+        self._seen_first = False
+
+    def dispatch(self, codes):
+        if self.mode == "pairs":
+            return ("pairs", cops.batch_sorted_pairs(codes, self.ksize))
+        return ("compact", cops.batch_count_compact(codes, self.ksize))
+
+    def decode(self, tag, res):
+        if tag == "pairs":
+            sh, sl = res
+            sh = np.asarray(sh)
+            sl = np.asarray(sl)
+            sent_hi = np.iinfo(sh.dtype).max
+            valid_n = int(np.searchsorted(sh, sent_hi))
+            total = valid_n
+            if valid_n:
+                keys = (
+                    sh[:valid_n].astype(np.uint64) << self.shift
+                ) | sl[:valid_n].astype(np.uint64)
+                firsts = np.empty(valid_n, dtype=bool)
+                firsts[0] = True
+                np.not_equal(keys[1:], keys[:-1], out=firsts[1:])
+                starts = np.flatnonzero(firsts)
+                kk = keys[starts]
+                cc = np.diff(np.append(starts, valid_n)).astype(np.uint64)
+            else:
+                kk = np.empty(0, np.uint64)
+                cc = np.empty(0, np.uint64)
+            if not self._seen_first:
+                self._seen_first = True
+                if total and len(kk) < total // 2:
+                    self.mode = "compact"
+            return kk, cc
+        uh, ul, uc, n_runs = res
+        n = int(n_runs)
+        if n == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.uint64)
+        kh = np.asarray(uh[:n]).astype(np.uint64)
+        kl = np.asarray(ul[:n]).astype(np.uint64)
+        cc = np.asarray(uc[:n]).astype(np.uint64)
+        return (kh << self.shift) | kl, cc
+
+
 class CountComputer:
     """counter/src/lib.rs:22-249 equivalent."""
 
@@ -208,26 +263,14 @@ class CountComputer:
             chunk_bases = 0
             self.chunks += 1
 
-        def consume(b, sh, sl) -> None:
+        decoder = _BatchCounter(self.ksize)
+
+        def consume(b, tag, res) -> None:
             nonlocal chunk_bases
-            # host-side RLE over the device-sorted pairs: boundaries by
-            # neighbour diff, run lengths by reduceat (counter/src/
-            # lib.rs:123-132's upsert, reorganised as sort+reduce)
-            sh = np.asarray(sh)
-            sl = np.asarray(sl)
-            sent_hi = np.iinfo(sh.dtype).max  # all-ones sentinel of the wire dtype
-            valid_n = int(np.searchsorted(sh, sent_hi))  # sentinels sort last
-            sh = sh[:valid_n]
-            sl = sl[:valid_n]
-            if valid_n:
-                keys = (sh.astype(np.uint64) << shift) | sl.astype(np.uint64)
-                firsts = np.empty(valid_n, dtype=bool)
-                firsts[0] = True
-                np.not_equal(keys[1:], keys[:-1], out=firsts[1:])
-                starts = np.flatnonzero(firsts)
-                runs = np.diff(np.append(starts, valid_n)).astype(np.uint64)
-                acc_k.append(keys[starts])
-                acc_c.append(runs)
+            kk, cc = decoder.decode(tag, res)
+            if len(kk):
+                acc_k.append(kk)
+                acc_c.append(cc)
             pbar.update(int((b.read_idx >= 0).sum()))
             chunk_bases += int(b.lengths.sum())
             if chunk_bases > gate:
@@ -237,7 +280,7 @@ class CountComputer:
             iob.stream_path(
                 self.in_path, overlap=self.ksize - 1, target_codes=self.target_codes
             ),
-            lambda b: cops.batch_sorted_pairs(jnp.asarray(b.codes), self.ksize),
+            lambda b: decoder.dispatch(jnp.asarray(b.codes)),
             consume,
         )
         spill()
@@ -283,29 +326,20 @@ class CountComputer:
         acc_k: list[np.ndarray] = []
         acc_c: list[np.ndarray] = []
 
-        def consume(b, sh, sl) -> None:
-            sh = np.asarray(sh)
-            sl = np.asarray(sl)
-            sent_hi = np.iinfo(sh.dtype).max  # all-ones sentinel of the wire dtype
-            valid_n = int(np.searchsorted(sh, sent_hi))
-            if valid_n:
-                keys = (
-                    sh[:valid_n].astype(np.uint64) << shift
-                ) | sl[:valid_n].astype(np.uint64)
-                firsts = np.empty(valid_n, dtype=bool)
-                firsts[0] = True
-                np.not_equal(keys[1:], keys[:-1], out=firsts[1:])
-                starts = np.flatnonzero(firsts)
-                runs = np.diff(np.append(starts, valid_n)).astype(np.uint64)
-                acc_k.append(keys[starts])
-                acc_c.append(runs)
+        decoder = _BatchCounter(self.ksize)
+
+        def consume(b, tag, res) -> None:
+            kk, cc = decoder.decode(tag, res)
+            if len(kk):
+                acc_k.append(kk)
+                acc_c.append(cc)
             pbar.update(int((b.read_idx >= 0).sum()))
 
         run_pipelined(
             iob.stream_path(
                 self.in_path, overlap=self.ksize - 1, target_codes=self.target_codes
             ),
-            lambda b: cops.batch_sorted_pairs(jnp.asarray(b.codes), self.ksize),
+            lambda b: decoder.dispatch(jnp.asarray(b.codes)),
             consume,
         )
         pbar.finish()

@@ -133,3 +133,39 @@ def test_count_and_merge_fused_matches_classic(tmp_path, test_data):
     )
     # fused path must not leave temp spills behind
     assert not list(b.glob("temp_kmers.*"))
+
+
+def test_compact_mode_matches_pairs(tmp_path, test_data):
+    """Duplicated reads flip the decoder into compact mode; counts must
+    match the plain path exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = "".join(rng.choice(list("ACGT"), size=120))
+    fq = tmp_path / "dup.fq"
+    with open(fq, "w") as f:
+        for i in range(600):  # heavy duplication: 3 distinct reads
+            s = base if i % 3 else base[::-1]
+            f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    c1 = CountComputer(str(fq), str(a), 15)
+    c1.count_and_merge(True)
+    # force compact mode from the start
+    from kmertools_tpu.workloads import counter as ctr_mod
+
+    c2 = CountComputer(str(fq), str(b), 15)
+    orig_init = ctr_mod._BatchCounter.__init__
+
+    def forced(self, ksize):
+        orig_init(self, ksize)
+        self.mode = "compact"
+
+    ctr_mod._BatchCounter.__init__ = forced
+    try:
+        c2.count_and_merge(True)
+    finally:
+        ctr_mod._BatchCounter.__init__ = orig_init
+    assert (a / "kmers.counts").read_bytes() == (b / "kmers.counts").read_bytes()
