@@ -103,6 +103,12 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         c_i32_p, c_i64, c_i64, ctypes.c_char_p, c_i64,
     ]
+    so.kt_format_s2m.restype = c_i64
+    so.kt_format_s2m.argtypes = [
+        c_u64_p, c_i64_p, c_i64_p, c_i64_p,
+        ctypes.c_char_p, c_i64_p, c_i64, ctypes.c_int,
+        ctypes.c_char_p, c_i64,
+    ]
     so.kt_format_oligocgr.restype = c_i64
     so.kt_format_oligocgr.argtypes = [
         ctypes.c_char_p, c_i32_p, c_i64,

@@ -730,6 +730,44 @@ int64_t kt_format_cgr(const double *xs, const double *ys,
   return p - out;
 }
 
+// s2m minimiser lines (misc/src/minimisers.rs:87-160):
+// "id\tACGT:s-e\t...\tACGT:s-e\t\n" — the reference tab-joins a
+// trailing "\n" element, so a tab precedes the newline. Records of read
+// r live at [offs[r], offs[r+1]); ids are a NUL-separated blob indexed
+// by id_off. Returns bytes written or -1 on cap overflow.
+int64_t kt_format_s2m(const uint64_t *vals, const int64_t *starts,
+                      const int64_t *ends, const int64_t *offs,
+                      const char *ids_blob, const int64_t *id_off,
+                      int64_t n_reads, int msize, char *out, int64_t cap) {
+  static const char B[4] = {'A', 'C', 'G', 'T'};
+  char *p = out;
+  char *end = out + cap;
+  for (int64_t r = 0; r < n_reads; r++) {
+    const char *id = ids_blob + id_off[r];
+    size_t idlen = strlen(id);
+    if (end - p < (int64_t)idlen + 4) return -1;
+    memcpy(p, id, idlen);
+    p += idlen;
+    for (int64_t i = offs[r]; i < offs[r + 1]; i++) {
+      if (end - p < msize + 48) return -1;
+      *p++ = '\t';
+      uint64_t kv = vals[i];
+      for (int j = msize - 1; j >= 0; j--) {
+        p[j] = B[kv & 3];
+        kv >>= 2;
+      }
+      p += msize;
+      *p++ = ':';
+      p = itoa_u64((uint64_t)starts[i], p);
+      *p++ = '-';
+      p = itoa_u64((uint64_t)ends[i], p);
+    }
+    *p++ = '\t';
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
 // Oligo-CGR lines: per row, "(x,y,freq) (x,y,freq) ... (x,y,freq)\n"
 // (composition/src/oligocgr.rs:82-119). The "(x,y," prefixes are fixed
 // per column (NUL-separated blob); freq renders via fmt_f64_rust with a

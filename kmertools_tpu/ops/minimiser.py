@@ -71,6 +71,18 @@ def window_min(codes: jnp.ndarray, m: int, wsize: int):
     return hi[:, :J], lo[:, :J], (v[:, :J] != 0)
 
 
+@functools.partial(jax.jit, static_argnames=("m", "wsize"))
+def window_min_fused(codes: jnp.ndarray, m: int, wsize: int):
+    """m <= 15 wire-size variant: one (R, J) uint32 plane carrying the
+    window minimum with 0xFFFFFFFF for invalid windows (valid minima
+    are < 4^15, so the sentinel is unambiguous). Halves the
+    device->host transfer vs the (hi, lo, valid) triple."""
+    assert m <= 15
+    hi, lo, valid = window_min(codes, m, wsize)
+    del hi  # all zeros for m <= 16
+    return jnp.where(valid, lo, _SENT)
+
+
 @functools.partial(jax.jit, static_argnames=("m",))
 def whole_read_min(codes: jnp.ndarray, m: int):
     """Global canonical m-mer minimum per row (wsize==0 mode: one

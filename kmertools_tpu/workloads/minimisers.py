@@ -37,6 +37,15 @@ def _row_trail(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return lengths.astype(np.int64) - 1 - last_bad
 
 
+def _tuple_recs(recs: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(value, start, end) tuples -> flat array triple (emit contract)."""
+    if not recs:
+        z = np.empty(0, np.int64)
+        return np.empty(0, np.uint64), z, z
+    arr = np.array(recs, dtype=np.uint64)
+    return arr[:, 0], arr[:, 1].astype(np.int64), arr[:, 2].astype(np.int64)
+
+
 def _row_has_bad(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     pos = np.arange(codes.shape[1], dtype=np.int64)
     bad = (codes >= 4) & (pos[None, :] < lengths[:, None])
@@ -60,7 +69,8 @@ class _ReadState:
 
 def _minimise_stream(in_path: str, wsize: int, msize: int, emit, target_codes=None):
     """Drive the device kernels over the file; call emit(read_idx, id,
-    read_len, records) with records = list of (value_u64, start, end)."""
+    read_len, records) with records = an array triple
+    (values uint64[], starts int64[], ends int64[])."""
     target = target_codes or iob.DEFAULT_TARGET_CODES
     overlap = (wsize - 1) if wsize > 0 else (msize - 1)
     max_val = (1 << (2 * msize)) - 1  # u64::MAX masked to 2m bits: all-T
@@ -86,49 +96,82 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit, target_codes=No
         hasbad = hasbad[:n]
         rids = b.read_idx[:n]
 
-        per_read: list[list] = [[] for _ in range(n)]
         if wsize == 0:
             mh, ml = mops.whole_read_min(jnp.asarray(b.codes), msize)
             mh = np.asarray(mh)[:n].astype(np.uint64)
             ml = np.asarray(ml)[:n].astype(np.uint64)
-            vals = (mh << np.uint64(2 * nlo)) | ml
+            wvals = (mh << np.uint64(2 * nlo)) | ml
             ok = (~hasbad) & (lengths >= msize)
-            sent = hasbad & (trail >= msize)
-            for i in np.flatnonzero(ok):
-                per_read[i].append((int(vals[i]), 0, int(lengths[i])))
-            for i in np.flatnonzero(sent):
-                per_read[i].append(
-                    (max_val, int(lengths[i] - trail[i]), int(lengths[i]))
-                )
+            rof = np.flatnonzero(ok)
+            val = wvals[rof]
+            s = np.zeros(len(rof), dtype=np.int64)
+            e = lengths[rof]
+            sent_mask = hasbad & (trail >= msize)
         else:
             if b.codes.shape[1] >= wsize:
-                h, l, v = mops.window_min(jnp.asarray(b.codes), msize, wsize)
-                h = np.asarray(h)[:n]
-                l = np.asarray(l)[:n]
-                v = np.asarray(v)[:n]
-                Jm = h.shape[1]
                 J_row = np.maximum(0, lengths - wsize + 1)
-                col = np.arange(Jm, dtype=np.int64)
-                v2 = v & (col[None, :] < J_row[:, None])
-                zcol_u = np.zeros((n, 1), dtype=h.dtype)
-                zcol_b = np.zeros((n, 1), dtype=bool)
-                fh = np.concatenate([h, zcol_u], axis=1).ravel()
-                fl = np.concatenate([l, zcol_u], axis=1).ravel()
-                fv = np.concatenate([v2, zcol_b], axis=1).ravel()
+                if msize <= 15:
+                    lw = mops.window_min_fused(jnp.asarray(b.codes), msize, wsize)
+                    lw = np.asarray(lw)[:n]
+                    Jm = lw.shape[1]
+                    col = np.arange(Jm, dtype=np.int64)
+                    inrow = col[None, :] < J_row[:, None]
+                    v2 = (lw != np.uint32(0xFFFFFFFF)) & inrow
+                    zcol_u = np.zeros((n, 1), dtype=lw.dtype)
+                    zcol_b = np.zeros((n, 1), dtype=bool)
+                    fh = np.zeros(n * (Jm + 1), dtype=np.uint32)
+                    fl = np.concatenate([lw, zcol_u], axis=1).ravel()
+                    fv = np.concatenate([v2, zcol_b], axis=1).ravel()
+                else:
+                    h, l, v = mops.window_min(jnp.asarray(b.codes), msize, wsize)
+                    h = np.asarray(h)[:n]
+                    l = np.asarray(l)[:n]
+                    v = np.asarray(v)[:n]
+                    Jm = h.shape[1]
+                    col = np.arange(Jm, dtype=np.int64)
+                    v2 = v & (col[None, :] < J_row[:, None])
+                    zcol_u = np.zeros((n, 1), dtype=h.dtype)
+                    zcol_b = np.zeros((n, 1), dtype=bool)
+                    fh = np.concatenate([h, zcol_u], axis=1).ravel()
+                    fl = np.concatenate([l, zcol_u], axis=1).ravel()
+                    fv = np.concatenate([v2, zcol_b], axis=1).ravel()
                 rof, val, s, e = mops.extract_records(
                     fh, fl, fv, lengths, wsize, msize, span=Jm + 1
                 )
-                for r, vv, ss, ee in zip(rof, val, s, e):
-                    per_read[int(r)].append((int(vv), int(ss), int(ee)))
-            sent = (trail >= msize) & (trail < wsize)
-            for i in np.flatnonzero(sent):
-                per_read[i].append(
-                    (max_val, int(lengths[i] - trail[i]), int(lengths[i]))
-                )
+            else:
+                rof = np.empty(0, np.int64)
+                val = np.empty(0, np.uint64)
+                s = e = np.empty(0, np.int64)
+            sent_mask = (trail >= msize) & (trail < wsize)
+
+        # merge extract records + sentinel rows into one flat layout
+        rec_counts = np.bincount(rof, minlength=n) if len(rof) else np.zeros(
+            n, np.int64
+        )
+        tot = rec_counts + sent_mask
+        offs = np.concatenate([[0], np.cumsum(tot)]).astype(np.int64)
+        N = int(offs[-1])
+        vals_f = np.empty(N, np.uint64)
+        st_f = np.empty(N, np.int64)
+        en_f = np.empty(N, np.int64)
+        if len(rof):
+            starts_of = np.concatenate([[0], np.cumsum(rec_counts)])[:-1]
+            within = np.arange(len(rof), dtype=np.int64) - starts_of[rof]
+            pos = offs[rof] + within
+            vals_f[pos] = val
+            st_f[pos] = s
+            en_f[pos] = e
+        si = np.flatnonzero(sent_mask)
+        if len(si):
+            spos = offs[si] + rec_counts[si]
+            vals_f[spos] = max_val
+            st_f[spos] = lengths[si] - trail[si]
+            en_f[spos] = lengths[si]
         for i in range(n):
             ridx = int(rids[i])
             rid, rlen = meta.pop(ridx)
-            emit(ridx, rid, rlen, per_read[i])
+            a, z = offs[i], offs[i + 1]
+            emit(ridx, rid, rlen, (vals_f[a:z], st_f[a:z], en_f[a:z]))
         return True
 
     def handle_batch(b: iob.Batch):
@@ -191,7 +234,7 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit, target_codes=No
                     recs.append((val, 0, rlen))
                 elif st.has_bad and msize <= st.trail:
                     recs.append((max_val, rlen - st.trail, rlen))
-                emit(ridx, rid, rlen, recs)
+                emit(ridx, rid, rlen, _tuple_recs(recs))
             return
         # assemble flat arrays with one separator window per read
         group = [(ridx, states.pop(ridx)) for ridx in done]
@@ -224,7 +267,7 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit, target_codes=No
             recs = per_read[gi]
             if st.trail < wsize and st.trail >= msize:
                 recs.append((max_val, rlen - st.trail, rlen))
-            emit(ridx, rid, rlen, recs)
+            emit(ridx, rid, rlen, _tuple_recs(recs))
 
     for b in iob.stream_path(in_path, overlap=overlap, target_codes=target):
         flush(handle_batch(b))
@@ -236,20 +279,60 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
     """S2m mode (minimisers.rs:87-160)."""
 
     def write_block(payloads: list) -> None:
-        # bulk ACGT conversion: one vectorised pass over every record in
-        # the block instead of a per-record Python char loop
-        all_vals = np.fromiter(
-            (v for _, recs in payloads for v, _, _ in recs),
-            dtype=np.uint64,
-        )
-        acgt = codec.numeric_to_kmer_array(all_vals, msize)
-        i = 0
+        n_reads = len(payloads)
+        counts = np.array([len(r[1][0]) for r in payloads], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        vals = (
+            np.concatenate([r[1][0] for r in payloads])
+            if offs[-1]
+            else np.empty(0, np.uint64)
+        ).astype(np.uint64)
+        starts = (
+            np.concatenate([r[1][1] for r in payloads])
+            if offs[-1]
+            else np.empty(0, np.int64)
+        ).astype(np.int64)
+        ends = (
+            np.concatenate([r[1][2] for r in payloads])
+            if offs[-1]
+            else np.empty(0, np.int64)
+        ).astype(np.int64)
+
+        from kmertools_tpu import native
+
+        so = native.lib()
+        if so is not None:
+            import ctypes
+
+            blob_parts = []
+            id_off = np.zeros(n_reads, dtype=np.int64)
+            pos = 0
+            for i, (rid, _) in enumerate(payloads):
+                bb = rid.encode() + b"\0"
+                blob_parts.append(bb)
+                id_off[i] = pos
+                pos += len(bb)
+            blob = b"".join(blob_parts)
+            cap = int(pos + offs[-1] * (msize + 46) + n_reads * 4 + 64)
+            buf = ctypes.create_string_buffer(cap)
+            n = so.kt_format_s2m(
+                vals.ctypes.data_as(native.c_u64_p),
+                starts.ctypes.data_as(native.c_i64_p),
+                ends.ctypes.data_as(native.c_i64_p),
+                offs.ctypes.data_as(native.c_i64_p),
+                blob,
+                id_off.ctypes.data_as(native.c_i64_p),
+                n_reads, msize, buf, cap,
+            )
+            if n >= 0:
+                out.write(buf.raw[:n])
+                return
+        acgt = codec.numeric_to_kmer_array(vals, msize) if len(vals) else []
         lines = []
-        for rid, recs in payloads:
+        for i, (rid, _) in enumerate(payloads):
             parts = [rid.encode()]
-            for _, s, e in recs:
-                parts.append(b"%s:%d-%d" % (acgt[i], s, e))
-                i += 1
+            for j in range(offs[i], offs[i + 1]):
+                parts.append(b"%s:%d-%d" % (acgt[j], starts[j], ends[j]))
             parts.append(b"\n")
             lines.append(b"\t".join(parts))
         out.write(b"".join(lines))
@@ -269,12 +352,20 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
     """M2s mode (minimisers.rs:11-85); deterministic minimiser-sorted
     output with read-ordered group entries (reference map/scan order is
     nondeterministic; its tests sort lines: minimisers.rs:169-187)."""
-    groups: dict[int, list] = {}
+    # accumulate flat record arrays in read order; group once at the end
+    all_vals: list[np.ndarray] = []
+    all_s: list[np.ndarray] = []
+    all_e: list[np.ndarray] = []
+    all_rid: list[str] = []
+    all_counts: list[int] = []
 
     def write_block(payloads: list) -> None:
-        for rid, recs in payloads:
-            for v, s, e in recs:
-                groups.setdefault(v, []).append((rid, s, e))
+        for rid, (v, s, e) in payloads:
+            all_vals.append(v)
+            all_s.append(s)
+            all_e.append(e)
+            all_rid.append(rid)
+            all_counts.append(len(v))
 
     emitter = OrderedEmitter(write_block, block=4096)
 
@@ -284,10 +375,28 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
     _minimise_stream(in_path, wsize, msize, emit, target_codes)
     emitter.finish()
     with open(out_path, "wb") as out:
-        keys = sorted(groups)
-        acgts = codec.numeric_to_kmer_array(
-            np.array(keys, dtype=np.uint64), msize
-        ) if keys else []
-        for v, acgt in zip(keys, acgts):
-            body = ", ".join(f'("{rid}", {s}, {e})' for rid, s, e in groups[v])
-            out.write(b'%s\t[%s]\n' % (acgt, body.encode()))
+        if not all_rid:
+            return
+        vals = np.concatenate(all_vals).astype(np.uint64)
+        ss = np.concatenate(all_s)
+        ee = np.concatenate(all_e)
+        rid_of = np.repeat(
+            np.arange(len(all_rid), dtype=np.int64),
+            np.array(all_counts, dtype=np.int64),
+        )
+        if not len(vals):
+            return
+        order = np.argsort(vals, kind="stable")  # keeps read order per group
+        vals, ss, ee, rid_of = vals[order], ss[order], ee[order], rid_of[order]
+        firsts = np.empty(len(vals), dtype=bool)
+        firsts[0] = True
+        np.not_equal(vals[1:], vals[:-1], out=firsts[1:])
+        bounds = np.append(np.flatnonzero(firsts), len(vals))
+        acgts = codec.numeric_to_kmer_array(vals[bounds[:-1]], msize)
+        for g in range(len(bounds) - 1):
+            a, z = bounds[g], bounds[g + 1]
+            body = ", ".join(
+                f'("{all_rid[rid_of[j]]}", {ss[j]}, {ee[j]})'
+                for j in range(a, z)
+            )
+            out.write(b'%s\t[%s]\n' % (acgts[g], body.encode()))

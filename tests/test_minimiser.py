@@ -100,7 +100,10 @@ def run_framework(seq: str, wsize: int, msize: int, tmp_path):
     recs = []
 
     def emit(ridx, rid, rlen, r):
-        recs.extend(r)
+        vals, starts, ends = r
+        recs.extend(
+            (int(v), int(a), int(b)) for v, a, b in zip(vals, starts, ends)
+        )
 
     wmin._minimise_stream(str(fa), wsize, msize, emit)
     return recs
@@ -214,7 +217,10 @@ def test_matches_oracle_mixed_batch(tmp_path, seed):
     per_read = {}
 
     def emit(ridx, rid, rlen, recs):
-        per_read[rid] = recs
+        vals, starts, ends = recs
+        per_read[rid] = [
+            (int(v), int(a), int(b)) for v, a, b in zip(vals, starts, ends)
+        ]
 
     wmin._minimise_stream(str(fa), 31, 7, emit)
     for i, s in enumerate(reads):
