@@ -136,7 +136,7 @@ class OligoComputer:
     def vectorise_batch(self, seqs, norm: bool = True, mins: bool = True):
         import jax.numpy as jnp
 
-        from kmertools_tpu.ops import encode, histogram
+        from kmertools_tpu.ops import encode, histogram, pallas_histogram
 
         k = self._ksize
         nbins = self._kcount if mins else 4**k
@@ -147,7 +147,17 @@ class OligoComputer:
             b = s.encode() if isinstance(s, str) else s
             codes[i, : len(b)] = encode_bases(b)
         fwd, rc, valid = encode.kmer_ids_small(jnp.asarray(codes), k)
-        if mins:
+        if pallas_histogram.use_pallas():
+            ids = jnp.minimum(fwd, rc) if mins else fwd
+            bin_values = jnp.asarray(
+                codec.canonical_bin_values(k)
+                if mins
+                else np.arange(nbins, dtype=np.int32)
+            )
+            counts, totals = pallas_histogram.per_read_histogram_tpu(
+                ids.astype(jnp.int32), valid, bin_values, nbins
+            )
+        elif mins:
             slot_table = jnp.asarray(codec.canonical_slot_table(k))
             ids = jnp.minimum(fwd, rc)
             counts, totals = histogram.per_read_histogram_gathered(
