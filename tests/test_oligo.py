@@ -90,3 +90,28 @@ def test_oligo_long_read_split(tmp_path):
         f, r = codec.kmer_to_numeric(s[i : i + 4].decode())
         expect[pos_map[min(f, r)]] += 1
     assert (counts == expect).all()
+
+
+def test_mixed_length_bucket_ordering(tmp_path):
+    """Reads spread across all width buckets must come out in input
+    order byte-for-byte (OrderedArrayEmitter reorder path)."""
+    import numpy as np
+
+    from kmertools_tpu.workloads.oligo import OligoComputer
+
+    rng = np.random.default_rng(17)
+    lens = [60, 200, 400, 1500, 5000, 60, 3000, 90, 700, 11000, 64, 150]
+    reads = ["".join(rng.choice(list("ACGT"), size=L)) for L in lens]
+    src = tmp_path / "mix.fa"
+    src.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(reads)))
+    out = tmp_path / "mix.kmers"
+    OligoComputer(str(src), str(out), 4, True).vectorise()
+    lines = out.read_bytes().splitlines()
+    assert len(lines) == len(reads)
+    # oracle: single-read runs must match row-for-row
+    for i in (0, 4, 9, 11):
+        one = tmp_path / f"one{i}.fa"
+        one.write_text(f">x\n{reads[i]}\n")
+        oneout = tmp_path / f"one{i}.kmers"
+        OligoComputer(str(one), str(oneout), 4, True).vectorise()
+        assert oneout.read_bytes().splitlines()[0] == lines[i], i
