@@ -48,56 +48,71 @@ def _aggregate(kmers: np.ndarray, counts: np.ndarray):
     firsts[0] = True
     firsts[1:] = k[1:] != k[:-1]
     starts = np.flatnonzero(firsts)
-    return k[starts], np.add.reduceat(c, starts)
+    # group sums via cumsum differences (np.add.reduceat is ~2x slower)
+    csum = np.concatenate([[np.uint64(0)], np.cumsum(c, dtype=np.uint64)])
+    ends = np.append(starts[1:], len(k))
+    return k[starts], csum[ends] - csum[starts]
+
+
+_CHUNK_LINES = 1 << 20  # streaming format chunk: buffer stays cache-warm
+
+
+def _write_tsv_stream(out, kmers: np.ndarray, counts: np.ndarray,
+                      acgt_k: int | None = None) -> None:
+    """Stream `key\\tcount` lines to `out` in bounded chunks.
+
+    One reused ~45MB buffer instead of a whole-output allocation: a 13M
+    line merge previously spent more time zeroing/copying a 550MB
+    buffer than formatting into it."""
+    n_total = len(kmers)
+    if not n_total:
+        return
+    from kmertools_tpu import native
+
+    so = native.lib()
+    if so is None:
+        if acgt_k is not None:
+            keys = codec.numeric_to_kmer_array(kmers, acgt_k)
+            keys = np.char.decode(keys.astype(f"S{acgt_k}"))
+        else:
+            keys = np.char.mod("%d", kmers.astype(np.uint64))
+        vals = np.char.mod("%d", counts.astype(np.uint64))
+        out.write(
+            ("\n".join(np.char.add(np.char.add(keys, "\t"), vals).tolist())
+             + "\n").encode()
+        )
+        return
+    import ctypes
+
+    per_line = (acgt_k + 22) if acgt_k is not None else 42
+    buf = ctypes.create_string_buffer(_CHUNK_LINES * per_line)
+    view = memoryview(buf)
+    for s in range(0, n_total, _CHUNK_LINES):
+        e = min(s + _CHUNK_LINES, n_total)
+        k = np.ascontiguousarray(kmers[s:e], dtype=np.uint64)
+        c = np.ascontiguousarray(counts[s:e], dtype=np.uint64)
+        if acgt_k is not None:
+            n = so.kt_format_acgt_tsv(
+                k.ctypes.data_as(native.c_u64_p),
+                c.ctypes.data_as(native.c_u64_p),
+                len(k), acgt_k, buf,
+            )
+        else:
+            n = so.kt_format_u64_tsv(
+                k.ctypes.data_as(native.c_u64_p),
+                c.ctypes.data_as(native.c_u64_p),
+                len(k), buf,
+            )
+        out.write(view[:n])
 
 
 def _format_tsv(kmers: np.ndarray, counts: np.ndarray) -> bytes:
-    """`kmer\\tcount` lines; native fast path when available."""
-    if not len(kmers):
-        return b""
-    from kmertools_tpu import native
+    """`kmer\\tcount` lines as bytes (spill files are small per part)."""
+    import io as _io
 
-    so = native.lib()
-    if so is not None:
-        import ctypes
-
-        k = np.ascontiguousarray(kmers, dtype=np.uint64)
-        c = np.ascontiguousarray(counts, dtype=np.uint64)
-        buf = ctypes.create_string_buffer(len(k) * 42)
-        n = so.kt_format_u64_tsv(
-            k.ctypes.data_as(native.c_u64_p),
-            c.ctypes.data_as(native.c_u64_p),
-            len(k), buf,
-        )
-        return buf.raw[:n]
-    ks = np.char.mod("%d", kmers.astype(np.uint64))
-    cs = np.char.mod("%d", counts.astype(np.uint64))
-    return ("\n".join(np.char.add(np.char.add(ks, "\t"), cs).tolist()) + "\n").encode()
-
-
-def _format_acgt_tsv(kmers: np.ndarray, counts: np.ndarray, k: int) -> bytes:
-    """`ACGT...\\tcount` lines; native fast path when available."""
-    if not len(kmers):
-        return b""
-    from kmertools_tpu import native
-
-    so = native.lib()
-    if so is not None:
-        import ctypes
-
-        ka = np.ascontiguousarray(kmers, dtype=np.uint64)
-        c = np.ascontiguousarray(counts, dtype=np.uint64)
-        buf = ctypes.create_string_buffer(len(ka) * (k + 22))
-        n = so.kt_format_acgt_tsv(
-            ka.ctypes.data_as(native.c_u64_p),
-            c.ctypes.data_as(native.c_u64_p),
-            len(ka), k, buf,
-        )
-        return buf.raw[:n]
-    keys = codec.numeric_to_kmer_array(kmers, k)
-    keys = np.char.decode(keys.astype(f"S{k}"))
-    vals = np.char.mod("%d", counts)
-    return ("\n".join(np.char.add(np.char.add(keys, "\t"), vals).tolist()) + "\n").encode()
+    sink = _io.BytesIO()
+    _write_tsv_stream(sink, kmers, counts)
+    return sink.getvalue()
 
 
 def _write_tsv(path: str, kmers: np.ndarray, counts: np.ndarray) -> None:
@@ -353,10 +368,10 @@ class CountComputer:
                 parts = (kmers % np.uint64(max(1, self.n_parts))).astype(np.int64)
                 order = np.argsort(parts, kind="stable")
                 kmers, counts = kmers[order], counts[order]
-                if self.acgt:
-                    out.write(_format_acgt_tsv(kmers, counts, self.ksize))
-                else:
-                    out.write(_format_tsv(kmers, counts))
+                _write_tsv_stream(
+                    out, kmers, counts,
+                    acgt_k=self.ksize if self.acgt else None,
+                )
         self.chunks = 0
         self._write_manifest()
 
@@ -376,8 +391,8 @@ class CountComputer:
                 kmers, counts = _aggregate(np.concatenate(ks), np.concatenate(cs))
                 if not len(kmers):
                     continue
-                if self.acgt:
-                    out.write(_format_acgt_tsv(kmers, counts, self.ksize))
-                else:
-                    out.write(_format_tsv(kmers, counts))
+                _write_tsv_stream(
+                    out, kmers, counts,
+                    acgt_k=self.ksize if self.acgt else None,
+                )
         pbar.finish()
