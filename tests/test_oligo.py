@@ -115,3 +115,19 @@ def test_mixed_length_bucket_ordering(tmp_path):
         oneout = tmp_path / f"one{i}.kmers"
         OligoComputer(str(one), str(oneout), 4, True).vectorise()
         assert oneout.read_bytes().splitlines()[0] == lines[i], i
+
+
+def test_repeated_pipelined_runs_identical(tmp_path, test_data):
+    """The reference's concurrency smoke test (composition/src/
+    oligo.rs:326-368): repeated threaded runs must produce identical
+    bytes. Our writer-thread pipeline is the analogous race surface."""
+    from kmertools_tpu.workloads.oligo import OligoComputer
+
+    outs = []
+    for i in range(4):
+        out = tmp_path / f"run{i}.kmers"
+        OligoComputer(
+            str(test_data / "reads.fq"), str(out), 4, True
+        ).vectorise()
+        outs.append(out.read_bytes())
+    assert all(o == outs[0] for o in outs[1:])
