@@ -68,3 +68,32 @@ def test_fasta_shards_cover_exactly(tmp_path, n_shards):
 def test_gzip_not_splittable(tmp_path):
     with pytest.raises(ValueError):
         dataflow.split_file("reads.fq.gz", 2)
+
+
+def test_sharded_oligo_concat_equals_whole(tmp_path):
+    """Multi-host simulation: each host vectorises its byte-range shard
+    independently; concatenating per-shard outputs in shard order must
+    reproduce the whole-file output byte-for-byte."""
+    from kmertools_tpu.workloads.oligo import OligoComputer
+
+    rng = np.random.default_rng(9)
+    path = str(tmp_path / "r.fq")
+    _write_fastq(path, rng, 41)
+    whole = tmp_path / "whole.kmers"
+    OligoComputer(path, str(whole), 4, True).vectorise()
+
+    shards = dataflow.split_file(path, 3)
+    parts = []
+    for sh in shards:
+        # write the shard's records to a temp file (each "host" sees a
+        # plain FASTQ slice) and run the standard workload on it
+        sub = tmp_path / f"shard{sh.index}.fq"
+        with open(sub, "wb") as f:
+            raw = open(path, "rb")
+            raw.seek(sh.start)
+            f.write(raw.read(sh.end - sh.start))
+            raw.close()
+        out = tmp_path / f"shard{sh.index}.kmers"
+        OligoComputer(str(sub), str(out), 4, True).vectorise()
+        parts.append(out.read_bytes())
+    assert b"".join(parts) == whole.read_bytes()
