@@ -34,14 +34,39 @@ def _ranged_int(lo: int, hi: int | None, name: str):
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from kmertools_tpu.version import __version__
+
     p = argparse.ArgumentParser(prog="kmertools", description=ABOUT)
+    # clap's `version` flag (kmertools/src/args.rs:13-14); clap prints
+    # "<bin> <version>"
+    p.add_argument(
+        "-V", "--version", action="version", version=f"kmertools {__version__}"
+    )
     sub = p.add_subparsers(dest="command", required=True)
+
+    # multi-host flags (framework extension; the reference is single-
+    # process). Every host runs the same command with its own --host-id;
+    # outputs concatenate in shard order (parallel/multihost.py).
+    mh = argparse.ArgumentParser(add_help=False)
+    mh.add_argument(
+        "--num-hosts", type=int, default=1,
+        help="Total hosts sharing this run (input is byte-range sharded)",
+    )
+    mh.add_argument(
+        "--host-id", type=int, default=0, help="This host's rank in [0, num-hosts)"
+    )
+    mh.add_argument(
+        "--coordinator", default=None,
+        help="host:port of the jax.distributed coordinator (host 0); "
+             "omit for filesystem-barrier coordination",
+    )
 
     comp = sub.add_parser("comp", help="Generate sequence composition based features")
     compsub = comp.add_subparsers(dest="comp_command", required=True)
 
     oligo = compsub.add_parser(
-        "oligo", help="Generate oligonucleotide frequency vectors"
+        "oligo", help="Generate oligonucleotide frequency vectors",
+        parents=[mh],
     )
     oligo.add_argument("-i", "--input", required=True, help="Input file path")
     oligo.add_argument("-o", "--output", required=True, help="Output vectors path")
@@ -64,7 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     oligo.add_argument("-t", "--threads", type=int, default=0)
 
-    cgr = compsub.add_parser("cgr", help="Generates Chaos Game Representations")
+    cgr = compsub.add_parser(
+        "cgr", help="Generates Chaos Game Representations", parents=[mh]
+    )
     cgr.add_argument("-i", "--input", required=True)
     cgr.add_argument("-o", "--output", required=True)
     cgr.add_argument("-c", "--counts", action="store_true")
@@ -72,7 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
     cgr.add_argument("-v", "--vec-size", type=int, default=None)
     cgr.add_argument("-t", "--threads", type=int, default=0)
 
-    cov = sub.add_parser("cov", help="Generates coverage histogram based on the reads")
+    cov = sub.add_parser(
+        "cov", help="Generates coverage histogram based on the reads",
+        parents=[mh],
+    )
     cov.add_argument("-i", "--input", required=True)
     cov.add_argument("-a", "--alt-input", default=None)
     cov.add_argument("-o", "--output", required=True)
@@ -91,7 +121,7 @@ def build_parser() -> argparse.ArgumentParser:
     cov.add_argument("--counts", action="store_true")
     cov.add_argument("-t", "--threads", type=int, default=0)
 
-    mn = sub.add_parser("min", help="Bin reads using minimisers")
+    mn = sub.add_parser("min", help="Bin reads using minimisers", parents=[mh])
     mn.add_argument("-i", "--input", required=True)
     mn.add_argument("-o", "--output", required=True)
     mn.add_argument("-m", "--m-size", type=_ranged_int(7, 28, "m_size"), default=10)
@@ -99,7 +129,7 @@ def build_parser() -> argparse.ArgumentParser:
     mn.add_argument("-p", "--preset", choices=["s2m", "m2s"], default="s2m")
     mn.add_argument("-t", "--threads", type=int, default=0)
 
-    ctr = sub.add_parser("ctr", help="Count k-mers")
+    ctr = sub.add_parser("ctr", help="Count k-mers", parents=[mh])
     ctr.add_argument("-i", "--input", required=True)
     ctr.add_argument("-o", "--output", required=True)
     ctr.add_argument("-k", "--k-size", type=_ranged_int(10, 31, "k_size"), required=True)
@@ -120,35 +150,64 @@ def main(argv: list[str] | None = None) -> int:
         return _dispatch(args)
 
 
+def _multihost_ctx(args):
+    """HostContext for --num-hosts > 1 runs, else None."""
+    if getattr(args, "num_hosts", 1) <= 1:
+        return None
+    if args.command == "min" and args.preset == "m2s":
+        raise ValueError("m2s groups reads across the whole input; "
+                         "run it single-host")
+    from kmertools_tpu.parallel import multihost
+
+    return multihost.init(args.num_hosts, args.host_id, args.coordinator)
+
+
 def _dispatch(args) -> int:
     from kmertools_tpu.utils.fops import create_directory
+
+    try:
+        ctx = _multihost_ctx(args)
+    except Exception as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
 
     if args.command == "comp" and args.comp_command == "oligo":
         from kmertools_tpu.workloads.oligo import OligoComputer
 
-        com = OligoComputer(args.input, args.output, args.k_size, not args.raw_count)
+        out = ctx.part_path(args.output) if ctx else args.output
+        com = OligoComputer(args.input, out, args.k_size, not args.raw_count)
         if args.threads > 0:
             com.set_threads(args.threads)
         com.set_norm(not args.counts)
-        com.set_header(args.header)
+        # only shard 0's part carries the header row
+        com.set_header(args.header and (ctx is None or ctx.is_primary))
         com.set_delim(_DELIMS[args.preset])
         try:
+            if ctx:
+                com.set_input_shard(ctx.shard_for(args.input))
             com.vectorise()
         except Exception as e:  # args.rs:260-262
             print(f"Error: {e}", file=sys.stderr)
             return 1
+        if ctx:
+            from kmertools_tpu.parallel import multihost
+
+            multihost.finalize_parts(ctx, args.output)
 
     elif args.command == "comp" and args.comp_command == "cgr":
+        out = ctx.part_path(args.output) if ctx else args.output
         if args.k_size is not None:
             # oligo-CGR; default vecsize (k^4)^0.5 = k^2 (args.rs:266-269)
             vecsize = args.vec_size or int((float(args.k_size) ** 4.0) ** 0.5)
             from kmertools_tpu.workloads.cgr import OligoCgrComputer
 
-            cgr = OligoCgrComputer(args.input, args.output, args.k_size, vecsize)
+            cgr = OligoCgrComputer(args.input, out, args.k_size, vecsize)
             if args.threads > 0:
                 cgr.set_threads(args.threads)
             cgr.set_norm(not args.counts)
             try:
+                if ctx:
+                    cgr.set_input_shard(ctx.shard_for(args.input))
                 cgr.vectorise()
             except Exception as e:
                 print(f"Error: {e}", file=sys.stderr)
@@ -159,14 +218,20 @@ def _dispatch(args) -> int:
                 return 1
             from kmertools_tpu.workloads.cgr import CgrComputer
 
-            cgr = CgrComputer(args.input, args.output, args.vec_size or 1)
+            cgr = CgrComputer(args.input, out, args.vec_size or 1)
             if args.threads > 0:
                 cgr.set_threads(args.threads)
             try:
+                if ctx:
+                    cgr.set_input_shard(ctx.shard_for(args.input))
                 cgr.vectorise()
             except Exception as e:
                 print(f"Error: {e}", file=sys.stderr)
                 return 1
+        if ctx:
+            from kmertools_tpu.parallel import multihost
+
+            multihost.finalize_parts(ctx, args.output)
 
     elif args.command == "cov":
         from kmertools_tpu.workloads.coverage import CovComputer
@@ -183,6 +248,8 @@ def _dispatch(args) -> int:
             cov.set_norm(False)
         cov.set_max_memory(float(args.memory))
         cov.set_delim(_DELIMS[args.preset])
+        if ctx:
+            cov.set_multihost(ctx)
         cov.build_table()
         cov.compute_coverages()
 
@@ -200,9 +267,15 @@ def _dispatch(args) -> int:
                 args.w_size, args.m_size, args.input, args.output, args.threads
             )
         else:
+            out = ctx.part_path(args.output) if ctx else args.output
             minimisers.seq_to_min(
-                args.w_size, args.m_size, args.input, args.output, args.threads
+                args.w_size, args.m_size, args.input, out, args.threads,
+                shard=ctx.shard_for(args.input) if ctx else None,
             )
+            if ctx:
+                from kmertools_tpu.parallel import multihost
+
+                multihost.finalize_parts(ctx, args.output)
 
     elif args.command == "ctr":
         from kmertools_tpu.workloads.counter import CountComputer
@@ -214,6 +287,8 @@ def _dispatch(args) -> int:
         if args.acgt:
             ctr.set_acgt_output(True)
         ctr.set_max_memory(float(args.memory))
+        if ctx:
+            ctr.set_multihost(ctx)
         ctr.count_and_merge(True)
 
     return 0

@@ -78,6 +78,24 @@ class _Bucket:
         )
 
 
+def pack_planes(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(R, W) u8 codes -> ((R, W/4) 2-bit packed, (R, W/8) valid bits).
+
+    The host half of ops.encode.unpack_planes: upload travels at ~2.25
+    bits/base instead of 8. Bucket widths are powers of two >= 128, so
+    W is always divisible by 8."""
+    valid = codes < 4
+    c = np.where(valid, codes, 0).astype(np.uint8)
+    packed = (
+        c[:, 0::4]
+        | (c[:, 1::4] << 2)
+        | (c[:, 2::4] << 4)
+        | (c[:, 3::4] << 6)
+    )
+    vb = np.packbits(valid, axis=1, bitorder="little")
+    return packed, vb
+
+
 def encode_bases(seq: bytes) -> np.ndarray:
     """ASCII bytes -> uint8 codes via the minimap2-style LUT
     (kmer/src/kmer.rs:6-15 semantics)."""
@@ -251,10 +269,23 @@ def stream_path(
     overlap: int,
     row_widths: tuple[int, ...] = DEFAULT_ROW_WIDTHS,
     target_codes: int = DEFAULT_TARGET_CODES,
+    shard=None,
 ) -> Iterator[Batch]:
     """Batches from a file path ("-" = stdin): native C++ runtime when
     available, pure Python otherwise. Both yield identical Batch
-    streams."""
+    streams.
+
+    `shard` (a parallel.dataflow.Shard) restricts the stream to one
+    host's record-aligned byte range for multi-host runs; read
+    numbering is shard-local so per-host outputs concatenate in shard
+    order."""
+    if shard is not None:
+        from kmertools_tpu.parallel import dataflow
+
+        return batch_stream(
+            dataflow.shard_sequences(path, shard), overlap, row_widths,
+            target_codes,
+        )
     from kmertools_tpu import native
 
     if native.lib() is not None:

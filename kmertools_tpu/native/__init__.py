@@ -48,7 +48,10 @@ def _build() -> bool:
         os.replace(_SO + ".tmp", _SO)
         return True
     except Exception:
-        return False
+        # no toolchain / read-only install dir: a wheel-shipped .so
+        # (setup.py build hook) is still usable even if it looks stale
+        # by mtime
+        return os.path.exists(_SO)
 
 
 def _bind(so: ctypes.CDLL) -> ctypes.CDLL:

@@ -30,6 +30,27 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.jit
+def unpack_planes(packed: jnp.ndarray, validbits: jnp.ndarray) -> jnp.ndarray:
+    """(R, W/4) u8 2-bit-packed bases + (R, W/8) u8 validity bitmap ->
+    (R, W) u8 codes with 4 at invalid/padding positions.
+
+    Host->device transfer is the bench bottleneck on tunneled TPUs
+    (SURVEY.md §7 "host feed rate"); packing base codes 4-per-byte plus
+    a 1-bit valid plane cuts upload bytes ~3.6x. The unpack is a few
+    fused elementwise shifts on device — effectively free next to the
+    transfer it saves.
+    """
+    R, Wq = packed.shape
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2  # base j in bits 2j..2j+1
+    codes = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
+    codes = codes.reshape(R, Wq * 4)
+    bshifts = jnp.arange(8, dtype=jnp.uint8)
+    vbits = (validbits[:, :, None] >> bshifts[None, None, :]) & jnp.uint8(1)
+    valid = vbits.reshape(R, validbits.shape[1] * 8)[:, : Wq * 4]
+    return jnp.where(valid == 1, codes, jnp.uint8(4))
+
+
 def _valid_windows(codes: jnp.ndarray, k: int) -> jnp.ndarray:
     """(R, W) codes -> (R, W-k+1) bool: window of k unambiguous bases.
 

@@ -2,7 +2,7 @@ from kmertools_tpu.parallel.mesh import make_mesh, shard_batch
 from kmertools_tpu.parallel.ops import (
     distributed_dense_count,
     distributed_oligo_step,
-    partitioned_count_exchange,
+    sharded_accum_count,
 )
 
 __all__ = [
@@ -10,5 +10,5 @@ __all__ = [
     "shard_batch",
     "distributed_dense_count",
     "distributed_oligo_step",
-    "partitioned_count_exchange",
+    "sharded_accum_count",
 ]

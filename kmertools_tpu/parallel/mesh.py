@@ -17,7 +17,13 @@ DATA_AXIS = "data"
 
 
 def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
-    devs = jax.devices()
+    """1-D mesh over this process's ADDRESSABLE devices.
+
+    Local on purpose: the multi-host runtime (parallel/multihost.py)
+    shards the input FILE across hosts and each host computes its part
+    independently, so meshes never span processes — collectives stay on
+    ICI."""
+    devs = jax.local_devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))

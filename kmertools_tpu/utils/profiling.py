@@ -27,12 +27,16 @@ def maybe_trace(label: str = "kmertools"):
         return
     logdir = os.path.join(target, label)
     os.makedirs(logdir, exist_ok=True)
+    # Guard only trace ENTRY (an active outer trace / unsupported backend
+    # must not break the workload); body exceptions propagate unmasked —
+    # a second yield in an except-clause would raise "generator didn't
+    # stop after throw()" and mask the workload's own error.
+    stack = contextlib.ExitStack()
     try:
-        with jax.profiler.trace(logdir):
-            yield
+        stack.enter_context(jax.profiler.trace(logdir))
     except Exception:
-        # an active outer trace (or unsupported backend) must not break
-        # the workload — profiling is strictly best-effort
+        pass
+    with stack:
         yield
 
 

@@ -30,11 +30,32 @@ _repr = functools.lru_cache(maxsize=1 << 16)(rust_f64_repr)
 _CGR_ROW_WIDTHS = (128, 512, 2048, 8192, 32768)
 
 
+# number of device cgr_scan dispatches this process (observability for
+# tests asserting the device path actually ran)
+DEVICE_SCAN_RUNS = 0
+
+
 def _f64_supported() -> bool:
+    """True iff the backend can run f64 math; ENABLES x64 if needed.
+
+    The CGR walk needs exact f64 (points are dyadic rationals,
+    composition/src/cgr.rs:127-144), but JAX defaults to x64-off — so a
+    plain CLI run would otherwise silently take the host loop forever.
+    Enabling here is safe: every kernel in this framework names its
+    dtypes explicitly, and the test suite runs fully x64-enabled.
+    Set KMERTOOLS_NO_X64=1 to force the host fallback.
+    """
+    import os
+
     import jax
 
-    if not jax.config.read("jax_enable_x64"):
+    if os.environ.get("KMERTOOLS_NO_X64"):
         return False
+    if not jax.config.read("jax_enable_x64"):
+        try:
+            jax.config.update("jax_enable_x64", True)
+        except Exception:
+            return False
     try:
         (jnp.zeros(1, jnp.float64) + 1.0).block_until_ready()
         return True
@@ -50,10 +71,14 @@ class CgrComputer:
         self.out_path = out_path
         self.vecsize = vecsize
         self.threads = 0
+        self.input_shard = None
         self.target_codes = iob.DEFAULT_TARGET_CODES
 
     def set_threads(self, threads: int) -> None:
         self.threads = threads
+
+    def set_input_shard(self, shard) -> None:
+        self.input_shard = shard
 
     def _points_host(self, codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Sequential f64 walk for reads longer than the widest bucket."""
@@ -72,7 +97,12 @@ class CgrComputer:
 
     def vectorise(self) -> None:
         use_device = _f64_supported()
-        records = fastx.sequences(self.in_path)
+        if self.input_shard is not None:
+            from kmertools_tpu.parallel import dataflow
+
+            records = dataflow.shard_sequences(self.in_path, self.input_shard)
+        else:
+            records = fastx.sequences(self.in_path)
 
         def write_block(payloads: list) -> None:
             from kmertools_tpu import native
@@ -134,6 +164,8 @@ class CgrComputer:
                         b.codes[i, : lens[i]], b.ids.get(int(b.read_idx[i]), "?")
                     )
                 if use_device:
+                    global DEVICE_SCAN_RUNS
+                    DEVICE_SCAN_RUNS += 1
                     xs, ys = cgr_ops.cgr_scan(
                         jnp.asarray(b.codes), float(self.vecsize), jnp.float64
                     )
@@ -174,6 +206,7 @@ class OligoCgrComputer:
         self.vecsize = vecsize
         self.norm = True
         self.threads = 0
+        self.input_shard = None
         self.target_codes = iob.DEFAULT_TARGET_CODES
         _, pos_kmer, self.kcount = codec.kmer_pos_maps(ksize)
         kmer_vals = np.array([pos_kmer[i] for i in range(self.kcount)], dtype=np.uint64)
@@ -190,6 +223,9 @@ class OligoCgrComputer:
 
     def set_norm(self, norm: bool) -> None:
         self.norm = norm
+
+    def set_input_shard(self, shard) -> None:
+        self.input_shard = shard
 
     def _emit_slab(self, out, vecs: np.ndarray, tots: np.ndarray) -> None:
         freqs = vecs.astype(np.float64)
@@ -281,6 +317,7 @@ class OligoCgrComputer:
                     self.in_path,
                     overlap=self.ksize - 1,
                     target_codes=self.target_codes,
+                    shard=self.input_shard,
                 ),
                 lambda b: sharded_step(jnp.asarray(b.codes)),
                 consume,

@@ -40,11 +40,12 @@ def run_pipelined(batches: Iterable, dispatch: Callable, consume: Callable,
             item = q.get()
             if item is None:
                 return
+            if err:
+                continue  # drain so the producer's bounded put never blocks
             try:
                 consume(item[0], *item[1])
             except BaseException as e:  # propagated after join
                 err.append(e)
-                return
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -108,20 +109,29 @@ class RowAggregator:
         assert not self._partial, f"incomplete reads: {list(self._partial)[:5]}"
 
 
-def data_parallel_step(step):
-    """Wrap a per-batch device step (codes (R, W) -> row-aligned outputs)
-    with shard_map over every visible device when more than one exists.
+# number of shard_map (mesh) dispatches issued by DP-wrapped steps this
+# process — observability for tests asserting the mesh path actually ran
+MESH_DISPATCHES = 0
+
+
+def data_parallel_rows(step):
+    """Wrap a per-batch device step (one or more (R, ...) arrays ->
+    pytree of row-aligned outputs) with shard_map over every visible
+    device when more than one exists.
 
     This is the framework's DP axis: batch rows shard across the mesh
     (the TPU replacement for the reference's N work-stealing threads,
     composition/src/oligo.rs:192-226); each device runs the identical
     kernel on its row shard and outputs stay row-sharded, so the host
-    sees one logical array. Row counts are padded bucket sizes (powers
-    of two), always divisible by the device count.
+    sees one logical array. Output partition specs are derived from
+    `jax.eval_shape`, so any output arity/rank works (histograms,
+    window minima, whole-read minima...). Row counts that don't divide
+    the device count (never the case for the power-of-two buckets) fall
+    back to the single-device step.
     """
     import jax
 
-    ndev = jax.device_count()
+    ndev = jax.local_device_count()
     if ndev <= 1:
         return step
 
@@ -129,33 +139,48 @@ def data_parallel_step(step):
 
     try:
         from jax import shard_map as _shard_map
-
-        def smap(fn, mesh, in_specs, out_specs):
-            return _shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map as _shard_map
-
-        def smap(fn, mesh, in_specs, out_specs):
-            return _shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
     from kmertools_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_batch
 
     mesh = make_mesh()
-    sharded = jax.jit(
-        smap(
-            step,
-            mesh,
-            in_specs=(P(DATA_AXIS, None),),
-            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
-        )
-    )
+    cache: dict[tuple, Callable] = {}
 
-    def wrapped(codes):
-        if codes.shape[0] % ndev:
-            return step(codes)
-        return sharded(shard_batch(mesh, codes))
+    def wrapped(*arrays):
+        global MESH_DISPATCHES
+        if any(a.shape[0] % ndev for a in arrays):
+            return step(*arrays)
+        key = tuple((a.shape, str(a.dtype)) for a in arrays)
+        fn = cache.get(key)
+        if fn is None:
+            out_shapes = jax.eval_shape(
+                step,
+                *[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays],
+            )
+            specs = jax.tree.map(
+                lambda s: P(DATA_AXIS, *([None] * (len(s.shape) - 1))),
+                out_shapes,
+            )
+            fn = jax.jit(
+                _shard_map(
+                    step,
+                    mesh=mesh,
+                    in_specs=tuple(
+                        P(DATA_AXIS, *([None] * (a.ndim - 1))) for a in arrays
+                    ),
+                    out_specs=specs,
+                )
+            )
+            cache[key] = fn
+        MESH_DISPATCHES += 1
+        return fn(*[shard_batch(mesh, a) for a in arrays])
 
     return wrapped
+
+
+# backwards-compatible name used by the histogram workloads
+data_parallel_step = data_parallel_rows
 
 
 class ArrayAggregator:

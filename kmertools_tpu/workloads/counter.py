@@ -148,59 +148,210 @@ def _read_tsv(path: str):
     return np.array(kmers, dtype=np.uint64), np.array(counts, dtype=np.uint64)
 
 
-class _BatchCounter:
-    """Adaptive device-batch counting: starts on the plain sorted-pairs
-    wire format (minimal for low-duplication inputs); after observing
-    the first batch, switches to the device-compacted format when the
-    duplication ratio makes transfer-per-unique cheaper (real coverage
-    >2x). Both decode to (keys u64, counts u64) of unique k-mers."""
+def _pow2_at_least(n: int, floor: int = 1 << 10) -> int:
+    return max(floor, 1 << max(0, (n - 1).bit_length()))
 
-    def __init__(self, ksize: int):
-        self.ksize = ksize
+
+class DeviceAccumulator:
+    """Device-resident sorted-unique (hi, lo, count) accumulator.
+
+    The count phase's working state LIVES ON DEVICE: every batch's
+    canonical k-mers merge into it via sort + segmented RLE
+    (ops/count.py:accum_merge), so device->host transfer happens only
+    at drain time and is proportional to UNIQUE k-mers — never to
+    occurrences (the reference's in-memory scc maps have the same
+    property, counter/src/lib.rs:123-132).
+
+    With >1 visible device the state shards over a 1-D mesh by k-mer
+    partition (``lo % ndev``) and batches exchange partitions over ICI
+    (parallel/ops.py:sharded_accum_count) — the `min_mer % n_parts`
+    scaling mechanism running on the mesh. Exchange-bucket overflow
+    rolls the batch back on-device; the host retries it in halves.
+
+    The host polls each batch's post-merge unique count with a fixed
+    lag (keeping the dispatch queue deep enough to overlap transfers
+    and compute) and drains to host before the accumulator can
+    overflow: capacity C minus (lag+2) batches of worst-case growth.
+    """
+
+    _LAG = 2
+
+    def __init__(self, ksize: int, target_codes: int,
+                 out_capacity: int | None = None,
+                 n_devices: int | None = None):
+        import jax
+
+        self.k = ksize
+        self.ndev = n_devices or jax.local_device_count()
         nlo = min(ksize, 16)
         self.shift = np.uint64(2 * nlo)
-        self.mode = "pairs"
-        self._seen_first = False
+        # worst-case flat k-mers per dispatched batch (incl. row padding)
+        n_flat = target_codes + 8 * 8192
+        growth = -(-n_flat // self.ndev) * (2 if self.ndev > 1 else 1)
+        env_cap = os.environ.get("KMERTOOLS_ACC_CAP")
+        if out_capacity is None and env_cap:
+            out_capacity = int(env_cap)
+        if out_capacity is None:
+            out_capacity = min(1 << 25, max(8 * growth * self.ndev, 1 << 16))
+        self.C_dev = max(
+            -(-out_capacity // self.ndev) // 128 * 128 + 128,
+            (self._LAG + 2) * growth // 128 * 128 + 256,
+        )
+        self.spill_mark = self.C_dev - (self._LAG + 2) * growth
+        assert self.spill_mark > 0
+        self.used_mesh = self.ndev > 1
+        if self.used_mesh:
+            from kmertools_tpu.parallel.mesh import make_mesh
+            from kmertools_tpu.parallel.ops import sharded_accum_count
 
-    def dispatch(self, codes):
-        if self.mode == "pairs":
-            return ("pairs", cops.batch_sorted_pairs(codes, self.ksize))
-        return ("compact", cops.batch_count_compact(codes, self.ksize))
+            self.mesh = make_mesh(self.ndev)
+            cap = -(-2 * (n_flat // self.ndev) // self.ndev)
+            self._step = sharded_accum_count(self.mesh, ksize, self.C_dev, cap)
+        self._state = None
+        self._pending: list = []  # (codes_np, n_runs_dev, ovf_dev | None)
+        self._last_n = 0
 
-    def decode(self, tag, res):
-        if tag == "pairs":
-            sh, sl = res
-            sh = np.asarray(sh)
-            sl = np.asarray(sl)
-            sent_hi = np.iinfo(sh.dtype).max
-            valid_n = int(np.searchsorted(sh, sent_hi))
-            total = valid_n
-            if valid_n:
-                keys = (
-                    sh[:valid_n].astype(np.uint64) << self.shift
-                ) | sl[:valid_n].astype(np.uint64)
-                firsts = np.empty(valid_n, dtype=bool)
-                firsts[0] = True
-                np.not_equal(keys[1:], keys[:-1], out=firsts[1:])
-                starts = np.flatnonzero(firsts)
-                kk = keys[starts]
-                cc = np.diff(np.append(starts, valid_n)).astype(np.uint64)
+    # -- state plumbing -------------------------------------------------
+    def _fresh_state(self):
+        import jax
+
+        sent = jnp.uint32(0xFFFFFFFF)
+        if not self.used_mesh:
+            mk = jax.jit(
+                lambda: (
+                    jnp.full((self.C_dev,), sent, jnp.uint32),
+                    jnp.full((self.C_dev,), sent, jnp.uint32),
+                    jnp.zeros((self.C_dev,), jnp.uint32),
+                )
+            )
+            return mk()
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from kmertools_tpu.parallel.mesh import DATA_AXIS
+
+        sh = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        mk = jax.jit(
+            lambda: (
+                jnp.full((self.ndev, self.C_dev), sent, jnp.uint32),
+                jnp.full((self.ndev, self.C_dev), sent, jnp.uint32),
+                jnp.zeros((self.ndev, self.C_dev), jnp.uint32),
+            ),
+            out_shardings=(sh, sh, sh),
+        )
+        return mk()
+
+    def _dispatch(self, codes_np: np.ndarray):
+        if self._state is None:
+            self._state = self._fresh_state()
+        ah, al, ac = self._state
+        if not self.used_mesh:
+            ah, al, ac, n = cops.accum_merge(ah, al, ac, jnp.asarray(codes_np), self.k)
+            self._state = (ah, al, ac)
+            return n, None
+        from kmertools_tpu.parallel.mesh import pad_rows_to_devices, shard_batch
+
+        codes_np = pad_rows_to_devices(codes_np, self.ndev, 4)
+        codes = shard_batch(self.mesh, codes_np)
+        ah, al, ac, n, ovf = self._step(ah, al, ac, codes)
+        self._state = (ah, al, ac)
+        return n, ovf
+
+    def _resolve(self, entry) -> int:
+        """Block on one pending dispatch; handle overflow retries.
+        Returns the post-merge unique count (max over devices)."""
+        codes_np, n_dev, ovf_dev = entry
+        if ovf_dev is not None and bool(np.asarray(ovf_dev).any()):
+            self._retry_halves(codes_np, depth=0)
+            n_dev = self._last_n_dev  # set by _retry_halves
+        n = int(np.asarray(n_dev).max())
+        if n > self.C_dev:
+            raise RuntimeError(
+                f"accumulator overflow: {n} runs > capacity {self.C_dev}; "
+                "spill policy failed"
+            )
+        self._last_n = n
+        return n
+
+    def _retry_halves(self, codes_np: np.ndarray, depth: int) -> None:
+        """Re-dispatch a rolled-back batch in halves (sync)."""
+        if depth > 6:
+            raise RuntimeError("partition bucket overflow persisted at row level")
+        mid = max(1, codes_np.shape[0] // 2)
+        for half in (codes_np[:mid], codes_np[mid:]):
+            if half.shape[0] == 0:
+                continue
+            n_dev, ovf_dev = self._dispatch(half)
+            if ovf_dev is not None and bool(np.asarray(ovf_dev).any()):
+                self._retry_halves(half, depth + 1)
             else:
-                kk = np.empty(0, np.uint64)
-                cc = np.empty(0, np.uint64)
-            if not self._seen_first:
-                self._seen_first = True
-                if total and len(kk) < total // 2:
-                    self.mode = "compact"
-            return kk, cc
-        uh, ul, uc, n_runs = res
-        n = int(n_runs)
-        if n == 0:
+                self._last_n_dev = np.asarray(n_dev)
+
+    # -- public API -----------------------------------------------------
+    def add(self, codes_np: np.ndarray) -> int | None:
+        """Dispatch one batch (async). Returns the resolved unique
+        count of the batch `LAG` dispatches ago, or None."""
+        entry = (codes_np, *self._dispatch(codes_np))
+        self._pending.append(entry)
+        if len(self._pending) > self._LAG:
+            return self._resolve(self._pending.pop(0))
+        return None
+
+    def needs_drain(self, n_unique: int | None) -> bool:
+        return n_unique is not None and n_unique > self.spill_mark
+
+    def drain(self):
+        """Fetch (keys u64, counts u64) sorted ascending; reset state.
+
+        Transfer is a power-of-two bucketed prefix of the accumulator
+        (few distinct shapes -> few compiles), ~bytes proportional to
+        unique k-mers; hi halves travel as u16 for k <= 23."""
+        while self._pending:
+            self._resolve(self._pending.pop(0))
+        if self._state is None:
             return np.empty(0, np.uint64), np.empty(0, np.uint64)
-        kh = np.asarray(uh[:n]).astype(np.uint64)
-        kl = np.asarray(ul[:n]).astype(np.uint64)
-        cc = np.asarray(uc[:n]).astype(np.uint64)
-        return (kh << self.shift) | kl, cc
+        ah, al, ac = self._state
+        if not self.used_mesh:
+            n_per_dev = np.array([self._last_n])
+        else:
+            # per-device live counts from the final merge
+            n_per_dev = np.full(self.ndev, self._last_n)
+        L = min(int(_pow2_at_least(int(n_per_dev.max()))), self.C_dev)
+        small_hi = self.k <= 23
+        if not self.used_mesh:
+            hi = np.asarray(ah[:L].astype(jnp.uint16) if small_hi else ah[:L])
+            lo = np.asarray(al[:L])
+            ct = np.asarray(ac[:L])
+            hi, lo, ct = hi[None], lo[None], ct[None]
+        else:
+            hi = np.asarray(
+                ah[:, :L].astype(jnp.uint16) if small_hi else ah[:, :L]
+            )
+            lo = np.asarray(al[:, :L])
+            ct = np.asarray(ac[:, :L])
+        keys_parts = []
+        cnts_parts = []
+        for d in range(hi.shape[0]):
+            cd = ct[d]
+            live = cd > 0
+            n_d = int(live.sum())
+            if n_d == 0:
+                continue
+            # live entries are the compacted prefix
+            kd = (hi[d][:n_d].astype(np.uint64) << self.shift) | lo[d][
+                :n_d
+            ].astype(np.uint64)
+            keys_parts.append(kd)
+            cnts_parts.append(cd[:n_d].astype(np.uint64))
+        self._state = None
+        self._last_n = 0
+        if not keys_parts:
+            return np.empty(0, np.uint64), np.empty(0, np.uint64)
+        keys = np.concatenate(keys_parts)
+        cnts = np.concatenate(cnts_parts)
+        if len(keys_parts) > 1:
+            order = np.argsort(keys, kind="stable")
+            keys, cnts = keys[order], cnts[order]
+        return keys, cnts
 
 
 class CountComputer:
@@ -218,6 +369,10 @@ class CountComputer:
         self.total_bases = 0
         self.debug = False
         self.acgt = False
+        self.used_mesh = False
+        self.n_devices = None  # None = all visible devices
+        self.mh_ctx = None  # parallel.multihost.HostContext
+        self.chunk_ids: list[int] = []
         self.target_codes = iob.DEFAULT_TARGET_CODES
 
     def set_threads(self, threads: int) -> None:
@@ -229,6 +384,14 @@ class CountComputer:
 
     def set_acgt_output(self, acgt: bool) -> None:
         self.acgt = acgt
+
+    def set_multihost(self, ctx) -> None:
+        """Multi-host mode: this host counts its input byte-range shard
+        into the SHARED out dir (chunk ids interleaved by host rank so
+        spill names never collide), then host 0 merges every host's
+        chunks. n_parts stays derived from whole-file stats, so all
+        hosts agree on the partition space."""
+        self.mh_ctx = ctx
 
     def init(self) -> None:
         """Pre-pass: seq stats -> partition count (lib.rs:236-249)."""
@@ -242,64 +405,82 @@ class CountComputer:
         self.total_bases = stats.total_length
 
     def _write_manifest(self) -> None:
-        with open(os.path.join(self.out_dir, "manifest.json"), "w") as f:
+        name = (
+            f"manifest_h{self.mh_ctx.host_id}.json" if self.mh_ctx
+            else "manifest.json"
+        )
+        with open(os.path.join(self.out_dir, name), "w") as f:
             json.dump(
-                {"ksize": self.ksize, "chunks": self.chunks, "n_parts": self.n_parts},
+                {
+                    "ksize": self.ksize,
+                    "chunks": self.chunks,
+                    "n_parts": self.n_parts,
+                    "chunk_ids": self.chunk_ids,
+                },
                 f,
             )
 
-    def count(self) -> None:
-        from kmertools_tpu.workloads.common import run_pipelined
+    def _spill_from(self, acc: "DeviceAccumulator") -> bool:
+        """Drain the device accumulator into per-partition spill files
+        (one chunk). Returns False when the accumulator was empty."""
+        kmers, counts = acc.drain()
+        if not len(kmers):
+            return False
+        parts = (kmers % np.uint64(self.n_parts)).astype(np.int64)
+        order = np.argsort(parts, kind="stable")
+        kmers, counts, parts = kmers[order], counts[order], parts[order]
+        bounds = np.searchsorted(parts, np.arange(self.n_parts + 1))
+        # chunk ids interleave by host rank in multi-host runs so every
+        # host spills into the same dir without collisions
+        if self.mh_ctx:
+            cid = self.mh_ctx.num_hosts * self.chunks + self.mh_ctx.host_id
+        else:
+            cid = self.chunks
+        for p in range(self.n_parts):
+            s, e = bounds[p], bounds[p + 1]
+            self._write_spill(p, cid, kmers[s:e], counts[s:e])
+        self.chunk_ids.append(cid)
+        self.chunks += 1
+        return True
 
-        self.init()
+    def _effective_target(self) -> int:
+        """Batch code budget clamped to the corpus size (pow2-bucketed
+        so the compile-shape count stays small): a 2-read file must not
+        dispatch multi-million-element padded sorts."""
+        need = 1 << max(16, (2 * max(1, self.total_bases) - 1).bit_length())
+        return min(self.target_codes, need)
+
+    def _count_loop(self, acc: "DeviceAccumulator", on_chunk) -> None:
+        """Stream batches through the accumulator; `on_chunk()` fires
+        at each spill point (memory gate or accumulator high-water
+        mark, counter/src/lib.rs:114-116 analog)."""
         pbar = Progress(self.seq_count, "counting")
         gate = 1_000_000_000.0 * self.memory_ceil_gb / 8.0
-        nlo = min(self.ksize, 16)
-        shift = np.uint64(2 * nlo)
-
-        self.chunks = 0
-        acc_k: list[np.ndarray] = []
-        acc_c: list[np.ndarray] = []
         chunk_bases = 0
-
-        def spill() -> None:
-            nonlocal acc_k, acc_c, chunk_bases
-            if not acc_k:
-                return
-            kmers, counts = _aggregate(np.concatenate(acc_k), np.concatenate(acc_c))
-            parts = (kmers % np.uint64(self.n_parts)).astype(np.int64)
-            order = np.argsort(parts, kind="stable")
-            kmers, counts, parts = kmers[order], counts[order], parts[order]
-            bounds = np.searchsorted(parts, np.arange(self.n_parts + 1))
-            for p in range(self.n_parts):
-                s, e = bounds[p], bounds[p + 1]
-                self._write_spill(p, self.chunks, kmers[s:e], counts[s:e])
-            acc_k, acc_c = [], []
-            chunk_bases = 0
-            self.chunks += 1
-
-        decoder = _BatchCounter(self.ksize)
-
-        def consume(b, tag, res) -> None:
-            nonlocal chunk_bases
-            kk, cc = decoder.decode(tag, res)
-            if len(kk):
-                acc_k.append(kk)
-                acc_c.append(cc)
+        for b in iob.stream_path(
+            self.in_path, overlap=self.ksize - 1,
+            target_codes=self._effective_target(),
+            shard=self.mh_ctx.shard_for(self.in_path) if self.mh_ctx else None,
+        ):
+            n_unique = acc.add(b.codes)
             pbar.update(int((b.read_idx >= 0).sum()))
             chunk_bases += int(b.lengths.sum())
-            if chunk_bases > gate:
-                spill()
-
-        run_pipelined(
-            iob.stream_path(
-                self.in_path, overlap=self.ksize - 1, target_codes=self.target_codes
-            ),
-            lambda b: decoder.dispatch(jnp.asarray(b.codes)),
-            consume,
-        )
-        spill()
+            if acc.needs_drain(n_unique) or chunk_bases > gate:
+                on_chunk()
+                chunk_bases = 0
         pbar.finish()
+
+    def count(self) -> None:
+        """Count phase: device-accumulated chunks -> durable partition
+        spills (the resume point; merge() completes the pipeline)."""
+        self.init()
+        self.chunks = 0
+        acc = DeviceAccumulator(
+            self.ksize, self._effective_target(), n_devices=self.n_devices
+        )
+        self.used_mesh = acc.used_mesh
+        self._count_loop(acc, lambda: self._spill_from(acc))
+        self._spill_from(acc)
         self._write_manifest()
 
     def _spill_path(self, p: int, c: int) -> str:
@@ -321,49 +502,31 @@ class CountComputer:
 
     def count_and_merge(self, delete: bool = True) -> None:
         """count() + merge() with the spill round-trip elided when the
-        whole run fits in one chunk (the common case below the memory
-        gate). End state matches the reference CLI's count->merge(true):
-        the out dir holds kmers.counts; multi-chunk runs fall back to
-        the durable spill/merge path (the resume point stays intact)."""
-        from kmertools_tpu.workloads.common import run_pipelined
-
+        whole run fits in one device-accumulator chunk (the common
+        case below the memory gate). End state matches the reference
+        CLI's count->merge(true): the out dir holds kmers.counts;
+        multi-chunk runs take the durable spill/merge path (the resume
+        point stays intact)."""
+        if self.mh_ctx:
+            self._count_and_merge_multihost(delete)
+            return
         self.init()
-        gate = 1_000_000_000.0 * self.memory_ceil_gb / 8.0
-        if self.total_bases > gate:
-            # above the memory gate: the durable spill/merge path
-            self.count()
+        self.chunks = 0
+        acc = DeviceAccumulator(
+            self.ksize, self._effective_target(), n_devices=self.n_devices
+        )
+        self.used_mesh = acc.used_mesh
+        self._count_loop(acc, lambda: self._spill_from(acc))
+        if self.chunks:
+            # spills happened: finish the durable path
+            self._spill_from(acc)
+            self._write_manifest()
             self.merge(delete)
             return
-        pbar = Progress(self.seq_count, "counting")
-        nlo = min(self.ksize, 16)
-        shift = np.uint64(2 * nlo)
-
-        acc_k: list[np.ndarray] = []
-        acc_c: list[np.ndarray] = []
-
-        decoder = _BatchCounter(self.ksize)
-
-        def consume(b, tag, res) -> None:
-            kk, cc = decoder.decode(tag, res)
-            if len(kk):
-                acc_k.append(kk)
-                acc_c.append(cc)
-            pbar.update(int((b.read_idx >= 0).sum()))
-
-        run_pipelined(
-            iob.stream_path(
-                self.in_path, overlap=self.ksize - 1, target_codes=self.target_codes
-            ),
-            lambda b: decoder.dispatch(jnp.asarray(b.codes)),
-            consume,
-        )
-        pbar.finish()
+        kmers, counts = acc.drain()
         out_path = os.path.join(self.out_dir, "kmers.counts")
         with open(out_path, "wb") as out:
-            if acc_k:
-                kmers, counts = _aggregate(
-                    np.concatenate(acc_k), np.concatenate(acc_c)
-                )
+            if len(kmers):
                 # partition-major order, matching merge()'s output
                 parts = (kmers % np.uint64(max(1, self.n_parts))).astype(np.int64)
                 order = np.argsort(parts, kind="stable")
@@ -372,16 +535,54 @@ class CountComputer:
                     out, kmers, counts,
                     acgt_k=self.ksize if self.acgt else None,
                 )
-        self.chunks = 0
         self._write_manifest()
 
+    def _count_and_merge_multihost(self, delete: bool) -> None:
+        """Every host spills its shard's chunks into the shared out dir;
+        after a rendezvous host 0 merges the union of chunks. The
+        reference's thread-pool count phase (counter/src/lib.rs:104-143)
+        scaled to hosts: reads shard across hosts, the k-mer partition
+        space stays global."""
+        from kmertools_tpu.parallel import multihost
+
+        ctx = self.mh_ctx
+        self.count()  # spills + per-host manifest
+        multihost.rendezvous(ctx, self.out_dir, "ctr_spills")
+        if ctx.is_primary:
+            ids: list[int] = []
+            for h in range(ctx.num_hosts):
+                mpath = os.path.join(self.out_dir, f"manifest_h{h}.json")
+                with open(mpath) as f:
+                    ids.extend(json.load(f)["chunk_ids"])
+                os.unlink(mpath)
+            self.chunk_ids = sorted(ids)
+            self.chunks = len(ids)
+            with open(os.path.join(self.out_dir, "manifest.json"), "w") as f:
+                json.dump(
+                    {
+                        "ksize": self.ksize,
+                        "chunks": self.chunks,
+                        "n_parts": self.n_parts,
+                        "chunk_ids": self.chunk_ids,
+                    },
+                    f,
+                )
+            self.merge(delete)
+            multihost.gate_open(ctx, self.out_dir, "ctr_done")
+        else:
+            # table consumers (cov) need the merged kmers.counts on
+            # every host before proceeding
+            multihost.gate_wait(ctx, self.out_dir, "ctr_done")
+        multihost.release(ctx, "ctr_merge")
+
     def merge(self, delete: bool) -> None:
+        chunk_ids = self.chunk_ids or list(range(self.chunks))
         out_path = os.path.join(self.out_dir, "kmers.counts")
-        pbar = Progress(self.n_parts * self.chunks, "merging")
+        pbar = Progress(self.n_parts * len(chunk_ids), "merging")
         with open(out_path, "wb") as out:
             for p in range(self.n_parts):
                 ks, cs = [], []
-                for c in range(self.chunks):
+                for c in chunk_ids:
                     k, v = self._read_spill(p, c, delete)
                     ks.append(k)
                     cs.append(v)

@@ -55,6 +55,7 @@ class CovComputer:
         self.norm = True
         self.delim = " "
         self.memory_ceil_gb = 6.0
+        self.mh_ctx = None  # parallel.multihost.HostContext
         self.target_codes = iob.DEFAULT_TARGET_CODES
 
     def set_threads(self, threads: int) -> None:
@@ -72,12 +73,21 @@ class CovComputer:
     def set_max_memory(self, memory_ceil_gb: float) -> None:
         self.memory_ceil_gb = memory_ceil_gb
 
+    def set_multihost(self, ctx) -> None:
+        """Multi-host: the count table builds via the counter's sharded
+        multi-host path (complete global table on every host), then each
+        host vectorises its read shard and host 0 concatenates the
+        kmers.vectors parts."""
+        self.mh_ctx = ctx
+
     def build_table(self) -> None:
         ctr = CountComputer(self.in_path_kmer, self.out_dir, self.ksize)
         if self.threads:
             ctr.set_threads(self.threads)
         ctr.set_max_memory(self.memory_ceil_gb)
         ctr.target_codes = self.target_codes
+        if self.mh_ctx:
+            ctr.set_multihost(self.mh_ctx)
         ctr.count_and_merge(True)
 
     def _load_table(self):
@@ -96,7 +106,10 @@ class CovComputer:
 
     def compute_coverages(self) -> None:
         th, tl, tc = self._load_table()
-        vec_path = os.path.join(self.out_dir, "kmers.vectors")
+        final_path = os.path.join(self.out_dir, "kmers.vectors")
+        vec_path = (
+            self.mh_ctx.part_path(final_path) if self.mh_ctx else final_path
+        )
 
         with open(vec_path, "wb") as out:
             if self.norm:
@@ -127,12 +140,20 @@ class CovComputer:
                     self.in_path,
                     overlap=self.ksize - 1,
                     target_codes=self.target_codes,
+                    shard=(
+                        self.mh_ctx.shard_for(self.in_path)
+                        if self.mh_ctx else None
+                    ),
                 ),
                 lambda b: sharded_step(jnp.asarray(b.codes)),
                 consume,
             )
             agg.finish()
             emitter.finish()
+        if self.mh_ctx:
+            from kmertools_tpu.parallel import multihost
+
+            multihost.finalize_parts(self.mh_ctx, final_path)
 
 
 import functools

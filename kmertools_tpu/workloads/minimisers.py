@@ -67,7 +67,8 @@ class _ReadState:
         self.min_l = 0xFFFFFFFF
 
 
-def _minimise_stream(in_path: str, wsize: int, msize: int, emit, target_codes=None):
+def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
+                     target_codes=None, shard=None):
     """Drive the device kernels over the file; call emit(read_idx, id,
     read_len, records) with records = an array triple
     (values uint64[], starts int64[], ends int64[])."""
@@ -78,6 +79,20 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit, target_codes=No
 
     states: dict[int, _ReadState] = {}
     meta: dict[int, tuple[str, int]] = {}
+
+    # DP-shard every device kernel over the mesh (the all-threads
+    # design of misc/src/minimisers.rs:30-70 mapped to chips); on one
+    # device these are the plain jitted kernels
+    from kmertools_tpu.workloads.common import data_parallel_rows
+
+    dp_whole_min = data_parallel_rows(lambda c: mops.whole_read_min(c, msize))
+    if wsize > 0:
+        dp_win_fused = data_parallel_rows(
+            lambda c: mops.window_min_fused(c, msize, wsize)
+        )
+        dp_win_full = data_parallel_rows(
+            lambda c: mops.window_min(c, msize, wsize)
+        )
 
     def handle_batch_fast(b: iob.Batch, lengths, trail, hasbad) -> bool:
         """Vectorised path for batches of complete single-row reads (the
@@ -97,7 +112,7 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit, target_codes=No
         rids = b.read_idx[:n]
 
         if wsize == 0:
-            mh, ml = mops.whole_read_min(jnp.asarray(b.codes), msize)
+            mh, ml = dp_whole_min(jnp.asarray(b.codes))
             mh = np.asarray(mh)[:n].astype(np.uint64)
             ml = np.asarray(ml)[:n].astype(np.uint64)
             wvals = (mh << np.uint64(2 * nlo)) | ml
@@ -111,7 +126,7 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit, target_codes=No
             if b.codes.shape[1] >= wsize:
                 J_row = np.maximum(0, lengths - wsize + 1)
                 if msize <= 15:
-                    lw = mops.window_min_fused(jnp.asarray(b.codes), msize, wsize)
+                    lw = dp_win_fused(jnp.asarray(b.codes))
                     lw = np.asarray(lw)[:n]
                     Jm = lw.shape[1]
                     col = np.arange(Jm, dtype=np.int64)
@@ -123,7 +138,7 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit, target_codes=No
                     fl = np.concatenate([lw, zcol_u], axis=1).ravel()
                     fv = np.concatenate([v2, zcol_b], axis=1).ravel()
                 else:
-                    h, l, v = mops.window_min(jnp.asarray(b.codes), msize, wsize)
+                    h, l, v = dp_win_full(jnp.asarray(b.codes))
                     h = np.asarray(h)[:n]
                     l = np.asarray(l)[:n]
                     v = np.asarray(v)[:n]
@@ -182,12 +197,12 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit, target_codes=No
         if handle_batch_fast(b, lengths, trail, hasbad):
             return []
         if wsize > 0 and b.codes.shape[1] >= wsize:
-            h, l, v = mops.window_min(jnp.asarray(b.codes), msize, wsize)
+            h, l, v = dp_win_full(jnp.asarray(b.codes))
             h, l, v = np.asarray(h), np.asarray(l), np.asarray(v)
         else:
             h = l = v = None
         if wsize == 0:
-            mh, ml = mops.whole_read_min(jnp.asarray(b.codes), msize)
+            mh, ml = dp_whole_min(jnp.asarray(b.codes))
             mh, ml = np.asarray(mh), np.asarray(ml)
 
         done = []
@@ -269,13 +284,15 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit, target_codes=No
                 recs.append((max_val, rlen - st.trail, rlen))
             emit(ridx, rid, rlen, _tuple_recs(recs))
 
-    for b in iob.stream_path(in_path, overlap=overlap, target_codes=target):
+    for b in iob.stream_path(
+        in_path, overlap=overlap, target_codes=target, shard=shard
+    ):
         flush(handle_batch(b))
     assert not states, "incomplete reads at EOF"
 
 
 def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int = 0,
-               target_codes=None) -> None:
+               target_codes=None, shard=None) -> None:
     """S2m mode (minimisers.rs:87-160)."""
 
     def write_block(payloads: list) -> None:
@@ -343,7 +360,7 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
         def emit(ridx, rid, rlen, recs):
             emitter.add(ridx, (rid, recs))
 
-        _minimise_stream(in_path, wsize, msize, emit, target_codes)
+        _minimise_stream(in_path, wsize, msize, emit, target_codes, shard=shard)
         emitter.finish()
 
 

@@ -103,6 +103,54 @@ def test_cli_range_validation():
         main(["cov", "-i", "x", "-o", "y", "-m", "200"])
 
 
+def test_cli_version(capsys):
+    """clap's version flag analog (args.rs:13-14)."""
+    from kmertools_tpu.version import __version__
+
+    with pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    assert capsys.readouterr().out.strip() == f"kmertools {__version__}"
+
+
+def test_api_stub_surface_matches_runtime():
+    """The shipped .pyi stub names every public runtime symbol."""
+    import ast
+    import pathlib
+
+    import pykmertools as kt
+
+    stub = pathlib.Path(kt.__file__).with_name("__init__.pyi")
+    tree = ast.parse(stub.read_text())
+    stub_names = {
+        n.name for n in tree.body
+        if isinstance(n, (ast.ClassDef, ast.FunctionDef))
+    }
+    for name in ["CgrComputer", "KmerGenerator", "MinimiserGenerator",
+                 "OligoComputer", "utils", "run_cli"]:
+        assert name in stub_names
+        assert hasattr(kt, name)
+    # method surface of each stub class exists at runtime
+    for cls in tree.body:
+        if isinstance(cls, ast.ClassDef) and cls.name != "utils":
+            rt = getattr(kt, cls.name)
+            for meth in cls.body:
+                if isinstance(meth, ast.FunctionDef):
+                    assert hasattr(rt, meth.name), (cls.name, meth.name)
+
+
+def test_oligo_set_max_memory_gb_semantics():
+    """set_max_memory takes GB (reference oligo.rs:61-63) — a drop-in
+    caller passing 6 (GB) must not get a tiny code batch."""
+    from kmertools_tpu.workloads.oligo import OligoComputer
+
+    com = OligoComputer("/dev/null", "/dev/null", 4)
+    com.set_max_memory(6)
+    assert com.target_codes == 1 << 24  # capped device batch
+    com.set_max_memory(0.00001)  # ~10 KB
+    assert com.target_codes == 1 << 14  # floor
+
+
 def test_run_cli_entry(tmp_path, test_data):
     """pykmertools.run_cli mirrors pip/src/lib.rs:11-18."""
     import pykmertools as kt

@@ -2,6 +2,23 @@
 (kmer/src/kmer.rs:113-145) and a brute-force oracle."""
 
 import numpy as np
+
+
+def test_pack_unpack_roundtrip():
+    """pack_planes (host) + unpack_planes (device) reproduce the code
+    plane exactly, including ambiguous/padding positions."""
+    import jax.numpy as jnp
+
+    from kmertools_tpu.io.batch import pack_planes
+    from kmertools_tpu.ops.encode import unpack_planes
+
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 5, size=(16, 128)).astype(np.uint8)  # incl. 4s
+    codes[3, :] = 4  # all-padding row
+    packed, vb = pack_planes(codes)
+    assert packed.shape == (16, 32) and vb.shape == (16, 16)
+    out = np.asarray(unpack_planes(jnp.asarray(packed), jnp.asarray(vb)))
+    assert np.array_equal(out, codes)
 import pytest
 
 from kmertools_tpu.io.batch import encode_bases

@@ -186,19 +186,29 @@ def test_matches_oracle_long_split(tmp_path, seed):
 
 # ------------------------------------------------------------ golden files
 def test_s2m_golden(tmp_path, test_data):
+    from kmertools_tpu.workloads import common
+
+    before = common.MESH_DISPATCHES
     out = tmp_path / "seq_minimisers"
     wmin.seq_to_min(31, 7, str(test_data / "reads.fq"), str(out))
     assert load_lines_sorted(str(out)) == load_lines_sorted(
         str(test_data / "expected_seq_minimisers")
     )
+    # the window-min kernel must have run DP-sharded over the test mesh
+    assert common.MESH_DISPATCHES > before
 
 
 def test_m2s_golden(tmp_path, test_data):
+    from kmertools_tpu.workloads import common
+
+    before = common.MESH_DISPATCHES
     out = tmp_path / "minimisers"
     wmin.bin_sequences(0, 10, str(test_data / "reads.fq"), str(out))
     assert load_lines_sorted(str(out)) == load_lines_sorted(
         str(test_data / "expected_minimisers")
     )
+    # the whole-read-min kernel must have run DP-sharded over the mesh
+    assert common.MESH_DISPATCHES > before
 
 
 @pytest.mark.parametrize("seed", range(3))

@@ -10,7 +10,7 @@ from kmertools_tpu.parallel import (
     distributed_dense_count,
     distributed_oligo_step,
     make_mesh,
-    partitioned_count_exchange,
+    sharded_accum_count,
 )
 from kmertools_tpu.parallel.mesh import shard_batch
 from kmertools_tpu.utils import codec
@@ -67,28 +67,7 @@ def test_distributed_dense_count(mesh):
     assert np.array_equal(global_counts, want)
 
 
-def test_partitioned_count_exchange(mesh):
-    rng = np.random.default_rng(2)
-    codes = _random_codes(rng, 32, 128)
-    k = 21
-    cap = 32 * 128  # generous
-    fn = partitioned_count_exchange(mesh, k, cap)
-    sh, sl, counts, first, overflow = fn(shard_batch(mesh, codes))
-    assert not np.asarray(overflow).any()
-    sh = np.asarray(sh).reshape(8, -1)
-    sl = np.asarray(sl).reshape(8, -1)
-    counts = np.asarray(counts).reshape(8, -1)
-    first = np.asarray(first).reshape(8, -1)
-    got = {}
-    nlo = 16
-    for d in range(8):
-        sel = first[d] & ~((sh[d] == 0xFFFFFFFF) & (sl[d] == 0xFFFFFFFF))
-        for h, l, c in zip(sh[d][sel], sl[d][sel], counts[d][sel]):
-            key = (int(h) << (2 * nlo)) | int(l)
-            # partition ownership: lo % 8 == d
-            assert int(l) % 8 == d
-            got[key] = got.get(key, 0) + int(c)
-    # brute force over all rows
+def _brute_counts(codes, k):
     want = {}
     for row in codes:
         run = 0
@@ -100,4 +79,89 @@ def test_partitioned_count_exchange(mesh):
                     f = f * 4 + int(c)
                 key = min(f, codec.rev_comp(f, k))
                 want[key] = want.get(key, 0) + 1
+    return want
+
+
+def _fresh_state(mesh, ndev, C_dev):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kmertools_tpu.parallel.mesh import DATA_AXIS
+
+    sent = np.uint32(0xFFFFFFFF)
+    sh = NamedSharding(mesh, P(DATA_AXIS, None))
+    mk = jax.jit(
+        lambda: (
+            jnp.full((ndev, C_dev), sent, jnp.uint32),
+            jnp.full((ndev, C_dev), sent, jnp.uint32),
+            jnp.zeros((ndev, C_dev), jnp.uint32),
+        ),
+        out_shardings=(sh, sh, sh),
+    )
+    return mk()
+
+
+def _collect_state(ah, al, ac, k, check_owner=True):
+    nlo = min(k, 16)
+    got = {}
+    ah, al, ac = np.asarray(ah), np.asarray(al), np.asarray(ac)
+    for d in range(ah.shape[0]):
+        live = ac[d] > 0
+        for h, l, c in zip(ah[d][live], al[d][live], ac[d][live]):
+            key = (int(h) << (2 * nlo)) | int(l)
+            if check_owner:
+                assert int(l) % ah.shape[0] == d  # partition ownership
+            assert key not in got  # partitions are disjoint + unique
+            got[key] = int(c)
+    return got
+
+
+def test_sharded_accum_count_exact(mesh):
+    """Two batches merged into the mesh-sharded accumulator match a
+    brute-force count; ownership is lo % ndev (counter lib.rs:127)."""
+    rng = np.random.default_rng(2)
+    k = 21
+    state = list(_fresh_state(mesh, 8, 1024))
+    fn = sharded_accum_count(mesh, k, 1024, cap=512)
+    all_rows = []
+    for _ in range(2):
+        codes = _random_codes(rng, 32, 128)
+        all_rows.append(codes)
+        *state, n_runs, ovf = fn(*state, shard_batch(mesh, codes))
+        assert not np.asarray(ovf).any()
+    got = _collect_state(*state, k)
+    want = _brute_counts(np.concatenate(all_rows), k)
+    assert got == want
+
+
+def test_sharded_accum_count_overflow_rolls_back(mesh):
+    """A too-small exchange bucket must flag overflow and leave every
+    device's accumulator unchanged (consensus rollback)."""
+    rng = np.random.default_rng(3)
+    k = 21
+    state1 = list(_fresh_state(mesh, 8, 2048))
+    fn_small = sharded_accum_count(mesh, k, 2048, cap=2)  # forced tiny
+    codes = _random_codes(rng, 32, 128, n_frac=0.0)
+    *state1, n_runs, ovf = fn_small(*state1, shard_batch(mesh, codes))
+    assert np.asarray(ovf).all()
+    assert _collect_state(*state1, k) == {}  # still empty: rolled back
+    assert (np.asarray(n_runs) == 0).all()
+
+
+def test_device_accumulator_retry_on_overflow(mesh):
+    """DeviceAccumulator recovers exact counts by re-dispatching the
+    rolled-back batch in halves (VERDICT r1 item 8)."""
+    from kmertools_tpu.parallel.ops import sharded_accum_count as sac
+    from kmertools_tpu.workloads.counter import DeviceAccumulator
+
+    rng = np.random.default_rng(4)
+    k = 21
+    codes = _random_codes(rng, 64, 128, n_frac=0.0)
+    acc = DeviceAccumulator(k, target_codes=1 << 16)
+    assert acc.used_mesh
+    # force a tiny exchange bucket so the full batch must overflow
+    acc._step = sac(acc.mesh, k, acc.C_dev, cap=64)
+    acc.add(codes)
+    keys, counts = acc.drain()
+    want = _brute_counts(codes, k)
+    got = dict(zip(keys.tolist(), counts.tolist()))
     assert got == want
