@@ -34,7 +34,7 @@ import time
 
 import numpy as np
 
-N_READS = int(os.environ.get("BENCH_READS", 12_000))
+N_READS = int(os.environ.get("BENCH_READS", 24_000))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", 5_000))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 K = 4
@@ -131,6 +131,9 @@ def ours(in_path: str, out_path: str) -> float:
     from kmertools_tpu.workloads.oligo import OligoComputer
 
     com = OligoComputer(in_path, out_path, K, True)
+    # big device batches: fewer dispatches -> per-op tunnel latency
+    # amortises (the wire itself runs at GB/s)
+    com.set_max_memory(6.0)
     t0 = time.perf_counter()
     com.vectorise()
     return time.perf_counter() - t0

@@ -83,7 +83,23 @@ def pack_planes(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
     The host half of ops.encode.unpack_planes: upload travels at ~2.25
     bits/base instead of 8. Bucket widths are powers of two >= 128, so
-    W is always divisible by 8."""
+    W is always divisible by 8. Native single-pass packer when
+    available; vectorised numpy otherwise (identical output)."""
+    from kmertools_tpu import native
+
+    so = native.lib()
+    if so is not None:
+        codes = np.ascontiguousarray(codes)
+        R, W = codes.shape
+        packed = np.empty((R, W // 4), dtype=np.uint8)
+        vb = np.empty((R, W // 8), dtype=np.uint8)
+        n = so.kt_pack_planes(
+            codes.ctypes.data_as(native.c_u8_p), R, W,
+            packed.ctypes.data_as(native.c_u8_p),
+            vb.ctypes.data_as(native.c_u8_p),
+        )
+        if n == R * (W // 4):
+            return packed, vb
     valid = codes < 4
     c = np.where(valid, codes, 0).astype(np.uint8)
     packed = (

@@ -819,6 +819,38 @@ int64_t kt_format_oligocgr(const char *prefix_blob, const int32_t *prefix_off,
   return p - out;
 }
 
+// ---- 2-bit code packing ---------------------------------------------------
+// (R, W) u8 codes (0..3 valid, 4 = ambiguous/padding) ->
+//   packed (R, W/4): base j of each quad in bits 2j..2j+1
+//   validbits (R, W/8): bit j of each octet = code < 4
+// The host half of ops/encode.py:unpack_planes; W is always a multiple
+// of 8 (power-of-two bucket widths).
+int64_t kt_pack_planes(const uint8_t *codes, int64_t rows, int64_t width,
+                       uint8_t *packed, uint8_t *validbits) {
+  if (width % 8) return -1;
+  const int64_t wq = width / 4, wb = width / 8;
+  for (int64_t r = 0; r < rows; r++) {
+    const uint8_t *c = codes + r * width;
+    uint8_t *p = packed + r * wq;
+    uint8_t *v = validbits + r * wb;
+    for (int64_t i = 0; i < wb; i++) {
+      const uint8_t *q = c + i * 8;
+      uint8_t m0 = 0, m1 = 0, vb = 0;
+      for (int j = 0; j < 4; j++) {
+        uint8_t a = q[j], b = q[4 + j];
+        m0 |= (uint8_t)((a & 3) << (2 * j));
+        m1 |= (uint8_t)((b & 3) << (2 * j));
+        vb |= (uint8_t)(((a < 4) ? 1 : 0) << j);
+        vb |= (uint8_t)(((b < 4) ? 1 : 0) << (4 + j));
+      }
+      p[2 * i] = m0;
+      p[2 * i + 1] = m1;
+      v[i] = vb;
+    }
+  }
+  return rows * wq;
+}
+
 }  // extern "C"
 
 }  // outer extern "C"

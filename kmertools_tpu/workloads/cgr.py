@@ -35,31 +35,58 @@ _CGR_ROW_WIDTHS = (128, 512, 2048, 8192, 32768)
 DEVICE_SCAN_RUNS = 0
 
 
-def _f64_supported() -> bool:
-    """True iff the backend can run f64 math; ENABLES x64 if needed.
+_F64_EXACT: bool | None = None
 
-    The CGR walk needs exact f64 (points are dyadic rationals,
-    composition/src/cgr.rs:127-144), but JAX defaults to x64-off — so a
-    plain CLI run would otherwise silently take the host loop forever.
-    Enabling here is safe: every kernel in this framework names its
-    dtypes explicitly, and the test suite runs fully x64-enabled.
-    Set KMERTOOLS_NO_X64=1 to force the host fallback.
+
+def _f64_supported() -> bool:
+    """True iff the backend runs the CGR scan kernel BIT-EXACTLY in
+    f64; ENABLES x64 if needed.
+
+    The CGR walk needs exact IEEE f64 (the reference's per-step
+    rounding is part of its output bytes, composition/src/cgr.rs:
+    127-144), but JAX defaults to x64-off — so a plain CLI run would
+    otherwise silently take the host loop forever. A dtype probe is
+    NOT enough: TPU emulated f64 runs the elementwise ops correctly
+    rounded yet drifts in the last ulp inside the scan, so the probe
+    runs a real 64-step kernel against the host oracle and falls back
+    on any mismatch. Set KMERTOOLS_NO_X64=1 to force the host path.
     """
+    global _F64_EXACT
+    if _F64_EXACT is not None:
+        return _F64_EXACT
     import os
 
     import jax
 
+    from kmertools_tpu.ops import cgr as cgr_ops
+
     if os.environ.get("KMERTOOLS_NO_X64"):
+        _F64_EXACT = False
         return False
     if not jax.config.read("jax_enable_x64"):
         try:
             jax.config.update("jax_enable_x64", True)
         except Exception:
+            _F64_EXACT = False
             return False
     try:
-        (jnp.zeros(1, jnp.float64) + 1.0).block_until_ready()
+        codes = (np.arange(64) % 4).astype(np.uint8)[None, :]
+        xs, ys = cgr_ops.cgr_scan(jnp.asarray(codes), 1.0, jnp.float64)
+        xs = np.asarray(xs)[0]
+        ys = np.asarray(ys)[0]
+        cx = np.array([0.0, 0.0, 1.0, 1.0])
+        cy = np.array([0.0, 1.0, 1.0, 0.0])
+        hx = hy = 0.5
+        for i, c in enumerate(codes[0]):
+            hx = (hx + cx[c]) / 2.0
+            hy = (hy + cy[c]) / 2.0
+            if hx != xs[i] or hy != ys[i]:
+                _F64_EXACT = False
+                return False
+        _F64_EXACT = True
         return True
     except Exception:
+        _F64_EXACT = False
         return False
 
 

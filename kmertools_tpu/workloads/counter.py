@@ -535,6 +535,9 @@ class CountComputer:
                     out, kmers, counts,
                     acgt_k=self.ksize if self.acgt else None,
                 )
+        # in-memory handoff for composing workloads (coverage): saves
+        # re-parsing the TSV we just wrote
+        self.last_table = (kmers, counts)
         self._write_manifest()
 
     def _count_and_merge_multihost(self, delete: bool) -> None:

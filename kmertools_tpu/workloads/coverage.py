@@ -89,12 +89,21 @@ class CovComputer:
         if self.mh_ctx:
             ctr.set_multihost(self.mh_ctx)
         ctr.count_and_merge(True)
+        # single-chunk single-host counts hand the table over in memory
+        # (coverage/src/lib.rs:82-91 re-reads the file; we skip that)
+        self._table = getattr(ctr, "last_table", None)
 
     def _load_table(self):
         """kmers.counts -> device-resident sorted (hi, lo, count)."""
-        from kmertools_tpu.workloads.counter import _read_tsv
+        table = getattr(self, "_table", None)
+        if table is not None and len(table[0]):
+            kmers, counts = table
+        else:
+            from kmertools_tpu.workloads.counter import _read_tsv
 
-        kmers, counts = _read_tsv(os.path.join(self.out_dir, "kmers.counts"))
+            kmers, counts = _read_tsv(
+                os.path.join(self.out_dir, "kmers.counts")
+            )
         counts = counts.astype(np.int64)
         order = np.argsort(kmers)
         kmers, counts = kmers[order], counts[order]

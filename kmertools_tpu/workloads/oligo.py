@@ -58,10 +58,10 @@ class OligoComputer:
     def set_max_memory(self, memory: float) -> None:
         """Reference semantics: GB of buffered sequence (oligo.rs:61-63,
         composition batch threshold oligo.rs:13). Converted to a batch
-        code budget at 1 base/code; device batches cap at 2^24 codes
-        (beyond that the pipeline already overlaps, so bigger buffers
-        only add latency)."""
-        self.target_codes = int(max(1 << 14, min(memory * (1 << 30), 1 << 24)))
+        code budget at 1 base/code; device batches cap at 2^25 codes
+        (~500 MB of device intermediates; beyond that the pipeline
+        already overlaps, so bigger buffers only add latency)."""
+        self.target_codes = int(max(1 << 14, min(memory * (1 << 30), 1 << 25)))
 
     def set_header(self, header: bool) -> None:
         self.header = header
@@ -107,19 +107,25 @@ class OligoComputer:
             fwd, rc, valid = encode.kmer_ids_small(codes, self.ksize)
             if use_pallas:
                 ids = jnp.minimum(fwd, rc) if self.count_min else fwd
-                return pallas_histogram.per_read_histogram_tpu(
+                counts, totals = pallas_histogram.per_read_histogram_tpu(
                     ids.astype(jnp.int32), valid, bin_values, nbins
                 )
-            if self.count_min:
+            elif self.count_min:
                 ids = jnp.minimum(fwd, rc)
                 counts, totals = histogram.per_read_histogram_gathered(
                     ids, valid, slot_table, nbins
                 )
             else:
                 counts, totals = histogram.per_read_histogram(fwd, valid, nbins)
-            # per-row counts fit in int16 (row width <= 8192): halves the
-            # device->host transfer; host aggregation widens to f64
-            return counts.astype(jnp.int16), totals.astype(jnp.int32)
+            # ONE fused int16 result array [counts | total]: counts and
+            # totals both fit int16 (row width <= 8192), and a single
+            # device->host fetch per batch halves tunnel round-trips —
+            # the dominant cost on remote-attached chips
+            return jnp.concatenate(
+                [counts.astype(jnp.int16),
+                 totals.astype(jnp.int16)[:, None]],
+                axis=1,
+            )
 
         with open(self.out_path, "wb") as out:
             if self.header:
@@ -135,10 +141,11 @@ class OligoComputer:
             emitter = OrderedArrayEmitter(write_slab)
             agg = ArrayAggregator(nbins)
 
-            def consume(meta, counts, totals) -> None:
+            def consume(meta, fused) -> None:
+                arr = np.asarray(fused)
                 ridx, vecs, tots = agg.add_batch(
                     meta.read_idx, meta.last_row,
-                    np.asarray(counts), np.asarray(totals),
+                    arr[:, :nbins], arr[:, nbins].astype(np.int32),
                 )
                 emitter.add(ridx, vecs, tots)
 

@@ -146,7 +146,7 @@ def test_oligo_set_max_memory_gb_semantics():
 
     com = OligoComputer("/dev/null", "/dev/null", 4)
     com.set_max_memory(6)
-    assert com.target_codes == 1 << 24  # capped device batch
+    assert com.target_codes == 1 << 25  # capped device batch
     com.set_max_memory(0.00001)  # ~10 KB
     assert com.target_codes == 1 << 14  # floor
 
