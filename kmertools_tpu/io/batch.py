@@ -28,7 +28,14 @@ from kmertools_tpu.utils.codec import SEQ_NT4_TABLE
 
 import os
 
-DEFAULT_ROW_WIDTHS = (128, 256, 512, 2048, 8192)
+# Dense ladder (all multiples of 128): worst-case padding <= 1.5x and
+# typically <= 1.33x, vs 4x for a pure power-of-two ladder. Padding is
+# not just wasted FLOPs — on remote-attached chips every padded code
+# crosses the host->device wire, the end-to-end bottleneck. Each width
+# compiles each workload's step once per machine (persistent cache).
+DEFAULT_ROW_WIDTHS = (
+    128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096, 5120, 6144, 8192,
+)
 DEFAULT_TARGET_CODES = int(os.environ.get("KMERTOOLS_TARGET_CODES", 1 << 22))
 
 
@@ -78,28 +85,41 @@ class _Bucket:
         )
 
 
-def pack_planes(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(R, W) u8 codes -> ((R, W/4) 2-bit packed, (R, W/8) valid bits).
+def pack_planes(
+    codes: np.ndarray, lengths: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(R, W) u8 codes -> ((R, W/4) 2-bit packed, (R, W/8) valid bits,
+    n_ambig).
 
-    The host half of ops.encode.unpack_planes: upload travels at ~2.25
-    bits/base instead of 8. Bucket widths are powers of two >= 128, so
-    W is always divisible by 8. Native single-pass packer when
-    available; vectorised numpy otherwise (identical output)."""
+    The host half of ops.encode.unpack_planes. ``n_ambig`` counts
+    ambiguous codes inside the given row ``lengths``; when it is 0 the
+    valid plane carries no information beyond the lengths, so callers
+    can upload ``(packed, lengths)`` to ops.encode.unpack_packed —
+    exactly 2 bits/base on the wire, the entropy floor for DNA — and
+    skip the bit plane entirely. Without ``lengths`` n_ambig is -1
+    (unknown; callers must use the plane). Bucket widths are multiples
+    of 8. Native single-pass packer when available; vectorised numpy
+    otherwise (identical output)."""
     from kmertools_tpu import native
 
     so = native.lib()
+    R, W = codes.shape
     if so is not None:
         codes = np.ascontiguousarray(codes)
-        R, W = codes.shape
         packed = np.empty((R, W // 4), dtype=np.uint8)
         vb = np.empty((R, W // 8), dtype=np.uint8)
+        if lengths is not None:
+            lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+            lens_p = lengths.ctypes.data_as(native.c_i32_p)
+        else:
+            lens_p = None
         n = so.kt_pack_planes(
-            codes.ctypes.data_as(native.c_u8_p), R, W,
+            codes.ctypes.data_as(native.c_u8_p), R, W, lens_p,
             packed.ctypes.data_as(native.c_u8_p),
             vb.ctypes.data_as(native.c_u8_p),
         )
-        if n == R * (W // 4):
-            return packed, vb
+        if n >= 0:
+            return packed, vb, (int(n) if lengths is not None else -1)
     valid = codes < 4
     c = np.where(valid, codes, 0).astype(np.uint8)
     packed = (
@@ -109,7 +129,10 @@ def pack_planes(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         | (c[:, 3::4] << 6)
     )
     vb = np.packbits(valid, axis=1, bitorder="little")
-    return packed, vb
+    if lengths is None:
+        return packed, vb, -1
+    in_len = np.arange(W)[None, :] < np.asarray(lengths)[:, None]
+    return packed, vb, int(np.count_nonzero(~valid & in_len))
 
 
 def encode_bases(seq: bytes) -> np.ndarray:
@@ -135,7 +158,8 @@ def batch_stream(
         raise ValueError(f"overlap {overlap} must be < max row width {max_w}")
     buckets = {}
     for w in widths:
-        rows = max(1, target_codes // w)
+        # multiple of 8 so the mesh DP path can row-shard full buckets
+        rows = max(8, (target_codes // w) & ~7)
         buckets[w] = _Bucket(
             width=w,
             rows=rows,

@@ -113,7 +113,9 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_char_p, c_i64,
     ]
     so.kt_pack_planes.restype = c_i64
-    so.kt_pack_planes.argtypes = [c_u8_p, c_i64, c_i64, c_u8_p, c_u8_p]
+    so.kt_pack_planes.argtypes = [
+        c_u8_p, c_i64, c_i64, c_i32_p, c_u8_p, c_u8_p,
+    ]
     so.kt_format_oligocgr.restype = c_i64
     so.kt_format_oligocgr.argtypes = [
         ctypes.c_char_p, c_i32_p, c_i64,

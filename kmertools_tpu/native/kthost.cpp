@@ -374,8 +374,10 @@ void *kt_batcher_open(const char *path, int64_t overlap,
   b->buckets.resize((size_t)n_widths);
   for (int i = 0; i < n_widths; i++) {
     int64_t w = widths[i];
-    int64_t rows = target_codes / w;
-    if (rows < 1) rows = 1;
+    // multiple of 8 so the mesh DP path (workloads/common.py:
+    // data_parallel_rows) can row-shard every full bucket
+    int64_t rows = (target_codes / w) & ~int64_t(7);
+    if (rows < 8) rows = 8;
     b->buckets[(size_t)i].init(w, rows);
   }
   return b;
@@ -824,15 +826,24 @@ int64_t kt_format_oligocgr(const char *prefix_blob, const int32_t *prefix_off,
 //   packed (R, W/4): base j of each quad in bits 2j..2j+1
 //   validbits (R, W/8): bit j of each octet = code < 4
 // The host half of ops/encode.py:unpack_planes; W is always a multiple
-// of 8 (power-of-two bucket widths).
+// of 8. `lengths` (may be null) gives each row's real code count; the
+// return value is the number of ambiguous codes found INSIDE those
+// lengths (-1 on bad width, rows*W/4 + ambig semantics below). When it
+// is 0 the valid plane is fully implied by the lengths and callers can
+// upload (packed, lengths) instead of (packed, validbits) — exactly
+// 2 bits/base on the wire (ops/encode.py:unpack_packed).
+// Returns: -1 on width%8, else the ambiguous-code count (>= 0).
 int64_t kt_pack_planes(const uint8_t *codes, int64_t rows, int64_t width,
+                       const int32_t *lengths,
                        uint8_t *packed, uint8_t *validbits) {
   if (width % 8) return -1;
   const int64_t wq = width / 4, wb = width / 8;
+  int64_t ambig = 0;
   for (int64_t r = 0; r < rows; r++) {
     const uint8_t *c = codes + r * width;
     uint8_t *p = packed + r * wq;
     uint8_t *v = validbits + r * wb;
+    const int64_t len = lengths ? (int64_t)lengths[r] : width;
     for (int64_t i = 0; i < wb; i++) {
       const uint8_t *q = c + i * 8;
       uint8_t m0 = 0, m1 = 0, vb = 0;
@@ -846,9 +857,15 @@ int64_t kt_pack_planes(const uint8_t *codes, int64_t rows, int64_t width,
       p[2 * i] = m0;
       p[2 * i + 1] = m1;
       v[i] = vb;
+      if (vb != 0xFF) {
+        // count ambiguous codes before this row's length
+        const int64_t base = i * 8;
+        for (int j = 0; j < 8; j++)
+          if (base + j < len && q[j] >= 4) ambig++;
+      }
     }
   }
-  return rows * wq;
+  return ambig;
 }
 
 }  // extern "C"

@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from kmertools_tpu.ops.encode import canonical_ids_pair
+from kmertools_tpu.ops.encode import (
+    canonical_ids_pair,
+    unpack_packed,
+    unpack_planes,
+)
 
 # numpy scalar on purpose: a module-level jnp constant would initialise
 # the XLA backend at import time, which breaks jax.distributed.initialize
@@ -178,6 +182,25 @@ def accum_merge(ah, al, ac, codes, k):
         ah, al, ac, fh, fl, jnp.ones_like(fh)
     )
     return uh[:C], ul[:C], uc[:C], n_runs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k",), donate_argnums=(0, 1, 2)
+)
+def accum_merge_planes(ah, al, ac, packed, vb, k):
+    """accum_merge over 2-bit-packed codes + valid-bit plane: the codes
+    never travel as whole bytes — upload is ~3 bits/base and the unpack
+    fuses into the same XLA program as the sort/RLE merge."""
+    return accum_merge(ah, al, ac, unpack_planes(packed, vb), k)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k",), donate_argnums=(0, 1, 2)
+)
+def accum_merge_clean(ah, al, ac, packed, lengths, k):
+    """accum_merge over 2-bit-packed codes + row lengths (the
+    ambiguity-free fast path): exactly 2 bits/base on the wire."""
+    return accum_merge(ah, al, ac, unpack_packed(packed, lengths), k)
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -51,6 +51,25 @@ def unpack_planes(packed: jnp.ndarray, validbits: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid == 1, codes, jnp.uint8(4))
 
 
+@jax.jit
+def unpack_packed(packed: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """(R, W/4) u8 2-bit-packed bases + (R,) i32 row lengths ->
+    (R, W) u8 codes with 4 at padding positions.
+
+    The ambiguity-free fast path: when the host packer found no
+    ambiguous base inside any row (pack_planes n_ambig == 0), validity
+    is fully implied by the row length, so the 1-bit valid plane never
+    crosses the wire — upload is exactly 2 bits/base, the entropy floor
+    for random DNA. io/batch.py:pack_planes decides per batch.
+    """
+    R, Wq = packed.shape
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    codes = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
+    codes = codes.reshape(R, Wq * 4)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (R, Wq * 4), 1)
+    return jnp.where(pos < lengths[:, None], codes, jnp.uint8(4))
+
+
 def _valid_windows(codes: jnp.ndarray, k: int) -> jnp.ndarray:
     """(R, W) codes -> (R, W-k+1) bool: window of k unambiguous bases.
 

@@ -117,7 +117,8 @@ def _bucket_by_partition(fh, fl, ndev: int, cap: int):
     return bh.reshape(ndev, cap), bl.reshape(ndev, cap), overflow
 
 
-def sharded_accum_count(mesh, k: int, C_dev: int, cap: int):
+def sharded_accum_count(mesh, k: int, C_dev: int, cap: int,
+                        mode: str = "codes"):
     """Mesh-sharded exact counting with a per-device resident
     accumulator — the production large-k path.
 
@@ -137,12 +138,23 @@ def sharded_accum_count(mesh, k: int, C_dev: int, cap: int):
     Returns fn(ah, al, ac, codes) -> (ah', al', ac', n_runs, overflow)
     with state shaped (ndev, C_dev) sharded over the mesh, codes
     row-sharded, n_runs/overflow per-device vectors.
+
+    ``mode`` selects the upload wire format ("codes" = raw u8,
+    "planes" = 2-bit packed + valid-bit plane, "clean" = 2-bit packed +
+    row lengths, ambiguity-free): on remote-attached chips the upload
+    bytes matter, and unpacking fuses into the same XLA program.
     """
     ndev = mesh.devices.size
     from kmertools_tpu.ops.count import merge_sorted_counted
 
-    def step(ah, al, ac, codes):
+    def step(ah, al, ac, *data):
         ah, al, ac = ah[0], al[0], ac[0]
+        if mode == "planes":
+            codes = encode.unpack_planes(*data)
+        elif mode == "clean":
+            codes = encode.unpack_packed(*data)
+        else:
+            (codes,) = data
         hi, lo, _ = encode.canonical_ids_pair(codes, k)
         bh, bl, ovf_local = _bucket_by_partition(
             hi.reshape(-1), lo.reshape(-1), ndev, cap
@@ -165,6 +177,12 @@ def sharded_accum_count(mesh, k: int, C_dev: int, cap: int):
         n_out = jnp.where(ovf, live_old, n_runs)
         return nah[None], nal[None], nac[None], n_out[None], ovf[None]
 
+    if mode == "planes":
+        data_specs = (P(DATA_AXIS, None), P(DATA_AXIS, None))
+    elif mode == "clean":
+        data_specs = (P(DATA_AXIS, None), P(DATA_AXIS))
+    else:
+        data_specs = (P(DATA_AXIS, None),)
     return jax.jit(
         shard_map(
             step,
@@ -173,8 +191,7 @@ def sharded_accum_count(mesh, k: int, C_dev: int, cap: int):
                 P(DATA_AXIS, None),
                 P(DATA_AXIS, None),
                 P(DATA_AXIS, None),
-                P(DATA_AXIS, None),
-            ),
+            ) + data_specs,
             out_specs=(
                 P(DATA_AXIS, None),
                 P(DATA_AXIS, None),

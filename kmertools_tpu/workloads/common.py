@@ -54,7 +54,21 @@ def run_pipelined(batches: Iterable, dispatch: Callable, consume: Callable,
             res = dispatch(b)
             if err:
                 break
-            q.put((b, res if isinstance(res, tuple) else (res,)))
+            res = res if isinstance(res, tuple) else (res,)
+            # start the device->host copy NOW (it queues behind the
+            # batch's compute): by the time the writer thread blocks in
+            # np.asarray the bytes are already in flight, so fetches of
+            # successive batches overlap each other and the compute —
+            # on remote-attached chips the fetch path is the narrowest
+            # wire (PERF.md)
+            for r in res:
+                cast = getattr(r, "copy_to_host_async", None)
+                if cast is not None:
+                    try:
+                        cast()
+                    except Exception:
+                        pass
+            q.put((b, res))
     finally:
         q.put(None)
         t.join()

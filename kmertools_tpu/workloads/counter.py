@@ -206,7 +206,12 @@ class DeviceAccumulator:
 
             self.mesh = make_mesh(self.ndev)
             cap = -(-2 * (n_flat // self.ndev) // self.ndev)
-            self._step = sharded_accum_count(self.mesh, ksize, self.C_dev, cap)
+            # one program per upload wire format, built on first use
+            # (codes travel 2-bit packed; see io/batch.py:pack_planes)
+            self._steps: dict = {}
+            self._mk_step = lambda mode: sharded_accum_count(
+                self.mesh, ksize, self.C_dev, cap, mode
+            )
         self._state = None
         self._pending: list = []  # (codes_np, n_runs_dev, ovf_dev | None)
         self._last_n = 0
@@ -240,28 +245,52 @@ class DeviceAccumulator:
         )
         return mk()
 
-    def _dispatch(self, codes_np: np.ndarray):
+    def _dispatch(self, codes_np: np.ndarray,
+                  lengths_np: np.ndarray | None = None):
         if self._state is None:
             self._state = self._fresh_state()
         ah, al, ac = self._state
+        packed, vb, n_ambig = iob.pack_planes(codes_np, lengths_np)
         if not self.used_mesh:
-            ah, al, ac, n = cops.accum_merge(ah, al, ac, jnp.asarray(codes_np), self.k)
+            if n_ambig == 0:
+                ah, al, ac, n = cops.accum_merge_clean(
+                    ah, al, ac, jnp.asarray(packed),
+                    jnp.asarray(lengths_np), self.k,
+                )
+            else:
+                ah, al, ac, n = cops.accum_merge_planes(
+                    ah, al, ac, jnp.asarray(packed), jnp.asarray(vb), self.k
+                )
             self._state = (ah, al, ac)
             return n, None
         from kmertools_tpu.parallel.mesh import pad_rows_to_devices, shard_batch
 
-        codes_np = pad_rows_to_devices(codes_np, self.ndev, 4)
-        codes = shard_batch(self.mesh, codes_np)
-        ah, al, ac, n, ovf = self._step(ah, al, ac, codes)
+        if n_ambig == 0:
+            mode = "clean"
+            aux_np = pad_rows_to_devices(
+                np.asarray(lengths_np, np.int32), self.ndev, 0
+            )
+        else:
+            mode = "planes"
+            aux_np = pad_rows_to_devices(vb, self.ndev, 0)
+        packed = pad_rows_to_devices(packed, self.ndev, 0)
+        step = self._steps.get(mode)
+        if step is None:
+            step = self._steps[mode] = self._mk_step(mode)
+        ah, al, ac, n, ovf = step(
+            ah, al, ac,
+            shard_batch(self.mesh, packed),
+            shard_batch(self.mesh, aux_np),
+        )
         self._state = (ah, al, ac)
         return n, ovf
 
     def _resolve(self, entry) -> int:
         """Block on one pending dispatch; handle overflow retries.
         Returns the post-merge unique count (max over devices)."""
-        codes_np, n_dev, ovf_dev = entry
+        codes_np, lengths_np, n_dev, ovf_dev = entry
         if ovf_dev is not None and bool(np.asarray(ovf_dev).any()):
-            self._retry_halves(codes_np, depth=0)
+            self._retry_halves(codes_np, lengths_np, depth=0)
             n_dev = self._last_n_dev  # set by _retry_halves
         n = int(np.asarray(n_dev).max())
         if n > self.C_dev:
@@ -272,25 +301,29 @@ class DeviceAccumulator:
         self._last_n = n
         return n
 
-    def _retry_halves(self, codes_np: np.ndarray, depth: int) -> None:
+    def _retry_halves(self, codes_np: np.ndarray,
+                      lengths_np: np.ndarray | None, depth: int) -> None:
         """Re-dispatch a rolled-back batch in halves (sync)."""
         if depth > 6:
             raise RuntimeError("partition bucket overflow persisted at row level")
         mid = max(1, codes_np.shape[0] // 2)
-        for half in (codes_np[:mid], codes_np[mid:]):
+        for sl in (slice(None, mid), slice(mid, None)):
+            half = codes_np[sl]
             if half.shape[0] == 0:
                 continue
-            n_dev, ovf_dev = self._dispatch(half)
+            hlen = lengths_np[sl] if lengths_np is not None else None
+            n_dev, ovf_dev = self._dispatch(half, hlen)
             if ovf_dev is not None and bool(np.asarray(ovf_dev).any()):
-                self._retry_halves(half, depth + 1)
+                self._retry_halves(half, hlen, depth + 1)
             else:
                 self._last_n_dev = np.asarray(n_dev)
 
     # -- public API -----------------------------------------------------
-    def add(self, codes_np: np.ndarray) -> int | None:
+    def add(self, codes_np: np.ndarray,
+            lengths_np: np.ndarray | None = None) -> int | None:
         """Dispatch one batch (async). Returns the resolved unique
         count of the batch `LAG` dispatches ago, or None."""
-        entry = (codes_np, *self._dispatch(codes_np))
+        entry = (codes_np, lengths_np, *self._dispatch(codes_np, lengths_np))
         self._pending.append(entry)
         if len(self._pending) > self._LAG:
             return self._resolve(self._pending.pop(0))
@@ -462,7 +495,7 @@ class CountComputer:
             target_codes=self._effective_target(),
             shard=self.mh_ctx.shard_for(self.in_path) if self.mh_ctx else None,
         ):
-            n_unique = acc.add(b.codes)
+            n_unique = acc.add(b.codes, b.lengths)
             pbar.update(int((b.read_idx >= 0).sum()))
             chunk_bases += int(b.lengths.sum())
             if acc.needs_drain(n_unique) or chunk_bases > gate:

@@ -82,15 +82,36 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
 
     # DP-shard every device kernel over the mesh (the all-threads
     # design of misc/src/minimisers.rs:30-70 mapped to chips); on one
-    # device these are the plain jitted kernels
+    # device these are plain jitted kernels. Codes travel 2-bit packed
+    # (+ valid plane only when a batch has ambiguous bases) and unpack
+    # on-device — upload is the narrow wire on remote-attached chips.
+    import jax as _jax
+
+    from kmertools_tpu.ops import encode as _enc
     from kmertools_tpu.workloads.common import data_parallel_rows
 
-    dp_whole_min = data_parallel_rows(lambda c: mops.whole_read_min(c, msize))
+    def _packed_pair(kernel):
+        planes = data_parallel_rows(
+            _jax.jit(lambda p, v: kernel(_enc.unpack_planes(p, v)))
+        )
+        clean = data_parallel_rows(
+            _jax.jit(lambda p, ln: kernel(_enc.unpack_packed(p, ln)))
+        )
+
+        def call(b: iob.Batch):
+            packed, vb, n_ambig = iob.pack_planes(b.codes, b.lengths)
+            if n_ambig == 0:
+                return clean(packed, b.lengths)
+            return planes(packed, vb)
+
+        return call
+
+    dp_whole_min = _packed_pair(lambda c: mops.whole_read_min(c, msize))
     if wsize > 0:
-        dp_win_fused = data_parallel_rows(
+        dp_win_fused = _packed_pair(
             lambda c: mops.window_min_fused(c, msize, wsize)
         )
-        dp_win_full = data_parallel_rows(
+        dp_win_full = _packed_pair(
             lambda c: mops.window_min(c, msize, wsize)
         )
 
@@ -112,7 +133,7 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
         rids = b.read_idx[:n]
 
         if wsize == 0:
-            mh, ml = dp_whole_min(jnp.asarray(b.codes))
+            mh, ml = dp_whole_min(b)
             mh = np.asarray(mh)[:n].astype(np.uint64)
             ml = np.asarray(ml)[:n].astype(np.uint64)
             wvals = (mh << np.uint64(2 * nlo)) | ml
@@ -126,7 +147,7 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
             if b.codes.shape[1] >= wsize:
                 J_row = np.maximum(0, lengths - wsize + 1)
                 if msize <= 15:
-                    lw = dp_win_fused(jnp.asarray(b.codes))
+                    lw = dp_win_fused(b)
                     lw = np.asarray(lw)[:n]
                     Jm = lw.shape[1]
                     col = np.arange(Jm, dtype=np.int64)
@@ -138,7 +159,7 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
                     fl = np.concatenate([lw, zcol_u], axis=1).ravel()
                     fv = np.concatenate([v2, zcol_b], axis=1).ravel()
                 else:
-                    h, l, v = dp_win_full(jnp.asarray(b.codes))
+                    h, l, v = dp_win_full(b)
                     h = np.asarray(h)[:n]
                     l = np.asarray(l)[:n]
                     v = np.asarray(v)[:n]
@@ -197,12 +218,12 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
         if handle_batch_fast(b, lengths, trail, hasbad):
             return []
         if wsize > 0 and b.codes.shape[1] >= wsize:
-            h, l, v = dp_win_full(jnp.asarray(b.codes))
+            h, l, v = dp_win_full(b)
             h, l, v = np.asarray(h), np.asarray(l), np.asarray(v)
         else:
             h = l = v = None
         if wsize == 0:
-            mh, ml = dp_whole_min(jnp.asarray(b.codes))
+            mh, ml = dp_whole_min(b)
             mh, ml = np.asarray(mh), np.asarray(ml)
 
         done = []

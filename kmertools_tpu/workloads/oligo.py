@@ -102,8 +102,7 @@ class OligoComputer:
                 else np.arange(4**self.ksize, dtype=np.int32)
             )
 
-        def device_step(packed, vb):
-            codes = encode.unpack_planes(packed, vb)
+        def _hist(codes):
             fwd, rc, valid = encode.kmer_ids_small(codes, self.ksize)
             if use_pallas:
                 ids = jnp.minimum(fwd, rc) if self.count_min else fwd
@@ -117,15 +116,43 @@ class OligoComputer:
                 )
             else:
                 counts, totals = histogram.per_read_histogram(fwd, valid, nbins)
-            # ONE fused int16 result array [counts | total]: counts and
-            # totals both fit int16 (row width <= 8192), and a single
-            # device->host fetch per batch halves tunnel round-trips —
-            # the dominant cost on remote-attached chips
+            return counts, totals
+
+        def _fuse_u8(counts, totals):
+            """ONE u8 result array [counts_u8 | tot_lo | tot_hi |
+            max_lo | max_hi]: the device->host fetch path is the
+            narrowest wire on remote-attached chips (~10 MB/s at these
+            sizes vs ~800 MB/s upload, PERF.md), so the per-batch
+            payload ships as single bytes. Per-row true maxima ride
+            along; any row whose max exceeds 255 is re-dispatched
+            through the exact int16 program (host side below)."""
+            t = totals.astype(jnp.int32)
+            m = jnp.max(counts, axis=1).astype(jnp.int32)
+            side = jnp.stack(
+                [t & 255, t >> 8, m & 255, m >> 8], axis=1
+            ).astype(jnp.uint8)
+            return jnp.concatenate([counts.astype(jnp.uint8), side], axis=1)
+
+        def _fuse_i16(counts, totals):
+            """Exact path: int16 [counts | total] (row width <= 8192 so
+            both halves fit int16)."""
             return jnp.concatenate(
                 [counts.astype(jnp.int16),
                  totals.astype(jnp.int16)[:, None]],
                 axis=1,
             )
+
+        def step_planes(packed, vb):
+            return _fuse_u8(*_hist(encode.unpack_planes(packed, vb)))
+
+        def step_clean(packed, lengths):
+            return _fuse_u8(*_hist(encode.unpack_packed(packed, lengths)))
+
+        def step_planes_i16(packed, vb):
+            return _fuse_i16(*_hist(encode.unpack_planes(packed, vb)))
+
+        def step_clean_i16(packed, lengths):
+            return _fuse_i16(*_hist(encode.unpack_packed(packed, lengths)))
 
         with open(self.out_path, "wb") as out:
             if self.header:
@@ -141,21 +168,61 @@ class OligoComputer:
             emitter = OrderedArrayEmitter(write_slab)
             agg = ArrayAggregator(nbins)
 
+            # lazily DP-wrapped exact programs for the rare u8-overflow
+            # re-dispatch (a row with some count > 255)
+            exact: dict[str, object] = {}
+
             def consume(meta, fused) -> None:
                 arr = np.asarray(fused)
+                tot = (
+                    arr[:, nbins].astype(np.int32)
+                    | arr[:, nbins + 1].astype(np.int32) << 8
+                )
+                rmax = (
+                    arr[:, nbins + 2].astype(np.int32)
+                    | arr[:, nbins + 3].astype(np.int32) << 8
+                )
+                if bool((rmax > 255).any()):
+                    # exact re-dispatch of the whole batch as int16
+                    packed, vb, n_ambig = iob.pack_planes(
+                        meta.codes, meta.lengths
+                    )
+                    if n_ambig == 0:
+                        fn = exact.setdefault(
+                            "clean", data_parallel_step(step_clean_i16)
+                        )
+                        arr16 = np.asarray(fn(packed, meta.lengths))
+                    else:
+                        fn = exact.setdefault(
+                            "planes", data_parallel_step(step_planes_i16)
+                        )
+                        arr16 = np.asarray(fn(packed, vb))
+                    counts = arr16[:, :nbins]
+                    tot = arr16[:, nbins].astype(np.int32)
+                else:
+                    counts = arr[:, :nbins].astype(np.int16)
                 ridx, vecs, tots = agg.add_batch(
-                    meta.read_idx, meta.last_row,
-                    arr[:, :nbins], arr[:, nbins].astype(np.int32),
+                    meta.read_idx, meta.last_row, counts, tot,
                 )
                 emitter.add(ridx, vecs, tots)
 
             # pipeline: the main thread parses/packs/uploads/dispatches;
             # the writer thread fetches results and formats/writes —
             # device compute, tunnel transfers, and disk writes all
-            # overlap. Codes travel 2-bit packed + a valid-bit plane
-            # (~3.6x fewer upload bytes). With >1 device the step
+            # overlap. Codes travel 2-bit packed; ambiguity-free
+            # batches (the common case) skip the valid-bit plane and
+            # ship row lengths instead — exactly 2 bits/base on the
+            # wire, the upload entropy floor. With >1 device the step
             # row-shards over the mesh (DP).
-            sharded_step = data_parallel_step(device_step)
+            sharded_planes = data_parallel_step(step_planes)
+            sharded_clean = data_parallel_step(step_clean)
+
+            def dispatch(b):
+                packed, vb, n_ambig = iob.pack_planes(b.codes, b.lengths)
+                if n_ambig == 0:
+                    return sharded_clean(packed, b.lengths)
+                return sharded_planes(packed, vb)
+
             run_pipelined(
                 iob.stream_path(
                     self.in_path,
@@ -163,7 +230,7 @@ class OligoComputer:
                     target_codes=self.target_codes,
                     shard=self.input_shard,
                 ),
-                lambda b: sharded_step(*iob.pack_planes(b.codes)),
+                dispatch,
                 consume,
             )
             agg.finish()

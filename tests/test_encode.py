@@ -15,10 +15,40 @@ def test_pack_unpack_roundtrip():
     rng = np.random.default_rng(5)
     codes = rng.integers(0, 5, size=(16, 128)).astype(np.uint8)  # incl. 4s
     codes[3, :] = 4  # all-padding row
-    packed, vb = pack_planes(codes)
+    packed, vb, n_ambig = pack_planes(codes)
     assert packed.shape == (16, 32) and vb.shape == (16, 16)
+    assert n_ambig == -1  # no lengths given -> unknown
     out = np.asarray(unpack_planes(jnp.asarray(packed), jnp.asarray(vb)))
     assert np.array_equal(out, codes)
+
+
+def test_pack_clean_path_equivalence():
+    """For ambiguity-free rows the (packed, lengths) upload must decode
+    to the identical code plane as the (packed, validbits) upload, and
+    n_ambig must count exactly the in-length ambiguous codes."""
+    import jax.numpy as jnp
+
+    from kmertools_tpu.io.batch import pack_planes
+    from kmertools_tpu.ops.encode import unpack_packed, unpack_planes
+
+    rng = np.random.default_rng(11)
+    lengths = np.array([128, 100, 57, 0, 8], dtype=np.int32)
+    codes = np.full((5, 128), 4, dtype=np.uint8)
+    for i, L in enumerate(lengths):
+        codes[i, :L] = rng.integers(0, 4, size=L)
+    packed, vb, n_ambig = pack_planes(codes, lengths)
+    assert n_ambig == 0
+    a = np.asarray(unpack_planes(jnp.asarray(packed), jnp.asarray(vb)))
+    b = np.asarray(unpack_packed(jnp.asarray(packed), jnp.asarray(lengths)))
+    assert np.array_equal(a, b) and np.array_equal(a, codes)
+
+    # now poison two in-length codes and one padding position
+    codes[1, 10] = 4
+    codes[2, 56] = 4
+    codes[0, 127] = 4
+    lengths2 = np.array([127, 100, 57, 0, 8], dtype=np.int32)  # [0,127] pad
+    _, _, n_ambig = pack_planes(codes, lengths2)
+    assert n_ambig == 2
 import pytest
 
 from kmertools_tpu.io.batch import encode_bases

@@ -131,3 +131,21 @@ def test_repeated_pipelined_runs_identical(tmp_path, test_data):
         ).vectorise()
         outs.append(out.read_bytes())
     assert all(o == outs[0] for o in outs[1:])
+
+
+def test_oligo_u8_overflow_exact(tmp_path):
+    """A read where one k-mer count exceeds 255 must take the exact
+    int16 re-dispatch path and still match the brute-force vector
+    (the u8 fetch payload wraps mod 256 without it)."""
+    inp = tmp_path / "poly.fa"
+    # 1500 A's -> count(AAAA) = 1497 > 255; plus a normal read
+    inp.write_text(">p\n" + "A" * 1500 + "\n>q\n" + "ACGTACGTACGT" + "\n")
+    out = tmp_path / "poly.kmers"
+    com = OligoComputer(str(inp), str(out), 4, True)
+    com.set_norm(False)
+    com.vectorise()
+    rows = out.read_text().splitlines()
+    assert rows[0].split()[0] == "1497"  # AAAA is canonical slot 0
+    # normal read untouched by the overflow batch re-dispatch
+    vals = np.array(rows[1].split(), dtype=float)
+    assert vals.sum() == 9  # 12bp -> 9 k-mers
