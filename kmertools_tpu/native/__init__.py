@@ -112,6 +112,12 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_char_p, c_i64_p, c_i64, ctypes.c_int,
         ctypes.c_char_p, c_i64,
     ]
+    so.kt_format_m2s.restype = c_i64
+    so.kt_format_m2s.argtypes = [
+        c_u64_p, c_i64_p, c_i64_p, c_i64_p, c_i64_p,
+        ctypes.c_char_p, c_i64_p, c_i64, ctypes.c_int,
+        ctypes.c_char_p, c_i64,
+    ]
     so.kt_pack_planes.restype = c_i64
     so.kt_pack_planes.argtypes = [
         c_u8_p, c_i64, c_i64, c_i32_p, c_u8_p, c_u8_p,

@@ -770,6 +770,58 @@ int64_t kt_format_s2m(const uint64_t *vals, const int64_t *starts,
   return p - out;
 }
 
+// m2s minimiser-group lines (misc/src/minimisers.rs:11-85 output):
+// `ACGT\t[("id", s, e), ("id", s, e)]\n` — one line per distinct
+// minimiser, records in read order within the group. Group g's key is
+// vals[g] and its records live at [bounds[g], bounds[g+1]); rid_of
+// maps a record to its read, ids are a NUL-separated blob indexed by
+// id_off. Returns bytes written or -1 on cap overflow.
+int64_t kt_format_m2s(const uint64_t *vals, const int64_t *bounds,
+                      const int64_t *starts, const int64_t *ends,
+                      const int64_t *rid_of, const char *ids_blob,
+                      const int64_t *id_off, int64_t n_groups, int msize,
+                      char *out, int64_t cap) {
+  static const char B[4] = {'A', 'C', 'G', 'T'};
+  char *p = out;
+  char *end = out + cap;
+  for (int64_t g = 0; g < n_groups; g++) {
+    if (end - p < msize + 3) return -1;
+    uint64_t kv = vals[g];
+    for (int j = msize - 1; j >= 0; j--) {
+      p[j] = B[kv & 3];
+      kv >>= 2;
+    }
+    p += msize;
+    *p++ = '\t';
+    *p++ = '[';
+    for (int64_t i = bounds[g]; i < bounds[g + 1]; i++) {
+      const char *id = ids_blob + id_off[rid_of[i]];
+      size_t idlen = strlen(id);
+      if (end - p < (int64_t)idlen + 56) return -1;
+      if (i != bounds[g]) {
+        *p++ = ',';
+        *p++ = ' ';
+      }
+      *p++ = '(';
+      *p++ = '"';
+      memcpy(p, id, idlen);
+      p += idlen;
+      *p++ = '"';
+      *p++ = ',';
+      *p++ = ' ';
+      p = itoa_u64((uint64_t)starts[i], p);
+      *p++ = ',';
+      *p++ = ' ';
+      p = itoa_u64((uint64_t)ends[i], p);
+      *p++ = ')';
+    }
+    if (end - p < 2) return -1;
+    *p++ = ']';
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
 // Oligo-CGR lines: per row, "(x,y,freq) (x,y,freq) ... (x,y,freq)\n"
 // (composition/src/oligocgr.rs:82-119). The "(x,y," prefixes are fixed
 // per column (NUL-separated blob); freq renders via fmt_f64_rust with a

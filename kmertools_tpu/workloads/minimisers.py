@@ -429,8 +429,50 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
         firsts = np.empty(len(vals), dtype=bool)
         firsts[0] = True
         np.not_equal(vals[1:], vals[:-1], out=firsts[1:])
-        bounds = np.append(np.flatnonzero(firsts), len(vals))
-        acgts = codec.numeric_to_kmer_array(vals[bounds[:-1]], msize)
+        bounds = np.append(np.flatnonzero(firsts), len(vals)).astype(np.int64)
+        gvals = np.ascontiguousarray(vals[bounds[:-1]], dtype=np.uint64)
+
+        from kmertools_tpu import native
+
+        so = native.lib()
+        if so is not None:
+            import ctypes
+
+            blob_parts = []
+            id_off = np.zeros(len(all_rid), dtype=np.int64)
+            idlens = np.zeros(len(all_rid), dtype=np.int64)
+            pos = 0
+            for i, rid in enumerate(all_rid):
+                bb = rid.encode() + b"\0"
+                blob_parts.append(bb)
+                id_off[i] = pos
+                idlens[i] = len(bb) - 1
+                pos += len(bb)
+            blob = b"".join(blob_parts)
+            ss64 = np.ascontiguousarray(ss, dtype=np.int64)
+            ee64 = np.ascontiguousarray(ee, dtype=np.int64)
+            rid64 = np.ascontiguousarray(rid_of, dtype=np.int64)
+            n_groups = len(bounds) - 1
+            cap = int(
+                idlens[rid64].sum() + 56 * len(vals)
+                + (msize + 8) * n_groups + 64
+            )
+            buf = ctypes.create_string_buffer(cap)
+            n = so.kt_format_m2s(
+                gvals.ctypes.data_as(native.c_u64_p),
+                bounds.ctypes.data_as(native.c_i64_p),
+                ss64.ctypes.data_as(native.c_i64_p),
+                ee64.ctypes.data_as(native.c_i64_p),
+                rid64.ctypes.data_as(native.c_i64_p),
+                blob,
+                id_off.ctypes.data_as(native.c_i64_p),
+                n_groups, msize, buf, cap,
+            )
+            if n >= 0:
+                out.write(buf.raw[:n])
+                return
+
+        acgts = codec.numeric_to_kmer_array(gvals, msize)
         for g in range(len(bounds) - 1):
             a, z = bounds[g], bounds[g + 1]
             body = ", ".join(
