@@ -143,7 +143,15 @@ def main() -> None:
     import tempfile
 
     os.environ.setdefault("KMERTOOLS_QUIET", "1")
-    tmp = tempfile.mkdtemp(prefix="ktbench")
+    # tmpfs when available: this box's disk writeback throttles in
+    # bursts (26-440 MB/s swings run-to-run), which would decide the
+    # headline instead of the pipeline under test. Both sides read and
+    # write the same medium, so the comparison stays fair.
+    shm = "/dev/shm"
+    tmp = tempfile.mkdtemp(
+        prefix="ktbench",
+        dir=shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None,
+    )
     corpus = os.path.join(tmp, "bench.fa")
     total_bases = make_corpus(corpus)
 

@@ -39,15 +39,59 @@ DEFAULT_ROW_WIDTHS = (
 DEFAULT_TARGET_CODES = int(os.environ.get("KMERTOOLS_TARGET_CODES", 1 << 22))
 
 
-@dataclass
 class Batch:
-    codes: np.ndarray  # (R, W) uint8 base codes, 4 = ambiguous or padding
-    lengths: np.ndarray  # (R,) int32 valid codes per row
-    read_idx: np.ndarray  # (R,) int64 global read index, -1 for padding rows
-    row_start: np.ndarray  # (R,) int64 offset of the row's first base in its read
-    last_row: np.ndarray  # (R,) bool, True when the row is its read's final row
-    ids: dict  # read_idx -> id, for reads whose first row is in this batch
-    read_lengths: dict  # read_idx -> full read length, same keys as `ids`
+    """One fixed-shape batch of encoded reads.
+
+    Rows carry uint8 base codes (0..3, 4 = ambiguous or padding). The
+    codes exist in two interchangeable representations, each built
+    lazily from the other and cached:
+
+      * ``codes``    — (R, W) u8, one byte per base (host compute)
+      * ``planes()`` — ((R, W/4) 2-bit packed, (R, W/8) valid bits,
+        n_ambig) — the upload wire format (ops/encode.py:unpack_planes)
+
+    The native batcher produces planes directly (never materialising a
+    Python-side codes array); the pure-Python batcher produces codes.
+    Workloads ask for whichever side they need.
+    """
+
+    __slots__ = (
+        "_codes", "_planes", "lengths", "read_idx", "row_start",
+        "last_row", "ids", "read_lengths",
+    )
+
+    def __init__(self, lengths, read_idx, row_start, last_row, ids,
+                 read_lengths, codes=None, planes=None):
+        assert codes is not None or planes is not None
+        self._codes = codes
+        self._planes = planes
+        self.lengths = lengths  # (R,) int32 valid codes per row
+        self.read_idx = read_idx  # (R,) int64 global read index, -1 = pad row
+        self.row_start = row_start  # (R,) int64 row's first-base offset
+        self.last_row = last_row  # (R,) bool, row is its read's final row
+        self.ids = ids  # read_idx -> id, reads whose first row is here
+        self.read_lengths = read_lengths  # read_idx -> full read length
+
+    @property
+    def codes(self) -> np.ndarray:
+        if self._codes is None:
+            packed, vb, _ = self._planes
+            R, Wq = packed.shape
+            shifts = np.arange(4, dtype=np.uint8) * 2
+            codes = (
+                (packed[:, :, None] >> shifts[None, None, :]) & np.uint8(3)
+            ).reshape(R, Wq * 4)
+            valid = np.unpackbits(
+                vb, axis=1, bitorder="little", count=Wq * 4
+            )
+            self._codes = np.where(valid == 1, codes, np.uint8(4))
+        return self._codes
+
+    def planes(self) -> tuple[np.ndarray, np.ndarray, int]:
+        """(packed, validbits, n_ambig) — see pack_planes."""
+        if self._planes is None:
+            self._planes = pack_planes(self._codes, self.lengths)
+        return self._planes
 
 
 @dataclass
@@ -274,9 +318,22 @@ def native_batch_stream(
             )
             # everything is copied out of the C++-owned bucket buffers:
             # consumers (pipelined workloads) hold Batch objects across
-            # iterations, after which the buckets are reset and refilled
-            codes = np.ctypeslib.as_array(codes_p, shape=(R, W)).copy()
+            # iterations, after which the buckets are reset and refilled.
+            # Codes leave as 2-bit planes packed straight from the
+            # bucket's buffer (kt_pack_planes releases the GIL) — the
+            # wire format every device step uploads; a byte-per-base
+            # copy is never made unless a host path asks for .codes.
             lengths = np.ctypeslib.as_array(len_p, shape=(R,)).copy()
+            packed = np.empty((R, W // 4), dtype=np.uint8)
+            vb = np.empty((R, W // 8), dtype=np.uint8)
+            n_ambig = int(
+                so.kt_pack_planes(
+                    codes_p, R, W,
+                    len_p,
+                    packed.ctypes.data_as(native.c_u8_p),
+                    vb.ctypes.data_as(native.c_u8_p),
+                )
+            )
             read_idx = np.ctypeslib.as_array(ridx_p, shape=(R,)).copy()
             row_start = np.ctypeslib.as_array(rstart_p, shape=(R,)).copy()
             last_row = np.ctypeslib.as_array(last_p, shape=(R,)).astype(bool)
@@ -292,7 +349,7 @@ def native_batch_stream(
                     ids[int(r)] = name.decode()
                     read_lengths[int(r)] = int(l)
             yield Batch(
-                codes=codes,
+                planes=(packed, vb, n_ambig),
                 lengths=lengths,
                 read_idx=read_idx,
                 row_start=row_start,

@@ -76,6 +76,51 @@ def run_pipelined(batches: Iterable, dispatch: Callable, consume: Callable,
         raise err[0]
 
 
+class AsyncWriter:
+    """Write-behind wrapper for a binary file: ``write`` enqueues the
+    chunk and returns; a drain thread performs the actual writes.
+
+    This makes output a third pipeline stage: parse/upload (producer
+    thread) | fetch/format (consumer thread) | disk (this thread). The
+    box's disk writeback throttles in bursts (26-440 MB/s swings), and
+    without this stage a stalled ``write`` blocks the fetch of the next
+    batch even though the device is idle. The queue depth bounds
+    buffered output chunks; errors surface on the next write/close.
+    """
+
+    def __init__(self, f, depth: int = 8):
+        self._f = f
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._err: list[BaseException] = []
+        self._t = threading.Thread(target=self._drain, daemon=True)
+        self._t.start()
+
+    def _drain(self) -> None:
+        while True:
+            chunk = self._q.get()
+            if chunk is None:
+                return
+            if self._err:
+                continue  # drain so a bounded put never deadlocks
+            try:
+                self._f.write(chunk)
+            except BaseException as e:
+                self._err.append(e)
+
+    def write(self, data) -> None:
+        if self._err:
+            raise self._err[0]
+        self._q.put(data)
+
+    def close(self) -> None:
+        """Drain and join; raises any deferred write error. Does NOT
+        close the underlying file (callers own it)."""
+        self._q.put(None)
+        self._t.join()
+        if self._err:
+            raise self._err[0]
+
+
 class RowAggregator:
     """Aggregates per-row device outputs into per-read vectors.
 

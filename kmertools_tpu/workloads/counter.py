@@ -245,12 +245,11 @@ class DeviceAccumulator:
         )
         return mk()
 
-    def _dispatch(self, codes_np: np.ndarray,
-                  lengths_np: np.ndarray | None = None):
+    def _dispatch(self, planes, lengths_np: np.ndarray | None = None):
         if self._state is None:
             self._state = self._fresh_state()
         ah, al, ac = self._state
-        packed, vb, n_ambig = iob.pack_planes(codes_np, lengths_np)
+        packed, vb, n_ambig = planes
         if not self.used_mesh:
             if n_ambig == 0:
                 ah, al, ac, n = cops.accum_merge_clean(
@@ -288,9 +287,9 @@ class DeviceAccumulator:
     def _resolve(self, entry) -> int:
         """Block on one pending dispatch; handle overflow retries.
         Returns the post-merge unique count (max over devices)."""
-        codes_np, lengths_np, n_dev, ovf_dev = entry
+        planes, lengths_np, n_dev, ovf_dev = entry
         if ovf_dev is not None and bool(np.asarray(ovf_dev).any()):
-            self._retry_halves(codes_np, lengths_np, depth=0)
+            self._retry_halves(planes, lengths_np, depth=0)
             n_dev = self._last_n_dev  # set by _retry_halves
         n = int(np.asarray(n_dev).max())
         if n > self.C_dev:
@@ -301,16 +300,17 @@ class DeviceAccumulator:
         self._last_n = n
         return n
 
-    def _retry_halves(self, codes_np: np.ndarray,
-                      lengths_np: np.ndarray | None, depth: int) -> None:
-        """Re-dispatch a rolled-back batch in halves (sync)."""
+    def _retry_halves(self, planes, lengths_np: np.ndarray | None,
+                      depth: int) -> None:
+        """Re-dispatch a rolled-back batch in row halves (sync)."""
         if depth > 6:
             raise RuntimeError("partition bucket overflow persisted at row level")
-        mid = max(1, codes_np.shape[0] // 2)
+        packed, vb, n_ambig = planes
+        mid = max(1, packed.shape[0] // 2)
         for sl in (slice(None, mid), slice(mid, None)):
-            half = codes_np[sl]
-            if half.shape[0] == 0:
+            if packed[sl].shape[0] == 0:
                 continue
+            half = (packed[sl], vb[sl], n_ambig)
             hlen = lengths_np[sl] if lengths_np is not None else None
             n_dev, ovf_dev = self._dispatch(half, hlen)
             if ovf_dev is not None and bool(np.asarray(ovf_dev).any()):
@@ -319,11 +319,16 @@ class DeviceAccumulator:
                 self._last_n_dev = np.asarray(n_dev)
 
     # -- public API -----------------------------------------------------
-    def add(self, codes_np: np.ndarray,
-            lengths_np: np.ndarray | None = None) -> int | None:
+    def add(self, codes_np: np.ndarray | None = None,
+            lengths_np: np.ndarray | None = None,
+            planes=None) -> int | None:
         """Dispatch one batch (async). Returns the resolved unique
-        count of the batch `LAG` dispatches ago, or None."""
-        entry = (codes_np, lengths_np, *self._dispatch(codes_np, lengths_np))
+        count of the batch `LAG` dispatches ago, or None. Callers pass
+        either raw ``codes_np`` (packed here) or prebuilt ``planes``
+        (the batcher's wire format — no byte-per-base array exists)."""
+        if planes is None:
+            planes = iob.pack_planes(codes_np, lengths_np)
+        entry = (planes, lengths_np, *self._dispatch(planes, lengths_np))
         self._pending.append(entry)
         if len(self._pending) > self._LAG:
             return self._resolve(self._pending.pop(0))
@@ -495,7 +500,7 @@ class CountComputer:
             target_codes=self._effective_target(),
             shard=self.mh_ctx.shard_for(self.in_path) if self.mh_ctx else None,
         ):
-            n_unique = acc.add(b.codes, b.lengths)
+            n_unique = acc.add(lengths_np=b.lengths, planes=b.planes())
             pbar.update(int((b.read_idx >= 0).sum()))
             chunk_bases += int(b.lengths.sum())
             if acc.needs_drain(n_unique) or chunk_bases > gate:

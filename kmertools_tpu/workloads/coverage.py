@@ -27,6 +27,7 @@ from kmertools_tpu.ops import encode, histogram, pallas_histogram
 from kmertools_tpu.utils.fmt import emit_count_slab, emit_norm_slab
 from kmertools_tpu.workloads.common import (
     ArrayAggregator,
+    AsyncWriter,
     OrderedArrayEmitter,
     data_parallel_step,
     run_pipelined,
@@ -120,7 +121,9 @@ class CovComputer:
             self.mh_ctx.part_path(final_path) if self.mh_ctx else final_path
         )
 
-        with open(vec_path, "wb") as out:
+        with open(vec_path, "wb") as raw:
+            # disk writes ride behind the fetch/format thread
+            out = AsyncWriter(raw)
             if self.norm:
                 def write_slab(vecs: np.ndarray, tots: np.ndarray) -> None:
                     out.write(emit_norm_slab(vecs, tots, self.delim))
@@ -158,26 +161,29 @@ class CovComputer:
             )
 
             def dispatch(b):
-                packed, vb, n_ambig = iob.pack_planes(b.codes, b.lengths)
+                packed, vb, n_ambig = b.planes()
                 if n_ambig == 0:
                     return step_clean(packed, b.lengths)
                 return step_planes(packed, vb)
 
-            run_pipelined(
-                iob.stream_path(
-                    self.in_path,
-                    overlap=self.ksize - 1,
-                    target_codes=self.target_codes,
-                    shard=(
-                        self.mh_ctx.shard_for(self.in_path)
-                        if self.mh_ctx else None
+            try:
+                run_pipelined(
+                    iob.stream_path(
+                        self.in_path,
+                        overlap=self.ksize - 1,
+                        target_codes=self.target_codes,
+                        shard=(
+                            self.mh_ctx.shard_for(self.in_path)
+                            if self.mh_ctx else None
+                        ),
                     ),
-                ),
-                dispatch,
-                consume,
-            )
-            agg.finish()
-            emitter.finish()
+                    dispatch,
+                    consume,
+                )
+                agg.finish()
+                emitter.finish()
+            finally:
+                out.close()
         if self.mh_ctx:
             from kmertools_tpu.parallel import multihost
 

@@ -99,7 +99,7 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
         )
 
         def call(b: iob.Batch):
-            packed, vb, n_ambig = iob.pack_planes(b.codes, b.lengths)
+            packed, vb, n_ambig = b.planes()
             if n_ambig == 0:
                 return clean(packed, b.lengths)
             return planes(packed, vb)

@@ -23,6 +23,7 @@ from kmertools_tpu.utils import codec
 from kmertools_tpu.utils.fmt import emit_count_slab, emit_norm_slab
 from kmertools_tpu.workloads.common import (
     ArrayAggregator,
+    AsyncWriter,
     OrderedArrayEmitter,
     data_parallel_step,
     run_pipelined,
@@ -154,7 +155,11 @@ class OligoComputer:
         def step_clean_i16(packed, lengths):
             return _fuse_i16(*_hist(encode.unpack_packed(packed, lengths)))
 
-        with open(self.out_path, "wb") as out:
+        with open(self.out_path, "wb") as raw:
+            # third pipeline stage: disk writes happen behind the
+            # fetch/format thread so writeback stalls never idle the
+            # device (common.AsyncWriter)
+            out = AsyncWriter(raw)
             if self.header:
                 out.write((self.delim.join(self.get_header()) + "\n").encode())
 
@@ -184,9 +189,7 @@ class OligoComputer:
                 )
                 if bool((rmax > 255).any()):
                     # exact re-dispatch of the whole batch as int16
-                    packed, vb, n_ambig = iob.pack_planes(
-                        meta.codes, meta.lengths
-                    )
+                    packed, vb, n_ambig = meta.planes()
                     if n_ambig == 0:
                         fn = exact.setdefault(
                             "clean", data_parallel_step(step_clean_i16)
@@ -218,20 +221,23 @@ class OligoComputer:
             sharded_clean = data_parallel_step(step_clean)
 
             def dispatch(b):
-                packed, vb, n_ambig = iob.pack_planes(b.codes, b.lengths)
+                packed, vb, n_ambig = b.planes()
                 if n_ambig == 0:
                     return sharded_clean(packed, b.lengths)
                 return sharded_planes(packed, vb)
 
-            run_pipelined(
-                iob.stream_path(
-                    self.in_path,
-                    overlap=self.ksize - 1,
-                    target_codes=self.target_codes,
-                    shard=self.input_shard,
-                ),
-                dispatch,
-                consume,
-            )
-            agg.finish()
-            emitter.finish()
+            try:
+                run_pipelined(
+                    iob.stream_path(
+                        self.in_path,
+                        overlap=self.ksize - 1,
+                        target_codes=self.target_codes,
+                        shard=self.input_shard,
+                    ),
+                    dispatch,
+                    consume,
+                )
+                agg.finish()
+                emitter.finish()
+            finally:
+                out.close()
