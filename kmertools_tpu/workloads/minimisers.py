@@ -385,25 +385,177 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
         emitter.finish()
 
 
+def _write_group_lines(out, msize: int, vals: np.ndarray, ss: np.ndarray,
+                       ee: np.ndarray, rid_of: np.ndarray,
+                       all_rid: list) -> None:
+    """Format+write ``MIN\\t[(id, s, e), ...]`` lines for a val-sorted
+    record chunk (every group fully contained in the chunk). Within a
+    group the records must already be in read order."""
+    if not len(vals):
+        return
+    firsts = np.empty(len(vals), dtype=bool)
+    firsts[0] = True
+    np.not_equal(vals[1:], vals[:-1], out=firsts[1:])
+    bounds = np.append(np.flatnonzero(firsts), len(vals)).astype(np.int64)
+    gvals = np.ascontiguousarray(vals[bounds[:-1]], dtype=np.uint64)
+
+    from kmertools_tpu import native
+
+    so = native.lib()
+    if so is not None:
+        import ctypes
+
+        # only the read ids actually referenced travel into the blob
+        uniq, local = np.unique(rid_of, return_inverse=True)
+        blob_parts = []
+        id_off = np.zeros(len(uniq), dtype=np.int64)
+        idlens = np.zeros(len(uniq), dtype=np.int64)
+        pos = 0
+        for i, g in enumerate(uniq):
+            bb = all_rid[g].encode() + b"\0"
+            blob_parts.append(bb)
+            id_off[i] = pos
+            idlens[i] = len(bb) - 1
+            pos += len(bb)
+        blob = b"".join(blob_parts)
+        ss64 = np.ascontiguousarray(ss, dtype=np.int64)
+        ee64 = np.ascontiguousarray(ee, dtype=np.int64)
+        rid64 = np.ascontiguousarray(local, dtype=np.int64)
+        n_groups = len(bounds) - 1
+        cap = int(
+            idlens[rid64].sum() + 56 * len(vals)
+            + (msize + 8) * n_groups + 64
+        )
+        buf = ctypes.create_string_buffer(cap)
+        n = so.kt_format_m2s(
+            gvals.ctypes.data_as(native.c_u64_p),
+            bounds.ctypes.data_as(native.c_i64_p),
+            ss64.ctypes.data_as(native.c_i64_p),
+            ee64.ctypes.data_as(native.c_i64_p),
+            rid64.ctypes.data_as(native.c_i64_p),
+            blob,
+            id_off.ctypes.data_as(native.c_i64_p),
+            n_groups, msize, buf, cap,
+        )
+        if n >= 0:
+            out.write(buf.raw[:n])
+            return
+
+    acgts = codec.numeric_to_kmer_array(gvals, msize)
+    for g in range(len(bounds) - 1):
+        a, z = bounds[g], bounds[g + 1]
+        body = ", ".join(
+            f'("{all_rid[rid_of[j]]}", {ss[j]}, {ee[j]})'
+            for j in range(a, z)
+        )
+        out.write(b'%s\t[%s]\n' % (acgts[g], body.encode()))
+
+
+def _merge_sorted_runs(runs: list, emit_chunk, chunk: int = 1 << 20) -> None:
+    """K-way merge of val-sorted record runs; calls ``emit_chunk(vals,
+    ss, ee, rid_of)`` with val-complete chunks (no group ever split
+    across two calls). ``runs`` items are (vals, ss, ee, rid_of) array
+    quadruples (memory-mapped for spilled runs). Read order within a
+    group is preserved: runs are chronological and the merge is stable
+    by run index."""
+    pos = [0] * len(runs)
+    while True:
+        live = [i for i in range(len(runs)) if pos[i] < len(runs[i][0])]
+        if not live:
+            return
+        # pivot = smallest "last value within the next `chunk` records"
+        # over live runs; gathering ALL records <= pivot from every run
+        # keeps groups complete and guarantees progress
+        pivot = min(
+            runs[i][0][min(pos[i] + chunk, len(runs[i][0])) - 1] for i in live
+        )
+        parts = []
+        for i in live:
+            v = runs[i][0]
+            hi = int(np.searchsorted(v[pos[i]:], pivot, side="right")) + pos[i]
+            if hi > pos[i]:
+                parts.append(tuple(np.asarray(a[pos[i]:hi]) for a in runs[i]))
+                pos[i] = hi
+        vals = np.concatenate([p[0] for p in parts])
+        ss = np.concatenate([p[1] for p in parts])
+        ee = np.concatenate([p[2] for p in parts])
+        rid_of = np.concatenate([p[3] for p in parts])
+        order = np.argsort(vals, kind="stable")  # stable: run order kept
+        emit_chunk(vals[order], ss[order], ee[order], rid_of[order])
+
+
+# ~24 B/record resident; default ceiling mirrors the reference's 6 GB
+# default memory budget (kmertools/src/args.rs:163-165)
+_M2S_DEFAULT_SPILL_RECORDS = (6 << 30) // 24
+
+
 def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
                   threads: int = 0, target_codes=None) -> None:
     """M2s mode (minimisers.rs:11-85); deterministic minimiser-sorted
     output with read-ordered group entries (reference map/scan order is
-    nondeterministic; its tests sort lines: minimisers.rs:169-187)."""
-    # accumulate flat record arrays in read order; group once at the end
+    nondeterministic; its tests sort lines: minimisers.rs:169-187).
+
+    Out-of-core: past a memory ceiling (KMERTOOLS_M2S_SPILL_RECORDS,
+    default = 6 GB worth of records) accumulated records spill to
+    val-sorted runs beside the output file and the final pass k-way
+    merges the runs — the reference's whole-map-in-RAM design
+    (minimisers.rs:21) is its scalability cliff; this removes it."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    spill_limit = int(
+        _os.environ.get("KMERTOOLS_M2S_SPILL_RECORDS",
+                        _M2S_DEFAULT_SPILL_RECORDS)
+    )
+    # accumulate flat record arrays in read order; group at the end
     all_vals: list[np.ndarray] = []
     all_s: list[np.ndarray] = []
     all_e: list[np.ndarray] = []
-    all_rid: list[str] = []
-    all_counts: list[int] = []
+    all_ridx: list[np.ndarray] = []  # per-record global read index
+    all_rid: list[str] = []          # read-index -> id (strings stay in RAM)
+    pending = 0
+    spill_dir: list = [None]
+    runs: list = []
+
+    def _sorted_quad():
+        vals = np.concatenate(all_vals).astype(np.uint64)
+        ss = np.concatenate(all_s).astype(np.int64)
+        ee = np.concatenate(all_e).astype(np.int64)
+        rid_of = np.concatenate(all_ridx)
+        order = np.argsort(vals, kind="stable")  # keeps read order per group
+        return vals[order], ss[order], ee[order], rid_of[order]
+
+    def _spill_run() -> None:
+        nonlocal pending
+        if spill_dir[0] is None:
+            spill_dir[0] = tempfile.mkdtemp(
+                prefix=_os.path.basename(out_path) + ".spill.",
+                dir=_os.path.dirname(_os.path.abspath(out_path)),
+            )
+        vals, ss, ee, rid_of = _sorted_quad()
+        base = _os.path.join(spill_dir[0], f"run_{len(runs)}")
+        np.save(base + ".v.npy", vals)
+        np.save(base + ".s.npy", ss)
+        np.save(base + ".e.npy", ee)
+        np.save(base + ".r.npy", rid_of)
+        runs.append(base)
+        all_vals.clear(); all_s.clear(); all_e.clear(); all_ridx.clear()
+        pending = 0
 
     def write_block(payloads: list) -> None:
+        nonlocal pending
         for rid, (v, s, e) in payloads:
-            all_vals.append(v)
-            all_s.append(s)
-            all_e.append(e)
+            ridx = len(all_rid)
             all_rid.append(rid)
-            all_counts.append(len(v))
+            if len(v):
+                all_vals.append(v)
+                all_s.append(s)
+                all_e.append(e)
+                all_ridx.append(np.full(len(v), ridx, dtype=np.int64))
+                pending += len(v)
+        if pending >= spill_limit:
+            _spill_run()
 
     emitter = OrderedEmitter(write_block, block=4096)
 
@@ -412,71 +564,29 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
 
     _minimise_stream(in_path, wsize, msize, emit, target_codes)
     emitter.finish()
-    with open(out_path, "wb") as out:
-        if not all_rid:
-            return
-        vals = np.concatenate(all_vals).astype(np.uint64)
-        ss = np.concatenate(all_s)
-        ee = np.concatenate(all_e)
-        rid_of = np.repeat(
-            np.arange(len(all_rid), dtype=np.int64),
-            np.array(all_counts, dtype=np.int64),
-        )
-        if not len(vals):
-            return
-        order = np.argsort(vals, kind="stable")  # keeps read order per group
-        vals, ss, ee, rid_of = vals[order], ss[order], ee[order], rid_of[order]
-        firsts = np.empty(len(vals), dtype=bool)
-        firsts[0] = True
-        np.not_equal(vals[1:], vals[:-1], out=firsts[1:])
-        bounds = np.append(np.flatnonzero(firsts), len(vals)).astype(np.int64)
-        gvals = np.ascontiguousarray(vals[bounds[:-1]], dtype=np.uint64)
-
-        from kmertools_tpu import native
-
-        so = native.lib()
-        if so is not None:
-            import ctypes
-
-            blob_parts = []
-            id_off = np.zeros(len(all_rid), dtype=np.int64)
-            idlens = np.zeros(len(all_rid), dtype=np.int64)
-            pos = 0
-            for i, rid in enumerate(all_rid):
-                bb = rid.encode() + b"\0"
-                blob_parts.append(bb)
-                id_off[i] = pos
-                idlens[i] = len(bb) - 1
-                pos += len(bb)
-            blob = b"".join(blob_parts)
-            ss64 = np.ascontiguousarray(ss, dtype=np.int64)
-            ee64 = np.ascontiguousarray(ee, dtype=np.int64)
-            rid64 = np.ascontiguousarray(rid_of, dtype=np.int64)
-            n_groups = len(bounds) - 1
-            cap = int(
-                idlens[rid64].sum() + 56 * len(vals)
-                + (msize + 8) * n_groups + 64
-            )
-            buf = ctypes.create_string_buffer(cap)
-            n = so.kt_format_m2s(
-                gvals.ctypes.data_as(native.c_u64_p),
-                bounds.ctypes.data_as(native.c_i64_p),
-                ss64.ctypes.data_as(native.c_i64_p),
-                ee64.ctypes.data_as(native.c_i64_p),
-                rid64.ctypes.data_as(native.c_i64_p),
-                blob,
-                id_off.ctypes.data_as(native.c_i64_p),
-                n_groups, msize, buf, cap,
-            )
-            if n >= 0:
-                out.write(buf.raw[:n])
+    try:
+        with open(out_path, "wb") as out:
+            if not runs:
+                if not all_vals:
+                    return
+                vals, ss, ee, rid_of = _sorted_quad()
+                _write_group_lines(out, msize, vals, ss, ee, rid_of, all_rid)
                 return
-
-        acgts = codec.numeric_to_kmer_array(gvals, msize)
-        for g in range(len(bounds) - 1):
-            a, z = bounds[g], bounds[g + 1]
-            body = ", ".join(
-                f'("{all_rid[rid_of[j]]}", {ss[j]}, {ee[j]})'
-                for j in range(a, z)
+            if all_vals:
+                _spill_run()
+            quads = [
+                tuple(
+                    np.load(f"{base}.{t}.npy", mmap_mode="r")
+                    for t in ("v", "s", "e", "r")
+                )
+                for base in runs
+            ]
+            _merge_sorted_runs(
+                quads,
+                lambda v, s, e, r: _write_group_lines(
+                    out, msize, v, s, e, r, all_rid
+                ),
             )
-            out.write(b'%s\t[%s]\n' % (acgts[g], body.encode()))
+    finally:
+        if spill_dir[0] is not None:
+            shutil.rmtree(spill_dir[0], ignore_errors=True)

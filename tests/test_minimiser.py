@@ -235,3 +235,39 @@ def test_matches_oracle_mixed_batch(tmp_path, seed):
     wmin._minimise_stream(str(fa), 31, 7, emit)
     for i, s in enumerate(reads):
         assert per_read[f"r{i}"] == oracle_minimisers(s.encode(), 31, 7), f"r{i}"
+
+
+def test_m2s_spill_mode_identical(tmp_path, test_data, monkeypatch):
+    """Out-of-core m2s (tiny spill ceiling -> many sorted runs + k-way
+    merge) must produce byte-identical output to the in-memory mode."""
+    ref = tmp_path / "mem"
+    wmin.bin_sequences(20, 10, str(test_data / "reads.fq"), str(ref))
+    monkeypatch.setenv("KMERTOOLS_M2S_SPILL_RECORDS", "3")
+    out = tmp_path / "spill"
+    wmin.bin_sequences(20, 10, str(test_data / "reads.fq"), str(out))
+    assert out.read_bytes() == ref.read_bytes()
+    assert not list(tmp_path.glob("spill.spill.*"))  # temp runs cleaned
+
+    # and the w=0 golden still holds under spilling
+    out2 = tmp_path / "minimisers"
+    wmin.bin_sequences(0, 10, str(test_data / "reads.fq"), str(out2))
+    assert load_lines_sorted(str(out2)) == load_lines_sorted(
+        str(test_data / "expected_minimisers")
+    )
+
+
+def test_m2s_spill_mode_synthetic_many_runs(tmp_path, monkeypatch):
+    """Larger synthetic corpus: dozens of runs, groups spanning runs."""
+    rng = np.random.default_rng(5)
+    reads = [
+        "".join(rng.choice(list("ACGT"), size=int(rng.integers(60, 160))))
+        for _ in range(40)
+    ]
+    fa = tmp_path / "many.fa"
+    fa.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(reads)))
+    ref = tmp_path / "mem"
+    wmin.bin_sequences(25, 9, str(fa), str(ref))
+    monkeypatch.setenv("KMERTOOLS_M2S_SPILL_RECORDS", "7")
+    out = tmp_path / "spill"
+    wmin.bin_sequences(25, 9, str(fa), str(out))
+    assert out.read_bytes() == ref.read_bytes()
