@@ -24,7 +24,6 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 from kmertools_tpu.ops import encode, histogram
-from kmertools_tpu.ops.count import batch_count_runs
 from kmertools_tpu.parallel.mesh import DATA_AXIS
 
 # numpy scalar on purpose: a module-level jnp constant would initialise
@@ -145,7 +144,7 @@ def sharded_accum_count(mesh, k: int, C_dev: int, cap: int,
     bytes matter, and unpacking fuses into the same XLA program.
     """
     ndev = mesh.devices.size
-    from kmertools_tpu.ops.count import merge_sorted_counted
+    from kmertools_tpu.ops.count import merge_unique_sorted, pairs_unique_sorted
 
     def step(ah, al, ac, *data):
         ah, al, ac = ah[0], al[0], ac[0]
@@ -166,14 +165,14 @@ def sharded_accum_count(mesh, k: int, C_dev: int, cap: int,
         xl = lax.all_to_all(bl, DATA_AXIS, split_axis=0, concat_axis=0)
         rh = xh.reshape(-1)
         rl = xl.reshape(-1)
-        uh, ul, uc, n_runs = merge_sorted_counted(
-            ah, al, ac, rh, rl, jnp.ones_like(rh)
-        )
-        C = ah.shape[0]
+        # dedupe the received partition at exchange size, then merge
+        # into the resident accumulator sort-free (no lax.sort over C)
+        dh, dl, dc, _ = pairs_unique_sorted(rh, rl)
+        uh, ul, uc, n_runs = merge_unique_sorted(ah, al, ac, dh, dl, dc)
         live_old = jnp.sum(ac > 0, dtype=jnp.int32)
-        nah = jnp.where(ovf, ah, uh[:C])
-        nal = jnp.where(ovf, al, ul[:C])
-        nac = jnp.where(ovf, ac, uc[:C])
+        nah = jnp.where(ovf, ah, uh)
+        nal = jnp.where(ovf, al, ul)
+        nac = jnp.where(ovf, ac, uc)
         n_out = jnp.where(ovf, live_old, n_runs)
         return nah[None], nal[None], nac[None], n_out[None], ovf[None]
 
