@@ -158,169 +158,10 @@ def merge_sorted_counted(ah, al, ac, bh, bl, bc):
     return uh, ul, uc, n_runs
 
 
-# ---------------------------------------------------------------------------
-# Sort-free accumulator merge.
-#
-# XLA's TPU `sort` lowers to a compare-exchange network whose program
-# size grows with the array, so sorting the (accumulator + batch)
-# concatenation — 30M+ elements every batch — is pathological on two
-# axes at once: compile time (the remote compile of one such program
-# exceeded 55 minutes) and HBM traffic (hundreds of passes over the
-# state). But the accumulator is ALREADY sorted, and the batch can be
-# sorted/deduplicated at batch size. Merging two sorted-unique arrays
-# needs no sort at all — lower-bound joins give every element its
-# merge-path position and an inverse search materialises the output —
-# all fori_loop binary searches + gathers + cumsums: small programs,
-# O(n log n) with tiny constants.
-# ---------------------------------------------------------------------------
-
-
 def _steps_for(n: int) -> int:
     # search space is [0, n] — n+1 candidate answers — so a power-of-two
     # table needs bit_length(n) steps, not bit_length(n-1)
     return max(1, int(n).bit_length())
-
-
-def _lower_bound_pairs(qh, ql, th, tl):
-    """Per-query lower-bound position of (qh, ql) in the ascending
-    2-key table (th, tl): first index whose key is >= the query.
-    Returns int32 in [0, len(t)]. fori_loop, never unrolled."""
-    n = th.shape[0]
-    steps = _steps_for(n)
-
-    def body(_, state):
-        lo, hi = state
-        mid = (lo + hi) // 2
-        safe = jnp.clip(mid, 0, n - 1)
-        mh = jnp.take(th, safe)
-        ml = jnp.take(tl, safe)
-        less = (mh < qh) | ((mh == qh) & (ml < ql))
-        return (
-            jnp.where(less, mid + 1, lo).astype(jnp.int32),
-            jnp.where(less, hi, mid).astype(jnp.int32),
-        )
-
-    # derive the initial carry from BOTH operands so it carries their
-    # manual-sharding axes under shard_map (scan carries must match)
-    zero = (qh * 0 + th[0] * 0).astype(jnp.int32)
-    lo, _ = lax.fori_loop(0, steps, body, (zero, zero + jnp.int32(n)))
-    return lo
-
-
-def _search_i32(tab, q, upper: bool):
-    """Lower (first tab[i] >= q) / upper (first tab[i] > q) bound of
-    int32 queries in an ascending int32 table."""
-    n = tab.shape[0]
-    steps = _steps_for(n)
-
-    def body(_, state):
-        lo, hi = state
-        mid = (lo + hi) // 2
-        safe = jnp.clip(mid, 0, n - 1)
-        mv = jnp.take(tab, safe)
-        less = (mv <= q) if upper else (mv < q)
-        return (
-            jnp.where(less, mid + 1, lo).astype(jnp.int32),
-            jnp.where(less, hi, mid).astype(jnp.int32),
-        )
-
-    # carry derives from both operands: see _lower_bound_pairs
-    zero = (q * 0 + tab[0] * 0).astype(jnp.int32)
-    lo, _ = lax.fori_loop(0, steps, body, (zero, zero + jnp.int32(n)))
-    return lo
-
-
-def pairs_unique_sorted(fh, fl):
-    """Flat (possibly duplicated, sentinel-padded) canonical pairs ->
-    sorted-unique (uh, ul, uc, n_runs), sentinel-tailed with ZERO tail
-    counts. One 2-key sort at batch size + RLE + binary-search
-    compaction (no second multi-operand sort)."""
-    sh, sl = lax.sort((fh, fl), num_keys=2)
-    n = sh.shape[0]
-    ph = jnp.concatenate([jnp.full((1,), ~_SENT, jnp.uint32), sh[:-1]])
-    pl = jnp.concatenate([jnp.full((1,), ~_SENT, jnp.uint32), sl[:-1]])
-    sent = (sh == _SENT) & (sl == _SENT)
-    first = (((sh != ph) | (sl != pl)).at[0].set(True)) & ~sent
-    idx = jnp.arange(n, dtype=jnp.int32)
-    nxt = jnp.concatenate([first[1:] | sent[1:], jnp.ones((1,), bool)])
-    bpos = jnp.where(nxt, idx + 1, n)
-    nb = lax.associative_scan(jnp.minimum, bpos, reverse=True)
-    counts = (nb - idx).astype(jnp.uint32)  # valid at `first` positions
-    ck = jnp.cumsum(first.astype(jnp.int32))  # inclusive kept-rank
-    n_runs = ck[n - 1]
-    # t-th kept element lives at the first position where ck == t+1
-    kidx = _search_i32(ck, idx + 1, upper=False)
-    kc = jnp.clip(kidx, 0, n - 1)
-    live = idx < n_runs
-    uh = jnp.where(live, jnp.take(sh, kc), _SENT)
-    ul = jnp.where(live, jnp.take(sl, kc), _SENT)
-    uc = jnp.where(live, jnp.take(counts, kc), jnp.uint32(0))
-    return uh, ul, uc, n_runs
-
-
-def merge_unique_sorted(ah, al, ac, bh, bl, bc):
-    """Merge sorted-unique sentinel-tailed B into sorted-unique
-    sentinel-tailed A (capacity C = len(a)); counts are zero on both
-    tails. Returns (oh, ol, oc, n_runs) of length C — the merged set
-    compacted to the prefix, sentinel-tailed. NO lax.sort anywhere:
-
-      1. join A->B adds duplicate keys' counts into A,
-      2. join B->A flags B's genuinely new keys,
-      3. merge-path positions: pos(A_i) = i + |new B keys < A_i|,
-      4. inverse binary search materialises output slot t from either
-         A or the t-|A<=t|'th new B key.
-
-    The identity in (3)/(4) is the textbook merge-path decomposition;
-    A's sentinel rows land past the live region automatically because
-    sentinel keys exceed every valid key."""
-    C = ah.shape[0]
-    M = bh.shape[0]
-    a_live = ac > jnp.uint32(0)
-    nA = jnp.sum(a_live, dtype=jnp.int32)
-
-    # 1) duplicate counts fold into A (B tail counts are 0, so matching
-    # sentinel keys add nothing)
-    posAinB = _lower_bound_pairs(ah, al, bh, bl)
-    pb = jnp.clip(posAinB, 0, M - 1)
-    matchA = (
-        (posAinB < M)
-        & (jnp.take(bh, pb) == ah)
-        & (jnp.take(bl, pb) == al)
-    )
-    ac2 = ac + jnp.where(matchA & a_live, jnp.take(bc, pb), jnp.uint32(0))
-
-    # 2) B's new keys
-    posBinA = _lower_bound_pairs(bh, bl, ah, al)
-    pa = jnp.clip(posBinA, 0, C - 1)
-    foundB = (
-        (posBinA < C)
-        & (jnp.take(ah, pa) == bh)
-        & (jnp.take(al, pa) == bl)
-    )
-    newB = (bc > jnp.uint32(0)) & ~foundB
-    cnew = jnp.cumsum(newB.astype(jnp.int32))  # inclusive
-    total_new = cnew[M - 1]
-
-    # 3) merge-path position of every A row (strictly increasing).
-    # |B keys < A_i| = posAinB; new ones among them = exclusive cnew.
-    excl_new = jnp.where(
-        posAinB > 0, jnp.take(cnew, jnp.clip(posAinB - 1, 0, M - 1)), 0
-    )
-    posA = jnp.arange(C, dtype=jnp.int32) + excl_new
-
-    # 4) inverse: output slot t
-    t = jnp.arange(C, dtype=jnp.int32)
-    cA = _search_i32(posA, t, upper=True)  # |posA <= t|
-    iA = jnp.clip(cA - 1, 0, C - 1)
-    fromA = (cA > 0) & (jnp.take(posA, iA) == t)
-    r = t - cA  # rank among new B keys
-    jB = _search_i32(cnew, r + 1, upper=False)
-    jBc = jnp.clip(jB, 0, M - 1)
-    oh = jnp.where(fromA, jnp.take(ah, iA), jnp.take(bh, jBc))
-    ol = jnp.where(fromA, jnp.take(al, iA), jnp.take(bl, jBc))
-    oc = jnp.where(fromA, jnp.take(ac2, iA), jnp.take(bc, jBc))
-    n_runs = nA + total_new
-    return oh, ol, oc, n_runs
 
 
 @functools.partial(
@@ -340,15 +181,24 @@ def accum_merge(ah, al, ac, codes, k):
     n_runs is exact even when it exceeds C (the host treats that as a
     hard error).
 
-    The batch is sorted/deduplicated at BATCH size, then merged into
-    the accumulator sort-free (merge_unique_sorted) — the program never
-    contains a lax.sort over the capacity-C state, which kept remote
-    TPU compiles O(batch) instead of O(capacity) and cuts the per-batch
-    HBM traffic from hundreds of compare-exchange passes over C to a
-    handful of binary-search/gather passes."""
+    Performance note (measured on a v5e): this program's cost is the
+    lax.sort over (C + batch) elements, and XLA's TPU sort lowers to a
+    compare-exchange network whose COMPILE time grows superlinearly
+    with the array — a C=33.5M accumulator took >55 min of remote
+    compile. A binary-search/gather merge (no sort over C) was tried
+    and compiles fine but RUNS 45 s/batch: TPU gathers move ~1e8
+    elem/s, and a 25-step search over C-sized queries is ~2.5e9
+    gathered elements. Sort wins at bounded capacity, so the counter
+    caps its batch target (workloads/counter.py:_CTR_TARGET_CODES) to
+    keep C ~= 9M and this sort ~= 10M elements."""
     hi, lo, _ = canonical_ids_pair(codes, k)
-    bh, bl, bc, _ = pairs_unique_sorted(hi.reshape(-1), lo.reshape(-1))
-    return merge_unique_sorted(ah, al, ac, bh, bl, bc)
+    fh = hi.reshape(-1)
+    fl = lo.reshape(-1)
+    C = ah.shape[0]
+    uh, ul, uc, n_runs = merge_sorted_counted(
+        ah, al, ac, fh, fl, jnp.ones_like(fh)
+    )
+    return uh[:C], ul[:C], uc[:C], n_runs
 
 
 @functools.partial(

@@ -144,7 +144,7 @@ def sharded_accum_count(mesh, k: int, C_dev: int, cap: int,
     bytes matter, and unpacking fuses into the same XLA program.
     """
     ndev = mesh.devices.size
-    from kmertools_tpu.ops.count import merge_unique_sorted, pairs_unique_sorted
+    from kmertools_tpu.ops.count import merge_sorted_counted
 
     def step(ah, al, ac, *data):
         ah, al, ac = ah[0], al[0], ac[0]
@@ -165,14 +165,14 @@ def sharded_accum_count(mesh, k: int, C_dev: int, cap: int,
         xl = lax.all_to_all(bl, DATA_AXIS, split_axis=0, concat_axis=0)
         rh = xh.reshape(-1)
         rl = xl.reshape(-1)
-        # dedupe the received partition at exchange size, then merge
-        # into the resident accumulator sort-free (no lax.sort over C)
-        dh, dl, dc, _ = pairs_unique_sorted(rh, rl)
-        uh, ul, uc, n_runs = merge_unique_sorted(ah, al, ac, dh, dl, dc)
+        uh, ul, uc, n_runs = merge_sorted_counted(
+            ah, al, ac, rh, rl, jnp.ones_like(rh)
+        )
+        C = ah.shape[0]
         live_old = jnp.sum(ac > 0, dtype=jnp.int32)
-        nah = jnp.where(ovf, ah, uh)
-        nal = jnp.where(ovf, al, ul)
-        nac = jnp.where(ovf, ac, uc)
+        nah = jnp.where(ovf, ah, uh[:C])
+        nal = jnp.where(ovf, al, ul[:C])
+        nac = jnp.where(ovf, ac, uc[:C])
         n_out = jnp.where(ovf, live_old, n_runs)
         return nah[None], nal[None], nac[None], n_out[None], ovf[None]
 

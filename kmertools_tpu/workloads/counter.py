@@ -23,6 +23,7 @@ map-scan order is nondeterministic and its tests sort before comparing
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 
@@ -150,6 +151,50 @@ def _read_tsv(path: str):
 
 def _pow2_at_least(n: int, floor: int = 1 << 10) -> int:
     return max(floor, 1 << max(0, (n - 1).bit_length()))
+
+
+# Counter batches are capped well below the global streaming target:
+# the accumulator's capacity scales with the batch (C ~= 8x growth so
+# the spill mark stays useful), and the per-batch merge sorts
+# (C + batch) elements — XLA's TPU sort compile time grows
+# superlinearly with that (a 37M-element merge took >55 min of remote
+# compile; ~10M compiles in minutes and its runtime is HBM-bound
+# either way). 2-bit uploads make the smaller batches nearly free.
+_CTR_TARGET_CODES = int(os.environ.get("KMERTOOLS_CTR_TARGET", 1 << 20))
+
+_DRAIN_PIECE_FLOOR = 1 << 16
+
+
+def _prefix_pieces(n: int, cap: int) -> list:
+    """Decompose a prefix fetch of n entries into a few power-of-two
+    (offset, size) pieces (each size compiles one tiny dynamic_slice
+    program, reused forever). Covers ceil(n / floor) * floor entries,
+    so transfer overshoot is < 1 piece instead of the up-to-2x of a
+    single pow2 bucket."""
+    m = min(cap, -(-n // _DRAIN_PIECE_FLOOR) * _DRAIN_PIECE_FLOOR)
+    pieces = []
+    off = 0
+    rem = m
+    while rem:
+        size = 1 << (rem.bit_length() - 1)
+        size = max(size, _DRAIN_PIECE_FLOOR)
+        size = min(size, cap - off)
+        pieces.append((off, size))
+        off += size
+        rem = max(0, m - off)
+    return pieces
+
+
+@functools.lru_cache(maxsize=None)
+def _slice_fn(size: int, to_u16: bool):
+    import jax
+    from jax import lax as jlax
+
+    def f(arr, off):
+        s = jlax.dynamic_slice(arr, (off,), (size,))
+        return s.astype(jnp.uint16) if to_u16 else s
+
+    return jax.jit(f)
 
 
 class DeviceAccumulator:
@@ -353,14 +398,25 @@ class DeviceAccumulator:
         else:
             # per-device live counts from the final merge
             n_per_dev = np.full(self.ndev, self._last_n)
-        L = min(int(_pow2_at_least(int(n_per_dev.max()))), self.C_dev)
         small_hi = self.k <= 23
         if not self.used_mesh:
-            hi = np.asarray(ah[:L].astype(jnp.uint16) if small_hi else ah[:L])
-            lo = np.asarray(al[:L])
-            ct = np.asarray(ac[:L])
+            # exact-prefix fetch in a few pow2 pieces: transfer is
+            # ~n entries (not pow2(n), up to 2x) and each piece size is
+            # one tiny cached dynamic_slice program
+            n_need = int(n_per_dev.max())
+            ph, plo, pct = [], [], []
+            for off, size in _prefix_pieces(n_need, self.C_dev):
+                o = np.int32(off)
+                ph.append(np.asarray(_slice_fn(size, small_hi)(ah, o)))
+                plo.append(np.asarray(_slice_fn(size, False)(al, o)))
+                pct.append(np.asarray(_slice_fn(size, False)(ac, o)))
+            hdt = np.uint16 if small_hi else np.uint32
+            hi = np.concatenate(ph) if ph else np.empty(0, hdt)
+            lo = np.concatenate(plo) if plo else np.empty(0, np.uint32)
+            ct = np.concatenate(pct) if pct else np.empty(0, np.uint32)
             hi, lo, ct = hi[None], lo[None], ct[None]
         else:
+            L = min(int(_pow2_at_least(int(n_per_dev.max()))), self.C_dev)
             hi = np.asarray(
                 ah[:, :L].astype(jnp.uint16) if small_hi else ah[:, :L]
             )
@@ -411,7 +467,7 @@ class CountComputer:
         self.n_devices = None  # None = all visible devices
         self.mh_ctx = None  # parallel.multihost.HostContext
         self.chunk_ids: list[int] = []
-        self.target_codes = iob.DEFAULT_TARGET_CODES
+        self.target_codes = min(iob.DEFAULT_TARGET_CODES, _CTR_TARGET_CODES)
 
     def set_threads(self, threads: int) -> None:
         if threads > 0:

@@ -226,72 +226,6 @@ def test_counter_transfer_scales_with_uniques(tmp_path):
     assert drains == [n_unique]  # one drain, uniques only
 
 
-def test_merge_unique_sorted_oracle():
-    """Sort-free accumulator merge vs a dict oracle: random sorted-unique
-    A/B sets incl. empty sides, duplicate keys, pow2 capacities (pins
-    the binary-search step count: the [0, n] search space of a pow2
-    table needs bit_length(n) iterations)."""
-    import jax.numpy as jnp
-
-    from kmertools_tpu.ops import count as cops
-
-    rng = np.random.default_rng(0)
-    SENT = np.uint32(0xFFFFFFFF)
-
-    def mk(keys, counts, cap):
-        h = np.full(cap, SENT, np.uint32)
-        low = np.full(cap, SENT, np.uint32)
-        cc = np.zeros(cap, np.uint32)
-        h[: len(keys)] = (keys >> 16).astype(np.uint32)
-        low[: len(keys)] = (keys & 0xFFFF).astype(np.uint32)
-        cc[: len(keys)] = counts
-        return h, low, cc
-
-    for trial in range(60):
-        C = int(rng.choice([16, 64, 128]))
-        M = int(rng.choice([8, 32, 40]))
-        nB = int(rng.integers(0, min(M, 25, C - 1) + 1))
-        nA = int(rng.integers(0, max(1, C - nB)))
-        akeys = np.sort(rng.choice(200, nA, replace=False)).astype(np.uint64)
-        acnts = rng.integers(1, 5, nA).astype(np.uint32)
-        bkeys = np.sort(rng.choice(200, nB, replace=False)).astype(np.uint64)
-        bcnts = rng.integers(1, 5, nB).astype(np.uint32)
-        args = [jnp.asarray(a) for a in mk(akeys, acnts, C) + mk(bkeys, bcnts, M)]
-        oh, ol, oc, n = map(np.asarray, cops.merge_unique_sorted(*args))
-        d = dict(zip(akeys.tolist(), acnts.tolist()))
-        for k2, v in zip(bkeys.tolist(), bcnts.tolist()):
-            d[k2] = d.get(k2, 0) + v
-        exp = sorted(d.items())
-        got = [((int(oh[i]) << 16) | int(ol[i]), int(oc[i])) for i in range(int(n))]
-        assert int(n) == len(exp) and got == exp, trial
-        assert (oh[int(n):] == SENT).all() and (oc[int(n):] == 0).all(), trial
-
-
-def test_pairs_unique_sorted_oracle():
-    from collections import Counter
-
-    import jax.numpy as jnp
-
-    from kmertools_tpu.ops import count as cops
-
-    rng = np.random.default_rng(1)
-    SENT = np.uint32(0xFFFFFFFF)
-    for trial in range(30):
-        n = int(rng.choice([16, 64, 100]))
-        keys = rng.choice(50, n).astype(np.uint64)
-        sent_mask = rng.random(n) < 0.2
-        h = np.where(sent_mask, SENT, keys >> 16).astype(np.uint32)
-        low = np.where(sent_mask, SENT, keys & 0xFFFF).astype(np.uint32)
-        uh, ul, uc, nr = map(
-            np.asarray,
-            cops.pairs_unique_sorted(jnp.asarray(h), jnp.asarray(low)),
-        )
-        exp = sorted(Counter(keys[~sent_mask].tolist()).items())
-        got = [((int(uh[i]) << 16) | int(ul[i]), int(uc[i])) for i in range(int(nr))]
-        assert got == exp, trial
-        assert (uh[int(nr):] == SENT).all() and (uc[int(nr):] == 0).all(), trial
-
-
 def test_lookup_counts_pow2_table_exhaustive():
     """Every key of a power-of-two-sized table must be found — the
     binary search needs bit_length(n) steps for the [0, n] answer
