@@ -34,80 +34,6 @@ import numpy as _np
 _SENT = _np.uint32(0xFFFFFFFF)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def batch_count_runs(codes: jnp.ndarray, k: int):
-    """Sort + RLE the batch's canonical k-mers.
-
-    Returns flat arrays (N = R * P):
-      sh, sl:  sorted canonical pairs (sentinels last)
-      first:   bool, position starts a new run
-      counts:  run length at `first` positions (garbage elsewhere)
-    """
-    hi, lo, _ = canonical_ids_pair(codes, k)
-    fh = hi.reshape(-1)
-    fl = lo.reshape(-1)
-    sh, sl = lax.sort((fh, fl), num_keys=2)
-    n = sh.shape[0]
-    ph = jnp.concatenate([jnp.full((1,), ~_SENT, jnp.uint32), sh[:-1]])
-    pl = jnp.concatenate([jnp.full((1,), ~_SENT, jnp.uint32), sl[:-1]])
-    first = (sh != ph) | (sl != pl)
-    # position 0 always starts a run (k-mer value 0 == AAAA.. is real)
-    first = first.at[0].set(True)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    # next run boundary after i (reverse cummin of boundary positions)
-    nxt = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
-    bpos = jnp.where(nxt, idx + 1, n)
-    nb = lax.associative_scan(jnp.minimum, bpos, reverse=True)
-    counts = nb - idx
-    return sh, sl, first, counts
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def batch_sorted_pairs(codes: jnp.ndarray, k: int):
-    """Sorted canonical (hi, lo) pairs only — the minimal device->host
-    payload for the counter. Boundary detection and run-length counting
-    are a vectorised diff+reduceat on the host over the already-sorted
-    arrays (they cost nothing there, and halving the transfer dominates).
-
-    For k <= 23 the hi half holds <= 14 bits, so it travels as uint16
-    (sentinel 0xFFFFFFFF truncates to 0xFFFF, still above every valid
-    value) — 25% less device->host traffic.
-    """
-    hi, lo, _ = canonical_ids_pair(codes, k)
-    sh, sl = lax.sort((hi.reshape(-1), lo.reshape(-1)), num_keys=2)
-    if k <= 23:
-        sh = sh.astype(jnp.uint16)
-    return sh, sl
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def batch_count_compact(codes: jnp.ndarray, k: int):
-    """Sort + RLE + device-side compaction: run starts move to the array
-    prefix via a second stable sort on the boundary flag, so the host
-    fetches only ``n_runs`` (unique, counted) entries — transfer scales
-    with the batch's UNIQUE k-mers, not its length. Wins when reads are
-    duplicated (real coverage >1x); the counter switches to this path
-    adaptively after observing the first batch's duplication ratio."""
-    hi, lo, _ = canonical_ids_pair(codes, k)
-    sh, sl = lax.sort((hi.reshape(-1), lo.reshape(-1)), num_keys=2)
-    n = sh.shape[0]
-    ph = jnp.concatenate([jnp.full((1,), ~_SENT, jnp.uint32), sh[:-1]])
-    pl = jnp.concatenate([jnp.full((1,), ~_SENT, jnp.uint32), sl[:-1]])
-    sent = (sh == _SENT) & (sl == _SENT)
-    first = (((sh != ph) | (sl != pl)).at[0].set(True)) & ~sent
-    idx = jnp.arange(n, dtype=jnp.int32)
-    nxt = jnp.concatenate([first[1:] | sent[1:], jnp.ones((1,), bool)])
-    bpos = jnp.where(nxt, idx + 1, n)
-    nb = lax.associative_scan(jnp.minimum, bpos, reverse=True)
-    counts = (nb - idx).astype(jnp.int32)
-    n_runs = jnp.sum(first, dtype=jnp.int32)
-    notfirst = (~first).astype(jnp.uint8)
-    _, uh, ul, uc = lax.sort((notfirst, sh, sl, counts), num_keys=1)
-    if k <= 23:
-        uh = uh.astype(jnp.uint16)
-    return uh, ul, uc, n_runs
-
-
 def _run_last_sums(sh, sl, sc):
     """Run boundaries + segmented count sums over sorted (hi, lo) keys.
 
@@ -132,36 +58,124 @@ def _run_last_sums(sh, sl, sc):
     return last & ~sent, sums
 
 
-def merge_sorted_counted(ah, al, ac, bh, bl, bc):
-    """Merge two (hi, lo, count) multisets into sorted unique runs
-    compacted to the prefix; tail is sentinel-keyed/zero-counted.
-
-    Returns (uh, ul, uc, n_runs) with len == len(a) + len(b). The
-    building block for the device-resident accumulator: the TPU-native
-    replacement for the reference's concurrent hash upsert
-    (counter/src/lib.rs:123-132) is sort + segmented-RLE."""
-    ch = jnp.concatenate([ah, bh])
-    cl = jnp.concatenate([al, bl])
-    cc = jnp.concatenate([ac, bc])
-    sh, sl, sc = lax.sort((ch, cl, cc), num_keys=2)
-    keep, sums = _run_last_sums(sh, sl, sc)
-    n_runs = jnp.sum(keep, dtype=jnp.int32)
-    notkeep = (~keep).astype(jnp.uint8)
-    _, uh, ul, uc = lax.sort((notkeep, sh, sl, sums), num_keys=1)
-    # mask the tail so stale duplicates can never be re-counted by a
-    # later merge
-    idx = jnp.arange(uh.shape[0], dtype=jnp.int32)
-    live = idx < n_runs
-    uh = jnp.where(live, uh, _SENT)
-    ul = jnp.where(live, ul, _SENT)
-    uc = jnp.where(live, uc, jnp.uint32(0))
-    return uh, ul, uc, n_runs
-
-
 def _steps_for(n: int) -> int:
     # search space is [0, n] — n+1 candidate answers — so a power-of-two
     # table needs bit_length(n) steps, not bit_length(n-1)
     return max(1, int(n).bit_length())
+
+
+# ---------------------------------------------------------------------------
+# Bitonic-merge accumulator update.
+#
+# The device-resident accumulator merge is the counter's hot loop, and
+# neither generic device primitive fits it (measured on a v5e):
+#   * lax.sort over the (capacity + batch) concatenation runs fine but
+#     its TPU compile time grows superlinearly with the array — a 37M
+#     merge program never finished in 55 min of remote compile and a
+#     10M one exceeded 30 min;
+#   * a gather-based binary-search merge compiles fast but RUNS at TPU
+#     gather speed (~1e8 elem/s) — 45 s/batch.
+# But the accumulator is ALREADY sorted and the batch can be sorted at
+# batch size, and merging two sorted sequences needs only a bitonic
+# MERGE network: log2(N) compare-exchange stages of pure reshape/
+# where ops (no sort, no gather, no scatter). Duplicate keys then
+# combine with one segmented scan, and the dead slots compact out with
+# a monotone bit-shift routing network (log2(batch) stages of static
+# shifted selects). Everything is elementwise/reshape/scan — small
+# programs, a handful of HBM passes per batch.
+# ---------------------------------------------------------------------------
+
+
+def _merge_net_stage(swapkey, arrs, s):
+    """One bitonic compare-exchange stage at stride s: within blocks of
+    2s, keep key-min at i and key-max at i+s. `swapkey(lo, hi) -> bool
+    per pair` compares the key tuples."""
+    N = arrs[0].shape[0]
+
+    def split(x):
+        return x.reshape(N // (2 * s), 2, s)
+
+    parts = [split(x) for x in arrs]
+    los = [p[:, 0] for p in parts]
+    his = [p[:, 1] for p in parts]
+    swap = swapkey(los, his)
+    out = []
+    for lo, hi in zip(los, his):
+        nlo = jnp.where(swap, hi, lo)
+        nhi = jnp.where(swap, lo, hi)
+        out.append(jnp.stack([nlo, nhi], axis=1).reshape(N))
+    return out
+
+
+def _pair_swap(los, his):
+    lo_h, lo_l = los[0], los[1]
+    hi_h, hi_l = his[0], his[1]
+    return (lo_h > hi_h) | ((lo_h == hi_h) & (lo_l > hi_l))
+
+
+def _route_left(arrs, rem, bits):
+    """Compact non-dead elements to the prefix: element i moves left by
+    rem[i] (its dead-predecessor count; 0 for dead elements). Monotone
+    targets make bit-by-bit conditional shifts collision-free: at bit
+    b, slot i pulls from i + 2^b iff that element's shift has bit b
+    set. LSB-to-MSB; log2(max shift) static stages."""
+    for b in range(bits):
+        d = 1 << b
+        bit = jnp.concatenate(
+            [(rem[d:] >> b) & 1, jnp.zeros((d,), rem.dtype)]
+        )
+        cond = bit == 1
+
+        def pull(x):
+            shifted = jnp.concatenate([x[d:], x[:d]])  # tail junk unused
+            return jnp.where(cond, shifted, x)
+
+        arrs = [pull(x) for x in arrs]
+        rem = pull(rem)
+    return arrs
+
+
+def merge_sorted_batch(ah, al, ac, bh, bl):
+    """Merge a SORTED batch of canonical pairs (each occurrence count
+    1, sentinels last) into the sorted-unique sentinel-tailed
+    accumulator. Returns (oh, ol, oc, n_runs) of length >= len(a) +
+    len(b) (padded up to a power of two for the network; the tail is
+    sentinel/zero), compacted to the prefix. See the design note."""
+    C = ah.shape[0]
+    M = bh.shape[0]
+    N = 1 << max(0, (C + M - 1).bit_length())
+    pad = N - C - M
+    if pad:
+        ah = jnp.concatenate([ah, jnp.full((pad,), _SENT, jnp.uint32)])
+        al = jnp.concatenate([al, jnp.full((pad,), _SENT, jnp.uint32)])
+        ac = jnp.concatenate([ac, jnp.zeros((pad,), jnp.uint32)])
+    # ascending ++ descending = bitonic; the merge network sorts it
+    h = jnp.concatenate([ah, bh[::-1]])
+    l = jnp.concatenate([al, bl[::-1]])
+    c = jnp.concatenate([ac, jnp.ones((M,), jnp.uint32)])
+    s = N // 2
+    while s >= 1:
+        h, l, c = _merge_net_stage(_pair_swap, [h, l, c], s)
+        s //= 2
+    # combine duplicate-key runs: run totals land on the LAST element
+    keep, sums = _run_last_sums(h, l, c)
+    sent = (h == _SENT) & (l == _SENT)
+    dead = ~keep & ~sent
+    c = jnp.where(keep, sums, jnp.uint32(0))
+    n_runs = jnp.sum(keep, dtype=jnp.int32)
+    # compact dead slots out (sentinels stay, sliding up to pad the
+    # tail); shift = dead predecessors, rem=0 keeps dead inert
+    excl_dead = jnp.cumsum(dead.astype(jnp.int32)) - dead.astype(jnp.int32)
+    rem = jnp.where(dead, 0, excl_dead)
+    h, l, c = _route_left([h, l, c], rem, _steps_for(M))
+    total_dead = jnp.sum(dead, dtype=jnp.int32)
+    # the vacated far tail holds stale copies: mask to sentinel
+    idx = jnp.arange(N, dtype=jnp.int32)
+    junk = idx >= (N - total_dead)
+    h = jnp.where(junk, _SENT, h)
+    l = jnp.where(junk, _SENT, l)
+    c = jnp.where(junk, jnp.uint32(0), c)
+    return h, l, c, n_runs
 
 
 @functools.partial(
@@ -181,23 +195,19 @@ def accum_merge(ah, al, ac, codes, k):
     n_runs is exact even when it exceeds C (the host treats that as a
     hard error).
 
-    Performance note (measured on a v5e): this program's cost is the
-    lax.sort over (C + batch) elements, and XLA's TPU sort lowers to a
-    compare-exchange network whose COMPILE time grows superlinearly
-    with the array — a C=33.5M accumulator took >55 min of remote
-    compile. A binary-search/gather merge (no sort over C) was tried
-    and compiles fine but RUNS 45 s/batch: TPU gathers move ~1e8
-    elem/s, and a 25-step search over C-sized queries is ~2.5e9
-    gathered elements. Sort wins at bounded capacity, so the counter
-    caps its batch target (workloads/counter.py:_CTR_TARGET_CODES) to
-    keep C ~= 9M and this sort ~= 10M elements."""
+    The only lax.sort here is over the BATCH (its 2-key sort); the
+    capacity-sized work is the bitonic merge network + routed
+    compaction (merge_sorted_batch) — see the design note above for
+    why neither a capacity-sized lax.sort (pathological TPU compile)
+    nor a binary-search merge (gather-speed runtime) survives contact
+    with the hardware. Requires len(accumulator) + batch k-mer count
+    to be a power of two (DeviceAccumulator sizes it so)."""
     hi, lo, _ = canonical_ids_pair(codes, k)
     fh = hi.reshape(-1)
     fl = lo.reshape(-1)
+    sh, sl = lax.sort((fh, fl), num_keys=2)
     C = ah.shape[0]
-    uh, ul, uc, n_runs = merge_sorted_counted(
-        ah, al, ac, fh, fl, jnp.ones_like(fh)
-    )
+    uh, ul, uc, n_runs = merge_sorted_batch(ah, al, ac, sh, sl)
     return uh[:C], ul[:C], uc[:C], n_runs
 
 

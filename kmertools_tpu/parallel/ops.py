@@ -144,7 +144,7 @@ def sharded_accum_count(mesh, k: int, C_dev: int, cap: int,
     bytes matter, and unpacking fuses into the same XLA program.
     """
     ndev = mesh.devices.size
-    from kmertools_tpu.ops.count import merge_sorted_counted
+    from kmertools_tpu.ops.count import merge_sorted_batch
 
     def step(ah, al, ac, *data):
         ah, al, ac = ah[0], al[0], ac[0]
@@ -163,11 +163,13 @@ def sharded_accum_count(mesh, k: int, C_dev: int, cap: int,
         ovf = lax.pmax(ovf_local.astype(jnp.int32), DATA_AXIS) > 0
         xh = lax.all_to_all(bh, DATA_AXIS, split_axis=0, concat_axis=0)
         xl = lax.all_to_all(bl, DATA_AXIS, split_axis=0, concat_axis=0)
-        rh = xh.reshape(-1)
-        rl = xl.reshape(-1)
-        uh, ul, uc, n_runs = merge_sorted_counted(
-            ah, al, ac, rh, rl, jnp.ones_like(rh)
+        # sort the received partition at exchange size, then merge into
+        # the resident accumulator with the bitonic network (the only
+        # lax.sort in the program is exchange-sized)
+        rh, rl = lax.sort(
+            (xh.reshape(-1), xl.reshape(-1)), num_keys=2
         )
+        uh, ul, uc, n_runs = merge_sorted_batch(ah, al, ac, rh, rl)
         C = ah.shape[0]
         live_old = jnp.sum(ac > 0, dtype=jnp.int32)
         nah = jnp.where(ovf, ah, uh[:C])

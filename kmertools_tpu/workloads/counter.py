@@ -236,12 +236,22 @@ class DeviceAccumulator:
         env_cap = os.environ.get("KMERTOOLS_ACC_CAP")
         if out_capacity is None and env_cap:
             out_capacity = int(env_cap)
+        # the per-merge B side: the sorted batch (single device) or the
+        # all_to_all exchange result (mesh)
+        if self.ndev > 1:
+            self._ex_cap = -(-2 * (n_flat // self.ndev) // self.ndev)
+            m_dev = self.ndev * self._ex_cap
+        else:
+            m_dev = n_flat
         if out_capacity is None:
-            out_capacity = min(1 << 25, max(8 * growth * self.ndev, 1 << 16))
-        self.C_dev = max(
-            -(-out_capacity // self.ndev) // 128 * 128 + 128,
-            (self._LAG + 2) * growth // 128 * 128 + 256,
-        )
+            # merge_sorted_batch pads C + M to a power of two anyway;
+            # claim the padding as usable capacity
+            self.C_dev = _pow2_at_least(8 * growth + m_dev) - m_dev
+        else:
+            self.C_dev = max(
+                -(-out_capacity // self.ndev),
+                (self._LAG + 2) * growth + 256,
+            )
         self.spill_mark = self.C_dev - (self._LAG + 2) * growth
         assert self.spill_mark > 0
         self.used_mesh = self.ndev > 1
@@ -250,12 +260,11 @@ class DeviceAccumulator:
             from kmertools_tpu.parallel.ops import sharded_accum_count
 
             self.mesh = make_mesh(self.ndev)
-            cap = -(-2 * (n_flat // self.ndev) // self.ndev)
             # one program per upload wire format, built on first use
             # (codes travel 2-bit packed; see io/batch.py:pack_planes)
             self._steps: dict = {}
             self._mk_step = lambda mode: sharded_accum_count(
-                self.mesh, ksize, self.C_dev, cap, mode
+                self.mesh, ksize, self.C_dev, self._ex_cap, mode
             )
         self._state = None
         self._pending: list = []  # (codes_np, n_runs_dev, ovf_dev | None)

@@ -245,3 +245,54 @@ def test_lookup_counts_pow2_table_exhaustive():
         )
     )
     assert (got == tc).all()
+
+
+def test_merge_sorted_batch_oracle():
+    """Bitonic merge network + routed compaction vs a dict oracle:
+    duplicate-heavy batches, empty sides, non-pow2 capacities (internal
+    padding), sentinel tails."""
+    import jax.numpy as jnp
+
+    from kmertools_tpu.ops import count as cops
+
+    rng = np.random.default_rng(7)
+    SENT = np.uint32(0xFFFFFFFF)
+    for trial in range(60):
+        N = int(rng.choice([32, 64, 200, 256]))
+        M = int(rng.choice([8, 16, N // 2]))
+        C = N - M
+        nB = int(rng.integers(0, M + 1))
+        nA = int(rng.integers(0, C + 1))
+        akeys = np.sort(
+            rng.choice(300, min(nA, 250), replace=False)
+        ).astype(np.uint64)
+        acnts = rng.integers(1, 5, len(akeys)).astype(np.uint32)
+        bocc = np.sort(rng.choice(60, nB)).astype(np.uint64)
+        d = dict(zip(akeys.tolist(), acnts.tolist()))
+        for k2 in bocc.tolist():
+            d[k2] = d.get(k2, 0) + 1
+        if len(d) > C:  # capacity overflow is a host-level error
+            continue
+        ah = np.full(C, SENT, np.uint32)
+        al = np.full(C, SENT, np.uint32)
+        ac = np.zeros(C, np.uint32)
+        ah[: len(akeys)] = (akeys >> 16).astype(np.uint32)
+        al[: len(akeys)] = (akeys & 0xFFFF).astype(np.uint32)
+        ac[: len(akeys)] = acnts
+        bh = np.full(M, SENT, np.uint32)
+        bl = np.full(M, SENT, np.uint32)
+        bh[:nB] = (bocc >> 16).astype(np.uint32)
+        bl[:nB] = (bocc & 0xFFFF).astype(np.uint32)
+        oh, ol, oc, n = map(
+            np.asarray,
+            cops.merge_sorted_batch(
+                *map(jnp.asarray, (ah, al, ac, bh, bl))
+            ),
+        )
+        exp = sorted(d.items())
+        got = [
+            ((int(oh[i]) << 16) | int(ol[i]), int(oc[i]))
+            for i in range(int(n))
+        ]
+        assert int(n) == len(exp) and got == exp, trial
+        assert (oh[int(n):] == SENT).all() and (oc[int(n):] == 0).all(), trial
