@@ -159,9 +159,19 @@ def test_device_accumulator_retry_on_overflow(mesh):
     acc = DeviceAccumulator(k, target_codes=1 << 16)
     assert acc.used_mesh
     # force a tiny exchange bucket so the full batch must overflow
-    acc._step = sac(acc.mesh, k, acc.C_dev, cap=64)
+    acc._mk_step = lambda mode: sac(acc.mesh, k, acc.C_dev, 64, mode)
+    acc._steps = {}
+    retried = []
+    orig = acc._retry_halves
+
+    def spy(*a, **kw):
+        retried.append(1)
+        return orig(*a, **kw)
+
+    acc._retry_halves = spy
     acc.add(codes)
     keys, counts = acc.drain()
     want = _brute_counts(codes, k)
     got = dict(zip(keys.tolist(), counts.tolist()))
     assert got == want
+    assert retried, "tiny exchange bucket never overflowed: test is inert"
