@@ -48,6 +48,14 @@ def _configure_jax() -> None:
 
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Explicit backend pin. Site hooks (e.g. an accelerator plugin's
+        # sitecustomize) may set JAX_PLATFORMS after Python start, which
+        # jax has already captured — a plain env var cannot override
+        # them. KMERTOOLS_PLATFORM=cpu forces the CPU backend even so
+        # (useful when the accelerator transport is down).
+        plat = _os.environ.get("KMERTOOLS_PLATFORM")
+        if plat:
+            jax.config.update("jax_platforms", plat)
     except Exception:  # pragma: no cover - jax absent or too old
         pass
 

@@ -44,6 +44,32 @@ def per_read_histogram(ids: jnp.ndarray, valid: jnp.ndarray, nbins: int):
     return counts[:, :nbins], totals
 
 
+def prefer_scatter() -> bool:
+    """True where sequential scatter-add beats the one-hot matmul
+    factoring: CPU backends (the one-hot path materialises (R, P, 256)
+    bf16 one-hots — MXU food, ~40x slower than scatter on a host CPU).
+    Used by workloads to pick the histogram kernel at dispatch-build
+    time; TPU always takes Pallas or the MXU matmul."""
+    return jax.default_backend() == "cpu"
+
+
+@functools.partial(jax.jit, static_argnames=("nbins",))
+def per_read_histogram_scatter(ids: jnp.ndarray, valid: jnp.ndarray, nbins: int):
+    """Same contract as per_read_histogram via flat scatter-add.
+
+    Invalid positions route to a sacrificial overflow bin so the
+    scatter stays dense and unconditional."""
+    R, P = ids.shape
+    row = nbins + 1
+    flat = jnp.where(valid, ids, nbins).astype(jnp.int32)
+    flat = flat + jnp.arange(R, dtype=jnp.int32)[:, None] * row
+    counts = (
+        jnp.zeros((R * row,), jnp.int32).at[flat.reshape(-1)].add(1)
+    ).reshape(R, row)
+    totals = jnp.sum(valid, axis=1, dtype=jnp.int32)
+    return counts[:, :nbins].astype(jnp.float32), totals
+
+
 @functools.partial(jax.jit, static_argnames=("nbins",))
 def per_read_histogram_gathered(
     ids: jnp.ndarray, valid: jnp.ndarray, slot_table: jnp.ndarray, nbins: int

@@ -320,9 +320,17 @@ class OligoCgrComputer:
                 return pallas_histogram.per_read_histogram_tpu(
                     ids.astype(jnp.int32), valid, bin_values, self.kcount
                 )
-            counts, totals = histogram.per_read_histogram_gathered(
-                ids, valid, slot_table, self.kcount
-            )
+            if histogram.prefer_scatter():
+                slots = jnp.take(
+                    slot_table, jnp.where(valid, ids, 0), mode="clip"
+                )
+                counts, totals = histogram.per_read_histogram_scatter(
+                    slots.astype(jnp.int32), valid, self.kcount
+                )
+            else:
+                counts, totals = histogram.per_read_histogram_gathered(
+                    ids, valid, slot_table, self.kcount
+                )
             return counts.astype(jnp.int16), totals.astype(jnp.int32)
 
         with open(self.out_path, "wb") as out:

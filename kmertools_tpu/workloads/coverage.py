@@ -207,6 +207,10 @@ def _coverage_batch(codes, th, tl, tc, k, bin_size, bin_count):
         counts, totals = pallas_histogram.per_read_histogram_tpu(
             bins, valid, bin_values, bin_count
         )
+    elif histogram.prefer_scatter():
+        counts, totals = histogram.per_read_histogram_scatter(
+            bins, valid, bin_count
+        )
     else:
         counts, totals = histogram.per_read_histogram(bins, valid, bin_count)
     return jnp.concatenate(

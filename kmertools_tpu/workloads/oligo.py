@@ -103,12 +103,23 @@ class OligoComputer:
                 else np.arange(4**self.ksize, dtype=np.int32)
             )
 
+        use_scatter = not use_pallas and histogram.prefer_scatter()
+
         def _hist(codes):
             fwd, rc, valid = encode.kmer_ids_small(codes, self.ksize)
             if use_pallas:
                 ids = jnp.minimum(fwd, rc) if self.count_min else fwd
                 counts, totals = pallas_histogram.per_read_histogram_tpu(
                     ids.astype(jnp.int32), valid, bin_values, nbins
+                )
+            elif use_scatter:
+                ids = jnp.minimum(fwd, rc) if self.count_min else fwd
+                if self.count_min:
+                    ids = jnp.take(
+                        slot_table, jnp.where(valid, ids, 0), mode="clip"
+                    )
+                counts, totals = histogram.per_read_histogram_scatter(
+                    ids.astype(jnp.int32), valid, nbins
                 )
             elif self.count_min:
                 ids = jnp.minimum(fwd, rc)

@@ -157,6 +157,14 @@ class OligoComputer:
             counts, totals = pallas_histogram.per_read_histogram_tpu(
                 ids.astype(jnp.int32), valid, bin_values, nbins
             )
+        elif histogram.prefer_scatter():
+            ids = jnp.minimum(fwd, rc) if mins else fwd
+            if mins:
+                slot_table = jnp.asarray(codec.canonical_slot_table(k))
+                ids = jnp.take(slot_table, jnp.where(valid, ids, 0), mode="clip")
+            counts, totals = histogram.per_read_histogram_scatter(
+                ids.astype(jnp.int32), valid, nbins
+            )
         elif mins:
             slot_table = jnp.asarray(codec.canonical_slot_table(k))
             ids = jnp.minimum(fwd, rc)

@@ -37,6 +37,22 @@ def test_pallas_histogram_matches_xla(k, mode):
     np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_pal))
 
 
+@pytest.mark.parametrize("nbins", [136, 256, 5])
+def test_scatter_histogram_matches_onehot(nbins):
+    """The CPU-backend scatter kernel and the MXU one-hot factoring
+    are interchangeable implementations of the same contract (workloads
+    pick by backend via histogram.prefer_scatter)."""
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(0, nbins, size=(64, 93)).astype(np.int32))
+    valid = jnp.asarray(rng.random((64, 93)) < 0.8)
+    c_a, t_a = histogram.per_read_histogram(ids, valid, nbins)
+    c_b, t_b = histogram.per_read_histogram_scatter(ids, valid, nbins)
+    np.testing.assert_array_equal(
+        np.asarray(c_a).astype(np.int32), np.asarray(c_b).astype(np.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+
+
 def test_pallas_histogram_all_ambiguous():
     codes = np.full((128, 64), 4, dtype=np.uint8)
     fwd, rc, valid = encode.kmer_ids_small(jnp.asarray(codes), 4)
