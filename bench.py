@@ -162,6 +162,7 @@ def _ensure_live_backend() -> None:
                 capture_output=True, timeout=240,
             )
             if b"LIVE" in r.stdout:
+                _enable_hetero_cpu()
                 return
         except subprocess.TimeoutExpired:
             pass
@@ -189,6 +190,34 @@ def _ensure_live_backend() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+def _enable_hetero_cpu() -> None:
+    """Register the host-CPU backend NEXT TO the live accelerator so
+    the workloads' heterogeneous scheduler (workloads/common.py:
+    hetero_device_sets) can route batches to both: accelerator batches
+    ride the mesh, leftover host cores run the identical XLA program
+    compiled for CPU. The reference saturates every core with rayon
+    (counter/src/lib.rs:104-143); this is the node-level analog.
+
+    Must run before any backend initialises in THIS process (the config
+    and XLA_FLAGS are captured at first use)."""
+    if os.environ.get("KMERTOOLS_NO_HETERO") == "1":
+        return
+    plats = os.environ.get("JAX_PLATFORMS", "") or "axon"
+    if "cpu" in plats.split(","):
+        return
+    ndev = max(1, (os.cpu_count() or 1))
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={ndev}"
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plats + ",cpu")
+    except Exception:
+        pass
 
 
 def main() -> None:

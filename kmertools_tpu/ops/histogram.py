@@ -44,13 +44,16 @@ def per_read_histogram(ids: jnp.ndarray, valid: jnp.ndarray, nbins: int):
     return counts[:, :nbins], totals
 
 
-def prefer_scatter() -> bool:
+def prefer_scatter(platform: str | None = None) -> bool:
     """True where sequential scatter-add beats the one-hot matmul
     factoring: CPU backends (the one-hot path materialises (R, P, 256)
     bf16 one-hots — MXU food, ~40x slower than scatter on a host CPU).
     Used by workloads to pick the histogram kernel at dispatch-build
-    time; TPU always takes Pallas or the MXU matmul."""
-    return jax.default_backend() == "cpu"
+    time; TPU always takes Pallas or the MXU matmul. `platform`
+    overrides the default backend (heterogeneous sinks)."""
+    if platform is None:
+        platform = jax.default_backend()
+    return platform == "cpu"
 
 
 @functools.partial(jax.jit, static_argnames=("nbins",))

@@ -103,13 +103,17 @@ def per_read_histogram_tpu(
     return counts, totals
 
 
-def use_pallas() -> bool:
-    """Pallas path is the default on real TPU hardware."""
+def use_pallas(platform: str | None = None) -> bool:
+    """Pallas path is the default on real TPU hardware. `platform`
+    overrides the default backend (heterogeneous sinks compile the same
+    workload for several backends in one process)."""
     import os
 
     if os.environ.get("KMERTOOLS_NO_PALLAS"):
         return False
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
+    if platform is None:
+        try:
+            platform = jax.default_backend()
+        except Exception:  # pragma: no cover
+            return False
+    return platform in ("tpu", "axon")

@@ -16,14 +16,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
+def make_mesh(
+    n_devices: int | None = None, axis: str = DATA_AXIS, devices=None
+) -> Mesh:
     """1-D mesh over this process's ADDRESSABLE devices.
 
     Local on purpose: the multi-host runtime (parallel/multihost.py)
     shards the input FILE across hosts and each host computes its part
     independently, so meshes never span processes — collectives stay on
-    ICI."""
-    devs = jax.local_devices()
+    ICI. `devices` pins an explicit device list (heterogeneous sinks
+    split the accelerator mesh from the host-CPU devices)."""
+    devs = list(devices) if devices is not None else jax.local_devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))

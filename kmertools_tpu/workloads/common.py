@@ -9,8 +9,10 @@ buckets interleave), and the emitter flushes the contiguous prefix.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
+import time
 from typing import Callable, Iterable
 
 import numpy as np
@@ -72,6 +74,195 @@ def run_pipelined(batches: Iterable, dispatch: Callable, consume: Callable,
     finally:
         q.put(None)
         t.join()
+    if err:
+        raise err[0]
+
+
+def hetero_device_sets() -> list[list]:
+    """Device sets for heterogeneous execution: the default backend's
+    devices, plus the host-CPU devices when the default backend is an
+    accelerator and the CPU platform is also registered (e.g.
+    ``jax_platforms="tpu,cpu"``).
+
+    The reference saturates every core with rayon threads
+    (counter/src/lib.rs:104-143); the TPU-era analog is feeding every
+    piece of silicon on the node — accelerator batches ride the mesh,
+    leftover host cores chew batches through the identical XLA program
+    compiled for CPU. Integer histograms make the two paths bit-equal.
+    Opt out with KMERTOOLS_NO_HETERO=1.
+    """
+    import jax
+
+    prim = list(jax.local_devices())
+    sets = [prim]
+    if (
+        prim
+        and prim[0].platform != "cpu"
+        and os.environ.get("KMERTOOLS_NO_HETERO") != "1"
+    ):
+        try:
+            cpus = list(jax.local_devices(backend="cpu"))
+        except RuntimeError:
+            cpus = []
+        if cpus:
+            sets.append(cpus)
+    return sets
+
+
+class _HeteroSink:
+    """One execution sink (a device set) in the multi-sink pipeline:
+    its own bounded FIFO and drain thread. The drain thread blocks on
+    the sink's device->host fetches (np.asarray) in dispatch order and
+    forwards completed numpy results to the shared completion queue, so
+    a slow sink never blocks a fast one."""
+
+    def __init__(self, idx: int, dispatch: Callable, out_q: queue.Queue,
+                 err: list, depth: int):
+        self.idx = idx
+        self.dispatch = dispatch
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self._out_q = out_q
+        self._err = err
+        self.lock = threading.Lock()
+        self.inflight = 0  # dispatched-but-unfinished work units (codes)
+        self.rate = 0.0  # EWMA codes/s; 0 = no sample yet
+        self._last_done: float | None = None
+        self.thread = threading.Thread(target=self._drain, daemon=True)
+        self.thread.start()
+
+    def eta(self, w: int) -> float:
+        """Estimated seconds to finish current backlog plus w codes."""
+        with self.lock:
+            if self.rate > 0:
+                return (self.inflight + w) / self.rate
+            # unmeasured: explore an idle sink, avoid stacking on a
+            # busy one whose speed is still unknown
+            return 0.0 if self.inflight == 0 else float("inf")
+
+    def submit(self, seq: int, meta, res: tuple, w: int, t_disp: float) -> None:
+        with self.lock:
+            self.inflight += w
+        self.q.put((seq, meta, res, w, t_disp))
+
+    def _drain(self) -> None:
+        while True:
+            item = self.q.get()
+            if item is None:
+                self._out_q.put((None, self.idx))
+                return
+            seq, meta, res, w, t_disp = item
+            if self._err:
+                with self.lock:
+                    self.inflight -= w
+                self._out_q.put(((seq, None, None), self.idx))
+                continue
+            try:
+                arrs = tuple(np.asarray(r) for r in res)
+                now = time.perf_counter()
+                # busy-interval throughput: time since the later of the
+                # previous completion and this batch's dispatch
+                t0 = t_disp if self._last_done is None else max(
+                    self._last_done, t_disp
+                )
+                self._last_done = now
+                sample = w / max(now - t0, 1e-6)
+                with self.lock:
+                    self.rate = (
+                        sample if self.rate == 0
+                        else 0.5 * self.rate + 0.5 * sample
+                    )
+                    self.inflight -= w
+                self._out_q.put(((seq, meta, arrs), self.idx))
+            except BaseException as e:  # propagated by the caller
+                self._err.append(e)
+                with self.lock:
+                    self.inflight -= w
+                self._out_q.put(((seq, None, None), self.idx))
+
+
+def run_pipelined_hetero(
+    batches: Iterable,
+    dispatches: list,
+    consume: Callable,
+    weight: Callable,
+    depth: int = 3,
+    max_inflight: int = 8,
+) -> None:
+    """run_pipelined over MULTIPLE execution sinks (device sets).
+
+    Each batch is routed to the sink with the lowest estimated finish
+    time (EWMA codes/s per sink, measured live — the scheduler needs no
+    priors about relative speeds). Sinks complete out of order;
+    `consume` is still called in dispatch order (split reads spanning
+    batch boundaries rely on it), buffered by a seq-number reorder.
+    `max_inflight` bounds batches between dispatch and consumption so a
+    stalled sink can't let a fast one fill RAM.
+    """
+    if len(dispatches) == 1:
+        return run_pipelined(batches, dispatches[0], consume)
+
+    out_q: queue.Queue = queue.Queue()
+    err: list[BaseException] = []
+    sinks = [
+        _HeteroSink(i, d, out_q, err, depth) for i, d in enumerate(dispatches)
+    ]
+    tokens = threading.Semaphore(max_inflight)
+
+    def consumer() -> None:
+        pending: dict[int, tuple] = {}
+        next_seq = 0
+        done = 0
+        while done < len(sinks):
+            item, _idx = out_q.get()
+            if item is None:
+                done += 1
+                continue
+            seq, meta, arrs = item
+            if meta is None or err:  # dropped on error
+                tokens.release()
+                continue
+            pending[seq] = (meta, arrs)
+            while next_seq in pending:
+                m, a = pending.pop(next_seq)
+                try:
+                    consume(m, *a)
+                except BaseException as e:
+                    err.append(e)
+                tokens.release()
+                next_seq += 1
+
+    ct = threading.Thread(target=consumer, daemon=True)
+    ct.start()
+    seq = 0
+    try:
+        for b in batches:
+            if err:
+                break
+            while not tokens.acquire(timeout=0.25):
+                if err:
+                    break
+            if err:
+                break
+            w = max(1, int(weight(b)))
+            sink = min(sinks, key=lambda s: (s.eta(w), s.idx))
+            t0 = time.perf_counter()
+            res = sink.dispatch(b)
+            res = res if isinstance(res, tuple) else (res,)
+            for r in res:
+                cast = getattr(r, "copy_to_host_async", None)
+                if cast is not None:
+                    try:
+                        cast()
+                    except Exception:
+                        pass
+            sink.submit(seq, b, res, w, t0)
+            seq += 1
+    finally:
+        for s in sinks:
+            s.q.put(None)
+        ct.join()
+        for s in sinks:
+            s.thread.join()
     if err:
         raise err[0]
 
@@ -173,7 +364,7 @@ class RowAggregator:
 MESH_DISPATCHES = 0
 
 
-def data_parallel_rows(step):
+def data_parallel_rows(step, devices=None):
     """Wrap a per-batch device step (one or more (R, ...) arrays ->
     pytree of row-aligned outputs) with shard_map over every visible
     device when more than one exists.
@@ -187,12 +378,27 @@ def data_parallel_rows(step):
     window minima, whole-read minima...). Row counts that don't divide
     the device count (never the case for the power-of-two buckets) fall
     back to the single-device step.
+
+    `devices` pins the step to an explicit device list (a heterogeneous
+    sink: e.g. the accelerator mesh vs the host CPU devices); None uses
+    every local device of the default backend. A single device gets the
+    whole step as ONE jitted program placed on it — one dispatch per
+    batch instead of one per op, which matters on remote-attached chips
+    where every dispatch pays transport latency.
     """
     import jax
 
-    ndev = jax.local_device_count()
+    ndev = len(devices) if devices is not None else jax.local_device_count()
     if ndev <= 1:
-        return step
+        jfn = jax.jit(step)
+        if devices is None:
+            return jfn
+        dev = devices[0]
+
+        def placed(*arrays):
+            return jfn(*[jax.device_put(a, dev) for a in arrays])
+
+        return placed
 
     from jax.sharding import PartitionSpec as P
 
@@ -203,7 +409,7 @@ def data_parallel_rows(step):
 
     from kmertools_tpu.parallel.mesh import DATA_AXIS, make_mesh, shard_batch
 
-    mesh = make_mesh()
+    mesh = make_mesh(devices=devices)
     cache: dict[tuple, Callable] = {}
 
     def wrapped(*arrays):

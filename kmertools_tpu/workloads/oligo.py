@@ -26,7 +26,8 @@ from kmertools_tpu.workloads.common import (
     AsyncWriter,
     OrderedArrayEmitter,
     data_parallel_step,
-    run_pipelined,
+    hetero_device_sets,
+    run_pipelined_hetero,
 )
 
 
@@ -91,44 +92,48 @@ class OligoComputer:
             if self.count_min
             else None
         )
+        # bins count raw values directly on the Pallas path: canonical
+        # values for min-mer mode, every k-mer value for raw mode — no
+        # slot remap gather anywhere on the device path
+        bin_values = jnp.asarray(
+            codec.canonical_bin_values(self.ksize)
+            if self.count_min
+            else np.arange(4**self.ksize, dtype=np.int32)
+        )
 
-        use_pallas = pallas_histogram.use_pallas()
-        if use_pallas:
-            # bins count raw values directly: canonical values for
-            # min-mer mode, every k-mer value for raw mode — no slot
-            # remap gather anywhere on the device path
-            bin_values = jnp.asarray(
-                codec.canonical_bin_values(self.ksize)
-                if self.count_min
-                else np.arange(4**self.ksize, dtype=np.int32)
-            )
+        def make_hist(platform: str | None):
+            """Per-sink histogram kernel: Pallas on TPU, scatter-add on
+            CPU, one-hot MXU matmul elsewhere. Heterogeneous sinks pick
+            independently — all three are bit-equal integer kernels."""
+            use_pallas = pallas_histogram.use_pallas(platform)
+            use_scatter = not use_pallas and histogram.prefer_scatter(platform)
 
-        use_scatter = not use_pallas and histogram.prefer_scatter()
-
-        def _hist(codes):
-            fwd, rc, valid = encode.kmer_ids_small(codes, self.ksize)
-            if use_pallas:
-                ids = jnp.minimum(fwd, rc) if self.count_min else fwd
-                counts, totals = pallas_histogram.per_read_histogram_tpu(
-                    ids.astype(jnp.int32), valid, bin_values, nbins
-                )
-            elif use_scatter:
-                ids = jnp.minimum(fwd, rc) if self.count_min else fwd
-                if self.count_min:
-                    ids = jnp.take(
-                        slot_table, jnp.where(valid, ids, 0), mode="clip"
+            def _hist(codes):
+                fwd, rc, valid = encode.kmer_ids_small(codes, self.ksize)
+                if use_pallas:
+                    ids = jnp.minimum(fwd, rc) if self.count_min else fwd
+                    return pallas_histogram.per_read_histogram_tpu(
+                        ids.astype(jnp.int32), valid, bin_values, nbins
                     )
-                counts, totals = histogram.per_read_histogram_scatter(
-                    ids.astype(jnp.int32), valid, nbins
-                )
-            elif self.count_min:
-                ids = jnp.minimum(fwd, rc)
-                counts, totals = histogram.per_read_histogram_gathered(
-                    ids, valid, slot_table, nbins
-                )
-            else:
-                counts, totals = histogram.per_read_histogram(fwd, valid, nbins)
-            return counts, totals
+                if use_scatter:
+                    ids = jnp.minimum(fwd, rc) if self.count_min else fwd
+                    if self.count_min:
+                        ids = jnp.take(
+                            slot_table, jnp.where(valid, ids, 0), mode="clip"
+                        )
+                    return histogram.per_read_histogram_scatter(
+                        ids.astype(jnp.int32), valid, nbins
+                    )
+                if self.count_min:
+                    ids = jnp.minimum(fwd, rc)
+                    return histogram.per_read_histogram_gathered(
+                        ids, valid, slot_table, nbins
+                    )
+                return histogram.per_read_histogram(fwd, valid, nbins)
+
+            return _hist
+
+        _hist = make_hist(None)  # default backend (exact re-dispatch path)
 
         def _fuse_u8(counts, totals):
             """ONE u8 result array [counts_u8 | tot_lo | tot_hi |
@@ -153,12 +158,6 @@ class OligoComputer:
                  totals.astype(jnp.int16)[:, None]],
                 axis=1,
             )
-
-        def step_planes(packed, vb):
-            return _fuse_u8(*_hist(encode.unpack_planes(packed, vb)))
-
-        def step_clean(packed, lengths):
-            return _fuse_u8(*_hist(encode.unpack_packed(packed, lengths)))
 
         def step_planes_i16(packed, vb):
             return _fuse_i16(*_hist(encode.unpack_planes(packed, vb)))
@@ -227,26 +226,41 @@ class OligoComputer:
             # batches (the common case) skip the valid-bit plane and
             # ship row lengths instead — exactly 2 bits/base on the
             # wire, the upload entropy floor. With >1 device the step
-            # row-shards over the mesh (DP).
-            sharded_planes = data_parallel_step(step_planes)
-            sharded_clean = data_parallel_step(step_clean)
+            # row-shards over the mesh (DP); when the host-CPU backend
+            # is also registered, CPU devices form a second sink and
+            # batches route to whichever silicon is free (hetero).
+            def make_dispatch(devs):
+                h = make_hist(devs[0].platform if devs else None)
+                sp = data_parallel_step(
+                    lambda p, v: _fuse_u8(*h(encode.unpack_planes(p, v))),
+                    devices=devs,
+                )
+                sc = data_parallel_step(
+                    lambda p, ln: _fuse_u8(*h(encode.unpack_packed(p, ln))),
+                    devices=devs,
+                )
 
-            def dispatch(b):
-                packed, vb, n_ambig = b.planes()
-                if n_ambig == 0:
-                    return sharded_clean(packed, b.lengths)
-                return sharded_planes(packed, vb)
+                def dispatch(b):
+                    packed, vb, n_ambig = b.planes()
+                    if n_ambig == 0:
+                        return sc(packed, b.lengths)
+                    return sp(packed, vb)
 
+                return dispatch
+
+            device_sets = hetero_device_sets()
             try:
-                run_pipelined(
+                run_pipelined_hetero(
                     iob.stream_path(
                         self.in_path,
                         overlap=self.ksize - 1,
                         target_codes=self.target_codes,
                         shard=self.input_shard,
                     ),
-                    dispatch,
+                    [make_dispatch(None if len(device_sets) == 1 else d)
+                     for d in device_sets],
                     consume,
+                    weight=lambda b: int(b.lengths.sum()),
                 )
                 agg.finish()
                 emitter.finish()
