@@ -39,7 +39,7 @@ def _build() -> bool:
         subprocess.run(
             [
                 "g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                "-fPIC", _SRC, "-o", _SO + ".tmp", "-lz",
+                "-fPIC", "-pthread", _SRC, "-o", _SO + ".tmp", "-lz",
             ],
             check=True,
             capture_output=True,
@@ -121,6 +121,12 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
     so.kt_pack_planes.restype = c_i64
     so.kt_pack_planes.argtypes = [
         c_u8_p, c_i64, c_i64, c_i32_p, c_u8_p, c_u8_p,
+    ]
+    so.kt_oligo_hist.restype = ctypes.c_int
+    so.kt_oligo_hist.argtypes = [
+        c_u8_p, c_u8_p, c_i64, c_i64, ctypes.c_int32,
+        c_i32_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int16), c_i32_p, ctypes.c_int32,
     ]
     so.kt_format_oligocgr.restype = c_i64
     so.kt_format_oligocgr.argtypes = [

@@ -23,6 +23,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -918,6 +919,96 @@ int64_t kt_pack_planes(const uint8_t *codes, int64_t rows, int64_t width,
     }
   }
   return ambig;
+}
+
+// ---- native per-read oligo histogram (heterogeneous CPU sink) -------------
+// Rolling 2-bit encoder + per-read k-mer count, the reference's hot loop
+// (kmer/src/kmer.rs:80-106 + composition/src/oligo.rs:240-254) as a
+// multithreaded host kernel. In the heterogeneous scheduler this is one
+// sink beside the XLA device programs (workloads/common.py): batches
+// route to whichever silicon is free. Operates on the packed planes the
+// batcher already produces (2 bits/base + valid bits); ambiguous bases
+// reset the window exactly like the device path's prefix-AND. k <= 7
+// (composition range), counts fit int16 (row width <= 8192).
+//   slot_table: 4^k canonical-slot remap (kmer/src/kmer.rs:54-73), or
+//   null for raw forward-strand mode (nbins = 4^k).
+// Returns 0, or -1 on bad arguments.
+int kt_oligo_hist(const uint8_t *packed, const uint8_t *validbits,
+                  int64_t rows, int64_t width, int32_t k,
+                  const int32_t *slot_table, int32_t nbins,
+                  int16_t *counts, int32_t *totals, int32_t nthreads) {
+  if (width % 8 || k < 1 || k > 15) return -1;
+  const int64_t wq = width / 4, wb = width / 8;
+  const uint32_t mask = (1u << (2 * k)) - 1;
+  const int rcshift = 2 * (k - 1);
+
+  auto work = [&](int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; r++) {
+      const uint8_t *p = packed + r * wq;
+      const uint8_t *v = validbits + r * wb;
+      int16_t *cnt = counts + r * nbins;
+      memset(cnt, 0, (size_t)nbins * sizeof(int16_t));
+      uint32_t fwd = 0, rc = 0;
+      int run = 0;
+      int32_t tot = 0;
+      for (int64_t i = 0; i < wb; i++) {
+        const uint8_t vb = v[i];
+        if (vb == 0) {  // fully invalid octet (padding / N run)
+          run = 0;
+          continue;
+        }
+        const uint32_t two =
+            (uint32_t)p[2 * i] | ((uint32_t)p[2 * i + 1] << 8);
+        if (vb == 0xFF) {
+          for (int j = 0; j < 8; j++) {
+            const uint32_t c = (two >> (2 * j)) & 3u;
+            fwd = ((fwd << 2) | c) & mask;
+            rc = (rc >> 2) | ((3u - c) << rcshift);
+            if (++run >= k) {
+              const uint32_t id =
+                  slot_table ? (fwd < rc ? fwd : rc) : fwd;
+              cnt[slot_table ? (uint32_t)slot_table[id] : id]++;
+              tot++;
+            }
+          }
+        } else {
+          for (int j = 0; j < 8; j++) {
+            if (!((vb >> j) & 1)) {
+              run = 0;
+              continue;
+            }
+            const uint32_t c = (two >> (2 * j)) & 3u;
+            fwd = ((fwd << 2) | c) & mask;
+            rc = (rc >> 2) | ((3u - c) << rcshift);
+            if (++run >= k) {
+              const uint32_t id =
+                  slot_table ? (fwd < rc ? fwd : rc) : fwd;
+              cnt[slot_table ? (uint32_t)slot_table[id] : id]++;
+              tot++;
+            }
+          }
+        }
+      }
+      totals[r] = tot;
+    }
+  };
+
+  int T = nthreads > 0 ? nthreads : 1;
+  if ((int64_t)T > rows) T = (int)(rows > 0 ? rows : 1);
+  if (T <= 1) {
+    work(0, rows);
+    return 0;
+  }
+  std::vector<std::thread> th;
+  const int64_t chunk = (rows + T - 1) / T;
+  for (int t = 0; t < T; t++) {
+    const int64_t r0 = t * chunk;
+    const int64_t r1 = r0 + chunk < rows ? r0 + chunk : rows;
+    if (r0 >= r1) break;
+    th.emplace_back(work, r0, r1);
+  }
+  for (auto &x : th) x.join();
+  return 0;
 }
 
 }  // extern "C"

@@ -14,6 +14,9 @@ support.
 
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -189,6 +192,14 @@ class OligoComputer:
 
             def consume(meta, fused) -> None:
                 arr = np.asarray(fused)
+                if arr.dtype == np.int16:
+                    # exact fused [counts | total] (native CPU sink)
+                    ridx, vecs, tots = agg.add_batch(
+                        meta.read_idx, meta.last_row,
+                        arr[:, :nbins], arr[:, nbins].astype(np.int32),
+                    )
+                    emitter.add(ridx, vecs, tots)
+                    return
                 tot = (
                     arr[:, nbins].astype(np.int32)
                     | arr[:, nbins + 1].astype(np.int32) << 8
@@ -248,7 +259,76 @@ class OligoComputer:
 
                 return dispatch
 
+            def native_dispatch():
+                """The reference's hot loop as a host sink: the
+                multithreaded C++ rolling-encode+count kernel
+                (kthost.cpp:kt_oligo_hist) joins the scheduler beside
+                the XLA device programs. ctypes releases the GIL, so
+                the sink's drain thread crunches on spare cores while
+                the producer parses and the device computes."""
+                from kmertools_tpu import native
+
+                so = native.lib()
+                if (
+                    so is None
+                    or self.ksize > 7
+                    or os.environ.get("KMERTOOLS_NO_HETERO") == "1"
+                ):
+                    return None
+                table = (
+                    np.ascontiguousarray(
+                        codec.canonical_slot_table(self.ksize),
+                        dtype=np.int32,
+                    )
+                    if self.count_min
+                    else None
+                )
+                table_p = (
+                    table.ctypes.data_as(native.c_i32_p)
+                    if table is not None
+                    else None
+                )
+                nthreads = self.threads or (os.cpu_count() or 1)
+                ksize = self.ksize
+                i16_p = ctypes.POINTER(ctypes.c_int16)
+
+                class _H:
+                    __slots__ = ("b",)
+
+                    def __init__(h, b):
+                        h.b = b
+
+                    def __array__(h, dtype=None, copy=None):
+                        packed, vb, _ = h.b.planes()
+                        R = packed.shape[0]
+                        counts = np.empty((R, nbins), np.int16)
+                        totals = np.empty((R,), np.int32)
+                        rc = so.kt_oligo_hist(
+                            packed.ctypes.data_as(native.c_u8_p),
+                            vb.ctypes.data_as(native.c_u8_p),
+                            R, packed.shape[1] * 4, ksize,
+                            table_p, nbins,
+                            counts.ctypes.data_as(i16_p),
+                            totals.ctypes.data_as(native.c_i32_p),
+                            nthreads,
+                        )
+                        if rc != 0:
+                            raise RuntimeError("kt_oligo_hist failed")
+                        return np.concatenate(
+                            [counts, totals.astype(np.int16)[:, None]],
+                            axis=1,
+                        )
+
+                return lambda b: _H(b)
+
             device_sets = hetero_device_sets()
+            dispatches = [
+                make_dispatch(None if len(device_sets) == 1 else d)
+                for d in device_sets
+            ]
+            nd = native_dispatch()
+            if nd is not None:
+                dispatches.append(nd)
             try:
                 run_pipelined_hetero(
                     iob.stream_path(
@@ -257,8 +337,7 @@ class OligoComputer:
                         target_codes=self.target_codes,
                         shard=self.input_shard,
                     ),
-                    [make_dispatch(None if len(device_sets) == 1 else d)
-                     for d in device_sets],
+                    dispatches,
                     consume,
                     weight=lambda b: int(b.lengths.sum()),
                 )

@@ -30,7 +30,7 @@ class build_py_with_native(build_py):
             # -march left at baseline so the wheel is portable; the
             # lazy rebuild on first use upgrades to -march=native
             subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
                  src, "-o", out, "-lz"],
                 check=True, capture_output=True, timeout=300,
             )
