@@ -128,6 +128,18 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
         c_i32_p, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int16), c_i32_p, ctypes.c_int32,
     ]
+    so.kt_ctr_new.restype = ctypes.c_void_p
+    so.kt_ctr_new.argtypes = [ctypes.c_int32, c_i64, ctypes.c_int32]
+    so.kt_ctr_free.argtypes = [ctypes.c_void_p]
+    so.kt_ctr_add.restype = c_i64
+    so.kt_ctr_add.argtypes = [ctypes.c_void_p, c_u8_p, c_u8_p, c_i64, c_i64]
+    so.kt_ctr_freeze.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    so.kt_ctr_part_len.restype = c_i64
+    so.kt_ctr_part_len.argtypes = [ctypes.c_void_p, c_i64]
+    so.kt_ctr_drain_part.restype = c_i64
+    so.kt_ctr_drain_part.argtypes = [
+        ctypes.c_void_p, c_i64, c_u64_p, c_u64_p,
+    ]
     so.kt_format_oligocgr.restype = c_i64
     so.kt_format_oligocgr.argtypes = [
         ctypes.c_char_p, c_i32_p, c_i64,

@@ -15,8 +15,10 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <cctype>
 #include <charconv>
+#include <utility>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -1009,6 +1011,269 @@ int kt_oligo_hist(const uint8_t *packed, const uint8_t *validbits,
   }
   for (auto &x : th) x.join();
   return 0;
+}
+
+// ---- native out-of-core counting engine (heterogeneous ctr sink) ----------
+// The reference's count hot loop — rolling canonical encode + sharded
+// concurrent map upsert (counter/src/lib.rs:104-143) — as a host engine
+// beside the device accumulator (workloads/counter.py). The k-mer space
+// splits into S internal shards with S a multiple of n_parts and
+// shard = kmer % S, so partition p (= kmer % n_parts, lib.rs:127) is
+// exactly the union of shards s with s % n_parts == p. Each batch runs
+// two phases: T threads bucket canonical k-mers by shard (radix pass,
+// no contention), then T threads upsert disjoint shard stripes into
+// open-addressed maps (one owner per shard — lock-free by structure,
+// the scc-map analog). Drains return one partition at a time, sorted,
+// and reset the shards; Python writes the reference spill TSVs.
+
+struct KtCtrShard {
+  std::vector<uint64_t> keys;  // EMPTY = ~0ull
+  std::vector<uint32_t> vals;
+  size_t n = 0;
+
+  void reset(size_t cap) {
+    keys.assign(cap, ~0ull);
+    vals.assign(cap, 0);
+    n = 0;
+  }
+
+  static inline uint64_t mix(uint64_t x) {  // splitmix64 finalizer
+    x += 0x9e3779b97f4a7c15ull;
+    x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+    x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+    return x ^ (x >> 31);
+  }
+
+  void rehash(size_t cap) {
+    std::vector<uint64_t> ok = std::move(keys);
+    std::vector<uint32_t> ov = std::move(vals);
+    keys.assign(cap, ~0ull);
+    vals.assign(cap, 0);
+    const size_t mask = cap - 1;
+    for (size_t i = 0; i < ok.size(); i++) {
+      if (ok[i] == ~0ull) continue;
+      size_t h = mix(ok[i]) & mask;
+      while (keys[h] != ~0ull) h = (h + 1) & mask;
+      keys[h] = ok[i];
+      vals[h] = ov[i];
+    }
+  }
+
+  inline void upsert(uint64_t k) {
+    const size_t mask = keys.size() - 1;
+    size_t h = mix(k) & mask;
+    for (;;) {
+      if (keys[h] == k) {
+        vals[h]++;
+        return;
+      }
+      if (keys[h] == ~0ull) {
+        keys[h] = k;
+        vals[h] = 1;
+        if (++n * 4 >= keys.size() * 3) rehash(keys.size() * 2);
+        return;
+      }
+      h = (h + 1) & mask;
+    }
+  }
+};
+
+struct KtCtr {
+  int k;
+  int64_t n_parts;
+  int64_t S;  // internal shards, multiple of n_parts
+  int T;
+  std::vector<KtCtrShard> shards;
+  // per-thread per-shard bucket storage, reused across batches
+  std::vector<std::vector<std::vector<uint64_t>>> buckets;
+  // freeze(): per-partition sorted extracts awaiting drain
+  std::vector<std::vector<std::pair<uint64_t, uint32_t>>> staged;
+};
+
+void *kt_ctr_new(int32_t k, int64_t n_parts, int32_t nthreads) {
+  if (k < 1 || k > 31 || n_parts < 1) return nullptr;
+  KtCtr *c = new KtCtr();
+  c->k = k;
+  c->n_parts = n_parts;
+  c->T = nthreads > 0 ? nthreads : 1;
+  const int64_t want = 4 * (int64_t)c->T;
+  c->S = n_parts * ((want + n_parts - 1) / n_parts);
+  c->shards.resize((size_t)c->S);
+  for (auto &s : c->shards) s.reset(1024);
+  c->buckets.resize((size_t)c->T);
+  for (auto &b : c->buckets) b.resize((size_t)c->S);
+  return c;
+}
+
+void kt_ctr_free(void *h) { delete (KtCtr *)h; }
+
+// One batch of packed planes (2 bits/base + valid bits, row width a
+// multiple of 8). Returns total unique k-mers across shards, or -1.
+int64_t kt_ctr_add(void *h, const uint8_t *packed, const uint8_t *validbits,
+                   int64_t rows, int64_t width) {
+  KtCtr *c = (KtCtr *)h;
+  if (!c || width % 8) return -1;
+  const int64_t wq = width / 4, wb = width / 8;
+  const int k = c->k;
+  const uint64_t mask =
+      (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1ull);
+  const int rcshift = 2 * (k - 1);
+  const int64_t S = c->S;
+  int T = c->T;
+  if (T > rows) T = (int)(rows > 0 ? rows : 1);
+
+  // phase 1: bucket canonical k-mers by shard (per-thread, no sharing)
+  auto scan = [&](int t, int64_t r0, int64_t r1) {
+    auto &buck = c->buckets[(size_t)t];
+    for (auto &v : buck) v.clear();
+    for (int64_t r = r0; r < r1; r++) {
+      const uint8_t *p = packed + r * wq;
+      const uint8_t *v = validbits + r * wb;
+      uint64_t fwd = 0, rc = 0;
+      int run = 0;
+      for (int64_t i = 0; i < wb; i++) {
+        const uint8_t vb = v[i];
+        if (vb == 0) {  // fully invalid octet (padding / N run)
+          run = 0;
+          continue;
+        }
+        const uint32_t two =
+            (uint32_t)p[2 * i] | ((uint32_t)p[2 * i + 1] << 8);
+        for (int j = 0; j < 8; j++) {
+          if (!((vb >> j) & 1)) {
+            run = 0;
+            continue;
+          }
+          const uint64_t b = (two >> (2 * j)) & 3u;
+          fwd = ((fwd << 2) | b) & mask;
+          rc = (rc >> 2) | ((3ull - b) << rcshift);
+          if (++run >= k) {
+            const uint64_t can = fwd < rc ? fwd : rc;
+            buck[(size_t)(can % (uint64_t)S)].push_back(can);
+          }
+        }
+      }
+    }
+  };
+  {
+    std::vector<std::thread> th;
+    const int64_t chunk = (rows + T - 1) / T;
+    for (int t = 0; t < T; t++) {
+      const int64_t r0 = t * chunk;
+      const int64_t r1 = r0 + chunk < rows ? r0 + chunk : rows;
+      if (r0 >= r1) {
+        for (auto &v : c->buckets[(size_t)t]) v.clear();
+        continue;
+      }
+      th.emplace_back(scan, t, r0, r1);
+    }
+    for (int t = T; t < c->T; t++)
+      for (auto &v : c->buckets[(size_t)t]) v.clear();
+    for (auto &x : th) x.join();
+  }
+
+  // phase 2: upsert disjoint shard stripes (one owner thread per shard)
+  auto fold = [&](int64_t s0, int64_t s1) {
+    for (int64_t s = s0; s < s1; s++) {
+      KtCtrShard &sh = c->shards[(size_t)s];
+      for (int t = 0; t < c->T; t++)
+        for (uint64_t km : c->buckets[(size_t)t][(size_t)s]) sh.upsert(km);
+    }
+  };
+  {
+    std::vector<std::thread> th;
+    const int64_t chunk = (S + T - 1) / T;
+    for (int t = 0; t < T; t++) {
+      const int64_t s0 = t * chunk;
+      const int64_t s1 = s0 + chunk < S ? s0 + chunk : S;
+      if (s0 >= s1) break;
+      th.emplace_back(fold, s0, s1);
+    }
+    for (auto &x : th) x.join();
+  }
+
+  int64_t uniq = 0;
+  for (auto &s : c->shards) uniq += (int64_t)s.n;
+  return uniq;
+}
+
+// Extract + sort every partition in parallel, resetting the shards.
+// kt_ctr_part_len / kt_ctr_drain_part then read the staged results.
+void kt_ctr_freeze(void *h, int32_t nthreads) {
+  KtCtr *c = (KtCtr *)h;
+  if (!c) return;
+  c->staged.assign((size_t)c->n_parts, {});
+  int T = nthreads > 0 ? nthreads : c->T;
+  if ((int64_t)T > c->n_parts) T = (int)c->n_parts;
+  auto work = [&](int64_t p0, int64_t p1) {
+    for (int64_t p = p0; p < p1; p++) {
+      auto &items = c->staged[(size_t)p];
+      for (int64_t s = p; s < c->S; s += c->n_parts) {
+        KtCtrShard &sh = c->shards[(size_t)s];
+        for (size_t i = 0; i < sh.keys.size(); i++)
+          if (sh.keys[i] != ~0ull)
+            items.emplace_back(sh.keys[i], sh.vals[i]);
+        sh.reset(1024);
+      }
+      std::sort(items.begin(), items.end());
+    }
+  };
+  if (T <= 1) {
+    work(0, c->n_parts);
+    return;
+  }
+  std::vector<std::thread> th;
+  const int64_t chunk = (c->n_parts + T - 1) / T;
+  for (int t = 0; t < T; t++) {
+    const int64_t p0 = t * chunk;
+    const int64_t p1 = p0 + chunk < c->n_parts ? p0 + chunk : c->n_parts;
+    if (p0 >= p1) break;
+    th.emplace_back(work, p0, p1);
+  }
+  for (auto &x : th) x.join();
+}
+
+int64_t kt_ctr_part_len(void *h, int64_t part) {
+  KtCtr *c = (KtCtr *)h;
+  if (!c || part < 0 || part >= c->n_parts) return -1;
+  if (!c->staged.empty())
+    return (int64_t)c->staged[(size_t)part].size();
+  int64_t n = 0;
+  for (int64_t s = part; s < c->S; s += c->n_parts)
+    n += (int64_t)c->shards[(size_t)s].n;
+  return n;
+}
+
+// Drain partition `part` sorted ascending into keys/counts (length from
+// kt_ctr_part_len) and reset its shards. Returns entries written.
+int64_t kt_ctr_drain_part(void *h, int64_t part, uint64_t *keys,
+                          uint64_t *counts) {
+  KtCtr *c = (KtCtr *)h;
+  if (!c || part < 0 || part >= c->n_parts) return -1;
+  std::vector<std::pair<uint64_t, uint32_t>> local;
+  std::vector<std::pair<uint64_t, uint32_t>> *items = &local;
+  if (!c->staged.empty()) {
+    items = &c->staged[(size_t)part];
+  } else {
+    for (int64_t s = part; s < c->S; s += c->n_parts) {
+      KtCtrShard &sh = c->shards[(size_t)s];
+      for (size_t i = 0; i < sh.keys.size(); i++)
+        if (sh.keys[i] != ~0ull) local.emplace_back(sh.keys[i], sh.vals[i]);
+      sh.reset(1024);
+    }
+    std::sort(local.begin(), local.end());
+  }
+  const int64_t n = (int64_t)items->size();
+  for (int64_t i = 0; i < n; i++) {
+    keys[i] = (*items)[i].first;
+    counts[i] = (uint64_t)(*items)[i].second;
+  }
+  if (!c->staged.empty()) {
+    c->staged[(size_t)part].clear();
+    c->staged[(size_t)part].shrink_to_fit();
+    if (part == c->n_parts - 1) c->staged.clear();
+  }
+  return n;
 }
 
 }  // extern "C"

@@ -23,9 +23,13 @@ map-scan order is nondeterministic and its tests sort before comparing
 
 from __future__ import annotations
 
+import ctypes
 import functools
 import json
 import os
+import queue
+import threading
+import time
 
 import numpy as np
 import jax.numpy as jnp
@@ -457,6 +461,155 @@ class DeviceAccumulator:
         return keys, cnts
 
 
+class NativeCounter:
+    """Host-CPU counting engine (kthost.cpp:kt_ctr_*): the reference's
+    sharded-map count hot loop (counter/src/lib.rs:104-143) as a
+    multithreaded native sink beside the device accumulator. ctypes
+    releases the GIL, so its worker thread crunches on host cores while
+    the producer parses and the accelerator runs its own batches.
+    Consumes the batcher's packed planes directly; drains one sorted
+    (keys, counts) pair per partition (``kmer % n_parts``) and resets.
+    """
+
+    def __init__(self, ksize: int, n_parts: int, threads: int):
+        from kmertools_tpu import native
+
+        self._so = native.lib()
+        self._native = native
+        h = self._so.kt_ctr_new(ksize, n_parts, threads)
+        if not h:
+            raise RuntimeError("kt_ctr_new failed")
+        self._h = ctypes.c_void_p(h)
+        self.n_parts = n_parts
+        self.uniques = 0
+
+    def add(self, planes) -> int:
+        """Count one batch; returns total unique k-mers held."""
+        packed, vb, _ = planes
+        packed = np.ascontiguousarray(packed)
+        vb = np.ascontiguousarray(vb)
+        n = self._so.kt_ctr_add(
+            self._h,
+            packed.ctypes.data_as(self._native.c_u8_p),
+            vb.ctypes.data_as(self._native.c_u8_p),
+            packed.shape[0],
+            packed.shape[1] * 4,
+        )
+        if n < 0:
+            raise RuntimeError("kt_ctr_add failed")
+        self.uniques = n
+        return n
+
+    def drain_parts(self, threads: int = 0) -> list:
+        """[(keys u64 sorted asc, counts u64)] per partition; resets."""
+        out = []
+        self._so.kt_ctr_freeze(self._h, threads)  # parallel per-part sort
+        for p in range(self.n_parts):
+            n = self._so.kt_ctr_part_len(self._h, p)
+            keys = np.empty(max(n, 0), np.uint64)
+            cnts = np.empty(max(n, 0), np.uint64)
+            if n > 0:
+                got = self._so.kt_ctr_drain_part(
+                    self._h,
+                    p,
+                    keys.ctypes.data_as(self._native.c_u64_p),
+                    cnts.ctypes.data_as(self._native.c_u64_p),
+                )
+                if got != n:
+                    raise RuntimeError("kt_ctr_drain_part mismatch")
+            out.append((keys, cnts))
+        self.uniques = 0
+        return out
+
+    def close(self) -> None:
+        if self._h:
+            self._so.kt_ctr_free(self._h)
+            self._h = None
+
+    def __del__(self):  # best-effort; close() is the real path
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class _CtrSink:
+    """One counting engine in the multi-sink count loop: a bounded FIFO
+    and a worker thread feeding batches to ``add_fn``, spilling at the
+    engine's own gate. Stateful engines can't share batches the way the
+    stateless workloads' sinks do (workloads/common.py:_HeteroSink), but
+    the routing contract is the same: EWMA bases/s, route each batch to
+    the sink with the lowest estimated finish time. Spill files unify
+    the engines downstream — merge() aggregates chunks no matter which
+    engine produced them."""
+
+    def __init__(self, idx: int, add_fn, should_spill, do_spill,
+                 depth: int = 3):
+        self.idx = idx
+        self._add = add_fn
+        self._should_spill = should_spill
+        self._spill = do_spill
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.lock = threading.Lock()
+        self.inflight = 0
+        self.rate = 0.0  # EWMA bases/s; 0 = no sample yet
+        self._last_done: float | None = None
+        self.err: list[BaseException] = []
+        self._chunk_bases = 0
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def eta(self, w: int) -> float:
+        with self.lock:
+            if self.rate > 0:
+                return (self.inflight + w) / self.rate
+            return 0.0 if self.inflight == 0 else float("inf")
+
+    def put(self, b, w: int) -> None:
+        with self.lock:
+            self.inflight += w
+        self.q.put((b, w, time.perf_counter()))
+
+    def _worker(self) -> None:
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            b, w, t_disp = item
+            if self.err:
+                with self.lock:
+                    self.inflight -= w
+                continue  # drain so the producer's bounded put never blocks
+            try:
+                n = self._add(b)
+                now = time.perf_counter()
+                t0 = t_disp if self._last_done is None else max(
+                    self._last_done, t_disp
+                )
+                self._last_done = now
+                sample = w / max(now - t0, 1e-6)
+                with self.lock:
+                    self.rate = (
+                        sample if self.rate == 0
+                        else 0.5 * self.rate + 0.5 * sample
+                    )
+                    self.inflight -= w
+                self._chunk_bases += w
+                if self._should_spill(n, self._chunk_bases):
+                    self._spill()
+                    self._chunk_bases = 0
+            except BaseException as e:  # re-raised by finish()
+                self.err.append(e)
+                with self.lock:
+                    self.inflight -= w
+
+    def finish(self) -> None:
+        self.q.put(None)
+        self.thread.join()
+        if self.err:
+            raise self.err[0]
+
+
 class CountComputer:
     """counter/src/lib.rs:22-249 equivalent."""
 
@@ -476,6 +629,7 @@ class CountComputer:
         self.n_devices = None  # None = all visible devices
         self.mh_ctx = None  # parallel.multihost.HostContext
         self.chunk_ids: list[int] = []
+        self._cid_lock = threading.Lock()
         self.target_codes = min(iob.DEFAULT_TARGET_CODES, _CTR_TARGET_CODES)
 
     def set_threads(self, threads: int) -> None:
@@ -523,6 +677,30 @@ class CountComputer:
                 f,
             )
 
+    def _alloc_chunk_id(self) -> int:
+        """Next spill chunk id (thread-safe: engine sinks spill from
+        their own worker threads). Ids interleave by host rank in
+        multi-host runs so every host spills into the same dir without
+        collisions."""
+        with self._cid_lock:
+            if self.mh_ctx:
+                cid = self.mh_ctx.num_hosts * self.chunks + self.mh_ctx.host_id
+            else:
+                cid = self.chunks
+            self.chunk_ids.append(cid)
+            self.chunks += 1
+            return cid
+
+    def _spill_parts(self, parts: list) -> bool:
+        """Write one chunk of per-partition (keys, counts) spill files.
+        Returns False (and allocates no chunk id) when all empty."""
+        if not any(len(k) for k, _ in parts):
+            return False
+        cid = self._alloc_chunk_id()
+        for p, (k, c) in enumerate(parts):
+            self._write_spill(p, cid, k, c)
+        return True
+
     def _spill_from(self, acc: "DeviceAccumulator") -> bool:
         """Drain the device accumulator into per-partition spill files
         (one chunk). Returns False when the accumulator was empty."""
@@ -533,18 +711,12 @@ class CountComputer:
         order = np.argsort(parts, kind="stable")
         kmers, counts, parts = kmers[order], counts[order], parts[order]
         bounds = np.searchsorted(parts, np.arange(self.n_parts + 1))
-        # chunk ids interleave by host rank in multi-host runs so every
-        # host spills into the same dir without collisions
-        if self.mh_ctx:
-            cid = self.mh_ctx.num_hosts * self.chunks + self.mh_ctx.host_id
-        else:
-            cid = self.chunks
-        for p in range(self.n_parts):
-            s, e = bounds[p], bounds[p + 1]
-            self._write_spill(p, cid, kmers[s:e], counts[s:e])
-        self.chunk_ids.append(cid)
-        self.chunks += 1
-        return True
+        return self._spill_parts(
+            [
+                (kmers[bounds[p]:bounds[p + 1]], counts[bounds[p]:bounds[p + 1]])
+                for p in range(self.n_parts)
+            ]
+        )
 
     def _effective_target(self) -> int:
         """Batch code budget clamped to the corpus size (pow2-bucketed
@@ -553,37 +725,110 @@ class CountComputer:
         need = 1 << max(16, (2 * max(1, self.total_bases) - 1).bit_length())
         return min(self.target_codes, need)
 
-    def _count_loop(self, acc: "DeviceAccumulator", on_chunk) -> None:
-        """Stream batches through the accumulator; `on_chunk()` fires
-        at each spill point (memory gate or accumulator high-water
-        mark, counter/src/lib.rs:114-116 analog)."""
+    def _native_engine(self) -> "NativeCounter | None":
+        """The host-CPU engine when it should join the count: native
+        runtime present, heterogeneous execution not disabled."""
+        from kmertools_tpu import native
+
+        if os.environ.get("KMERTOOLS_NO_HETERO") == "1":
+            return None
+        if native.lib() is None or not (1 <= self.ksize <= 31):
+            return None
+        return NativeCounter(self.ksize, self.n_parts, self.threads)
+
+    def _make_engines(self):
+        """(device accumulator | None, native engine | None).
+
+        A non-CPU backend always gets the device path (the mesh-sharded
+        flagship), with the native engine as a second sink when present.
+        On a CPU-only backend the XLA programs would share silicon with
+        — and lose badly to — the native engine, so the engine runs
+        alone when present (the XLA path still covers KMERTOOLS_NO_*
+        fallback modes)."""
+        import jax
+
+        eng = self._native_engine()
+        devs = jax.local_devices() if self.n_devices is None else (
+            jax.local_devices()[: self.n_devices]
+        )
+        backend_cpu = bool(devs) and devs[0].platform == "cpu"
+        acc = None
+        if eng is None or not backend_cpu:
+            acc = DeviceAccumulator(
+                self.ksize, self._effective_target(), n_devices=self.n_devices
+            )
+        return acc, eng
+
+    def _count_loop(self, acc: "DeviceAccumulator | None",
+                    eng: "NativeCounter | None") -> None:
+        """Stream batches through the engine sinks. Each sink spills
+        itself at its own high-water mark or at the memory gate
+        (counter/src/lib.rs:114-116 analog); batches route to the sink
+        with the lowest EWMA-estimated finish time."""
         pbar = Progress(self.seq_count, "counting")
         gate = 1_000_000_000.0 * self.memory_ceil_gb / 8.0
-        chunk_bases = 0
-        for b in iob.stream_path(
-            self.in_path, overlap=self.ksize - 1,
-            target_codes=self._effective_target(),
-            shard=self.mh_ctx.shard_for(self.in_path) if self.mh_ctx else None,
-        ):
-            n_unique = acc.add(lengths_np=b.lengths, planes=b.planes())
-            pbar.update(int((b.read_idx >= 0).sum()))
-            chunk_bases += int(b.lengths.sum())
-            if acc.needs_drain(n_unique) or chunk_bases > gate:
-                on_chunk()
-                chunk_bases = 0
+        # ~16B per unique in the engine's maps at max load; /32 leaves
+        # headroom for growth doubling + transient bucket vectors
+        umark = max(1 << 16, int(self.memory_ceil_gb * 1e9 / 32.0))
+        sinks = []
+        if acc is not None:
+            sinks.append(
+                _CtrSink(
+                    len(sinks),
+                    lambda b: acc.add(lengths_np=b.lengths, planes=b.planes()),
+                    lambda n, cb: acc.needs_drain(n) or cb > gate,
+                    lambda: self._spill_from(acc),
+                )
+            )
+        if eng is not None:
+            sinks.append(
+                _CtrSink(
+                    len(sinks),
+                    lambda b: eng.add(b.planes()),
+                    lambda n, cb: n > umark or cb > gate,
+                    lambda: self._spill_parts(eng.drain_parts()),
+                )
+            )
+        try:
+            for b in iob.stream_path(
+                self.in_path, overlap=self.ksize - 1,
+                target_codes=self._effective_target(),
+                shard=self.mh_ctx.shard_for(self.in_path)
+                if self.mh_ctx else None,
+            ):
+                if any(s.err for s in sinks):
+                    break
+                w = max(1, int(b.lengths.sum()))
+                sink = min(sinks, key=lambda s: (s.eta(w), s.idx))
+                sink.put(b, w)
+                pbar.update(int((b.read_idx >= 0).sum()))
+        finally:
+            errs = []
+            for s in sinks:
+                try:
+                    s.finish()
+                except BaseException as e:
+                    errs.append(e)
+            if errs:
+                raise errs[0]
         pbar.finish()
 
+    def _final_spills(self, acc, eng) -> None:
+        if acc is not None:
+            self._spill_from(acc)
+        if eng is not None:
+            self._spill_parts(eng.drain_parts())
+            eng.close()
+
     def count(self) -> None:
-        """Count phase: device-accumulated chunks -> durable partition
+        """Count phase: engine-accumulated chunks -> durable partition
         spills (the resume point; merge() completes the pipeline)."""
         self.init()
         self.chunks = 0
-        acc = DeviceAccumulator(
-            self.ksize, self._effective_target(), n_devices=self.n_devices
-        )
-        self.used_mesh = acc.used_mesh
-        self._count_loop(acc, lambda: self._spill_from(acc))
-        self._spill_from(acc)
+        acc, eng = self._make_engines()
+        self.used_mesh = acc.used_mesh if acc is not None else False
+        self._count_loop(acc, eng)
+        self._final_spills(acc, eng)
         self._write_manifest()
 
     def _spill_path(self, p: int, c: int) -> str:
@@ -615,32 +860,65 @@ class CountComputer:
             return
         self.init()
         self.chunks = 0
-        acc = DeviceAccumulator(
-            self.ksize, self._effective_target(), n_devices=self.n_devices
-        )
-        self.used_mesh = acc.used_mesh
-        self._count_loop(acc, lambda: self._spill_from(acc))
+        acc, eng = self._make_engines()
+        self.used_mesh = acc.used_mesh if acc is not None else False
+        self._count_loop(acc, eng)
         if self.chunks:
             # spills happened: finish the durable path
-            self._spill_from(acc)
+            self._final_spills(acc, eng)
             self._write_manifest()
             self.merge(delete)
             return
-        kmers, counts = acc.drain()
+        # per-partition sources; a partition's key space is disjoint
+        # from every other's, so cross-key aggregation is only ever
+        # needed WITHIN a partition when both engines counted (the
+        # accelerator-backend config) — never a global 13M-key sort
+        np_parts = max(1, self.n_parts)
+        part_srcs: list[list] = [[] for _ in range(np_parts)]
+        if acc is not None:
+            k, c = acc.drain()
+            if len(k):
+                pidx = (k % np.uint64(np_parts)).astype(np.int64)
+                order = np.argsort(pidx, kind="stable")
+                k, c, pidx = k[order], c[order], pidx[order]
+                bounds = np.searchsorted(pidx, np.arange(np_parts + 1))
+                for p in range(np_parts):
+                    s, e = bounds[p], bounds[p + 1]
+                    if e > s:
+                        part_srcs[p].append((k[s:e], c[s:e]))
+        if eng is not None:
+            for p, (k, c) in enumerate(eng.drain_parts(self.threads)):
+                if len(k):
+                    part_srcs[p].append((k, c))
+            eng.close()
         out_path = os.path.join(self.out_dir, "kmers.counts")
+        table_k, table_c = [], []
         with open(out_path, "wb") as out:
-            if len(kmers):
-                # partition-major order, matching merge()'s output
-                parts = (kmers % np.uint64(max(1, self.n_parts))).astype(np.int64)
-                order = np.argsort(parts, kind="stable")
-                kmers, counts = kmers[order], counts[order]
+            for srcs in part_srcs:  # partition-major, merge()'s order
+                if not srcs:
+                    continue
+                if len(srcs) == 1:
+                    k, c = srcs[0]
+                else:
+                    k, c = _aggregate(
+                        np.concatenate([s[0] for s in srcs]),
+                        np.concatenate([s[1] for s in srcs]),
+                    )
                 _write_tsv_stream(
-                    out, kmers, counts,
-                    acgt_k=self.ksize if self.acgt else None,
+                    out, k, c, acgt_k=self.ksize if self.acgt else None
                 )
+                table_k.append(k)
+                table_c.append(c)
         # in-memory handoff for composing workloads (coverage): saves
         # re-parsing the TSV we just wrote
-        self.last_table = (kmers, counts)
+        if table_k:
+            self.last_table = (
+                np.concatenate(table_k), np.concatenate(table_c)
+            )
+        else:
+            self.last_table = (
+                np.empty(0, np.uint64), np.empty(0, np.uint64)
+            )
         self._write_manifest()
 
     def _count_and_merge_multihost(self, delete: bool) -> None:

@@ -3,6 +3,7 @@
 import shutil
 
 import numpy as np
+import pytest
 
 from kmertools_tpu.utils.fops import load_lines_sorted
 from kmertools_tpu.workloads.counter import CountComputer
@@ -166,10 +167,12 @@ def test_duplicated_corpus_counts_exact(tmp_path):
     assert counts == want
 
 
-def test_counter_mesh_matches_single_device(tmp_path, test_data):
+def test_counter_mesh_matches_single_device(tmp_path, test_data, monkeypatch):
     """kmers.counts must be byte-identical between a 1-device run and
     the 8-device mesh run, with the sharded path actually taken
-    (VERDICT r1 item 2)."""
+    (VERDICT r1 item 2). NO_HETERO pins the device engine: this test is
+    about the mesh path, not the host sink."""
+    monkeypatch.setenv("KMERTOOLS_NO_HETERO", "1")
     import jax
 
     assert jax.device_count() >= 8
@@ -189,7 +192,7 @@ def test_counter_mesh_matches_single_device(tmp_path, test_data):
     ).read_bytes()
 
 
-def test_counter_transfer_scales_with_uniques(tmp_path):
+def test_counter_transfer_scales_with_uniques(tmp_path, monkeypatch):
     """The device accumulator must fetch k-mers at drain time only —
     device->host transfer proportional to uniques, not occurrences
     (VERDICT r1 weak#5). A 50x-duplicated corpus across many batches
@@ -199,6 +202,7 @@ def test_counter_transfer_scales_with_uniques(tmp_path):
 
     from kmertools_tpu.workloads import counter as ctr_mod
 
+    monkeypatch.setenv("KMERTOOLS_NO_HETERO", "1")  # pin the device engine
     rng = np.random.default_rng(12)
     base = "".join(rng.choice(list("ACGT"), size=500))
     fq = tmp_path / "dup.fq"
@@ -296,3 +300,105 @@ def test_merge_sorted_batch_oracle():
         ]
         assert int(n) == len(exp) and got == exp, trial
         assert (oh[int(n):] == SENT).all() and (oc[int(n):] == 0).all(), trial
+
+
+def test_native_counter_matches_bruteforce():
+    """NativeCounter (kthost.cpp:kt_ctr_*) vs a Python dict oracle:
+    random codes with ambiguous bases, several batches, a mid-stream
+    drain, per-partition sorted output."""
+    from kmertools_tpu import native
+    from kmertools_tpu.io.batch import pack_planes
+    from kmertools_tpu.workloads.counter import NativeCounter
+
+    if native.lib() is None:
+        pytest.skip("native runtime unavailable")
+    k, n_parts = 21, 3
+    rng = np.random.default_rng(5)
+    eng = NativeCounter(k, n_parts, threads=3)
+    want: dict[int, int] = {}
+    got: dict[int, int] = {}
+
+    def collect():
+        parts = eng.drain_parts()
+        assert len(parts) == n_parts
+        for p, (keys, cnts) in enumerate(parts):
+            assert (np.diff(keys.astype(np.int64)) > 0).all()  # sorted
+            assert (keys % np.uint64(n_parts) == p).all()
+            for kk, cc in zip(keys.tolist(), cnts.tolist()):
+                got[kk] = got.get(kk, 0) + cc
+
+    for batch in range(4):
+        codes = rng.integers(0, 4, size=(17, 64)).astype(np.uint8)
+        codes[rng.random(codes.shape) < 0.05] = 4
+        codes[3, 40:] = 4  # padded tail
+        lengths = np.full((17,), 64, np.int32)
+        eng.add(pack_planes(codes, lengths))
+        # oracle
+        for row in codes:
+            fwd = rc = 0
+            run = 0
+            mask = (1 << (2 * k)) - 1
+            for c in row.tolist():
+                if c >= 4:
+                    run = 0
+                    continue
+                fwd = ((fwd << 2) | c) & mask
+                rc = (rc >> 2) | ((3 - c) << (2 * (k - 1)))
+                run += 1
+                if run >= k:
+                    key = min(fwd, rc)
+                    want[key] = want.get(key, 0) + 1
+        if batch == 1:
+            collect()  # mid-stream drain + reset
+            assert eng.uniques == 0
+    collect()
+    eng.close()
+    assert got == want
+
+
+def test_counter_hetero_engines_match_device_only(tmp_path, monkeypatch):
+    """kmers.counts must be identical whichever engines count: native
+    only (CPU default), device only (NO_HETERO), and both at once (the
+    accelerator-backend production config, forced here) — including
+    across spill chunks produced by different engines."""
+    from kmertools_tpu import native
+    from kmertools_tpu.workloads import counter as ctr_mod
+
+    if native.lib() is None:
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(23)
+    fa = tmp_path / "mix.fa"
+    with open(fa, "w") as f:
+        for i in range(300):
+            seq = "".join("ACGTN"[j] for j in rng.integers(0, 5, size=150))
+            f.write(f">r{i}\n{seq}\n")
+
+    def run(out, force_both=False, no_hetero=False):
+        if no_hetero:
+            monkeypatch.setenv("KMERTOOLS_NO_HETERO", "1")
+        else:
+            monkeypatch.delenv("KMERTOOLS_NO_HETERO", raising=False)
+        out.mkdir()
+        c = CountComputer(str(fa), str(out), 21)
+        c.target_codes = 1 << 13  # many batches
+        if force_both:
+            monkeypatch.setattr(
+                CountComputer,
+                "_make_engines",
+                lambda s: (
+                    ctr_mod.DeviceAccumulator(
+                        s.ksize, s._effective_target(), n_devices=s.n_devices
+                    ),
+                    s._native_engine(),
+                ),
+            )
+            c.memory_ceil_gb = 1e-5  # force spills from both engines
+        c.count_and_merge(True)
+        if force_both:
+            monkeypatch.undo()
+        return load_lines_sorted(str(out / "kmers.counts"))
+
+    a = run(tmp_path / "native_only")
+    b = run(tmp_path / "device_only", no_hetero=True)
+    c = run(tmp_path / "both", force_both=True)
+    assert a == b == c
