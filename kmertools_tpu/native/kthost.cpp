@@ -1197,6 +1197,159 @@ int64_t kt_ctr_add(void *h, const uint8_t *packed, const uint8_t *validbits,
   return uniq;
 }
 
+// ---- native minimiser scanner (heterogeneous min sink) --------------------
+// The reference's sequential minimiser state machine
+// (kmer/src/minimiser.rs:61-175 — buffer of W = w-m+1 canonical m-mer
+// minima, emission when the active minimiser changes, ambiguity flush,
+// final-partial-window emit) run per row, rows parallel over threads.
+// wsize == 0 means window = whole read (misc/src/minimisers.rs:44-48):
+// per row the machine runs with w_eff = len. Operates on packed planes;
+// records land at caller-provided per-row offsets (capacity len+2 per
+// row — one emission advances pos, so counts are bounded by len+1).
+// Returns 0, or -1 on bad arguments.
+int kt_min_batch(const uint8_t *packed, const uint8_t *validbits,
+                 int64_t rows, int64_t width, const int32_t *lens,
+                 int32_t msize, int32_t wsize, int32_t nthreads,
+                 const int64_t *offs, uint64_t *vals, int64_t *starts,
+                 int64_t *ends, int64_t *row_counts) {
+  if (width % 8 || msize < 1 || msize > 31 || wsize < 0) return -1;
+  const int64_t wq = width / 4, wb = width / 8;
+  const uint64_t m_mask = (1ull << (2 * msize)) - 1ull;
+  const int m_shift = 2 * (msize - 1);
+  const uint64_t U64MAX = ~0ull;
+
+  auto work = [&](int64_t r0, int64_t r1) {
+    std::vector<uint64_t> buf;
+    for (int64_t row = r0; row < r1; row++) {
+      const uint8_t *p = packed + row * wq;
+      const uint8_t *v = validbits + row * wb;
+      const int64_t n = lens[row];
+      uint64_t *o_val = vals + offs[row];
+      int64_t *o_st = starts + offs[row];
+      int64_t *o_en = ends + offs[row];
+      const int64_t cap = offs[row + 1] - offs[row];
+      int64_t cnt = 0;
+      const int64_t w_eff = wsize > 0 ? wsize : n;
+      const int64_t W = w_eff - msize + 1;
+      row_counts[row] = 0;
+      if (W <= 0 || n < msize) continue;
+      if ((int64_t)buf.size() < W) buf.resize((size_t)W);
+      int64_t bn = 0, bhead = 0, buff_pos = 0;
+      uint64_t m_active = U64MAX, f = 0, r = 0;
+      int64_t run = 0, m_window_start = 0, pos = 0;
+      auto emit = [&](uint64_t val, int64_t s, int64_t e) {
+        if (cnt < cap) {
+          o_val[cnt] = val & m_mask;
+          o_st[cnt] = s;
+          o_en[cnt] = e;
+        }
+        cnt++;
+      };
+      while (pos < n) {
+        const int c = ((v[pos >> 3] >> (pos & 7)) & 1)
+                          ? (int)((p[pos >> 2] >> (2 * (pos & 3))) & 3)
+                          : 4;
+        if (c < 4) {
+          f = ((f << 2) | (uint64_t)c) & m_mask;
+          r = (r >> 2) | ((uint64_t)(3 - c) << m_shift);
+          run++;
+        } else {  // ambiguity flush (minimiser.rs:81-102)
+          const bool should_return = bn == W;
+          const uint64_t pv = m_active;
+          const int64_t ps = m_window_start, pe = pos;
+          buff_pos = 0;
+          m_active = U64MAX;
+          f = r = 0;
+          run = 0;
+          m_window_start = pos + 1;
+          bn = 0;
+          bhead = 0;
+          pos++;
+          if (should_return) emit(pv, ps, pe);
+          continue;
+        }
+        if (run < msize) {
+          pos++;
+          continue;
+        }
+        run--;
+        const uint64_t mmin = f < r ? f : r;
+        if (bn == W) {
+          // pop front + append back: new element lands on the old head
+          buf[(size_t)bhead] = mmin;
+          bhead = (bhead + 1) % W;
+          if (buff_pos == 0) {  // evicted the active min: recompute
+            uint64_t new_min = U64MAX;
+            for (int64_t j = 0; j < W; j++) {
+              const uint64_t x = buf[(size_t)((bhead + j) % W)];
+              if (x < new_min) {
+                buff_pos = j;
+                new_min = x;
+              }
+            }
+            if (new_min != m_active) {
+              const uint64_t pv = m_active;
+              const int64_t ps = m_window_start, pe = pos;
+              m_active = new_min;
+              m_window_start = pos - w_eff + 1;
+              pos++;
+              emit(pv, ps, pe);
+              continue;
+            }
+          } else if (mmin < m_active) {
+            const uint64_t pv = m_active;
+            const int64_t ps = m_window_start, pe = pos;
+            m_active = mmin;
+            buff_pos = W - 1;
+            m_window_start = pos - w_eff + 1;
+            pos++;
+            emit(pv, ps, pe);
+            continue;
+          } else {
+            buff_pos--;
+          }
+        } else {
+          buf[(size_t)((bhead + bn) % W)] = mmin;
+          bn++;
+        }
+        if (m_active == U64MAX && bn == W) {
+          for (int64_t j = 0; j < W; j++) {
+            const uint64_t x = buf[(size_t)((bhead + j) % W)];
+            if (x < m_active) {
+              buff_pos = j;
+              m_active = x;
+            }
+          }
+        }
+        if (pos == n - 1) {  // final window (minimiser.rs:168-171)
+          pos++;
+          emit(m_active, m_window_start, n);
+          continue;
+        }
+        pos++;
+      }
+      row_counts[row] = cnt <= cap ? cnt : -1;  // -1: capacity bug guard
+    }
+  };
+
+  int T = nthreads > 0 ? nthreads : 1;
+  if ((int64_t)T > rows) T = (int)(rows > 0 ? rows : 1);
+  if (T <= 1) {
+    work(0, rows);
+    return 0;
+  }
+  std::vector<std::thread> th;
+  const int64_t chunk = (rows + T - 1) / T;
+  for (int t = 0; t < T; t++) {
+    const int64_t r0 = t * chunk;
+    const int64_t r1 = r0 + chunk < rows ? r0 + chunk : rows;
+    if (r0 >= r1) break;
+    th.emplace_back(work, r0, r1);
+  }
+  for (auto &x : th) x.join();
+  return 0;
+}
+
 // Extract + sort every partition in parallel, resetting the shards.
 // kt_ctr_part_len / kt_ctr_drain_part then read the staged results.
 void kt_ctr_freeze(void *h, int32_t nthreads) {

@@ -67,9 +67,65 @@ class _ReadState:
         self.min_l = 0xFFFFFFFF
 
 
+def _native_min_scanner(msize: int, wsize: int):
+    """The native per-batch minimiser scanner (kthost.cpp:kt_min_batch)
+    when the host engine should run the scan: CPU-only backend (where
+    the XLA window kernels share silicon with and lose to the C++ state
+    machine), native runtime present, hetero not disabled. Returns a
+    callable (planes, lens) -> (offs, counts, vals, starts, ends) or
+    None."""
+    import ctypes as _ct
+    import os as _os
+
+    import jax as _jax
+
+    from kmertools_tpu import native as _nat
+
+    if _os.environ.get("KMERTOOLS_NO_HETERO") == "1" or msize > 31:
+        return None
+    so = _nat.lib()
+    if so is None:
+        return None
+    devs = _jax.local_devices()
+    if not devs or devs[0].platform != "cpu":
+        return None
+    nthreads = _os.cpu_count() or 1
+
+    def scan(planes, lens: np.ndarray):
+        packed, vb, _ = planes
+        n = len(lens)
+        packed = np.ascontiguousarray(packed[:n])
+        vb = np.ascontiguousarray(vb[:n])
+        lens32 = np.ascontiguousarray(lens, dtype=np.int32)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens32.astype(np.int64) + 2, out=offs[1:])
+        N = int(offs[-1])
+        vals = np.empty(N, np.uint64)
+        starts = np.empty(N, np.int64)
+        ends = np.empty(N, np.int64)
+        counts = np.empty(n, np.int64)
+        rc = so.kt_min_batch(
+            packed.ctypes.data_as(_nat.c_u8_p),
+            vb.ctypes.data_as(_nat.c_u8_p),
+            n, packed.shape[1] * 4,
+            lens32.ctypes.data_as(_nat.c_i32_p),
+            msize, wsize, nthreads,
+            offs.ctypes.data_as(_nat.c_i64_p),
+            vals.ctypes.data_as(_nat.c_u64_p),
+            starts.ctypes.data_as(_nat.c_i64_p),
+            ends.ctypes.data_as(_nat.c_i64_p),
+            counts.ctypes.data_as(_nat.c_i64_p),
+        )
+        if rc != 0 or (counts < 0).any():
+            raise RuntimeError("kt_min_batch failed")
+        return offs, counts, vals, starts, ends
+
+    return scan
+
+
 def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
                      target_codes=None, shard=None):
-    """Drive the device kernels over the file; call emit(read_idx, id,
+    """Drive the scan kernels over the file; call emit(read_idx, id,
     read_len, records) with records = an array triple
     (values uint64[], starts int64[], ends int64[])."""
     target = target_codes or iob.DEFAULT_TARGET_CODES
@@ -79,6 +135,7 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
 
     states: dict[int, _ReadState] = {}
     meta: dict[int, tuple[str, int]] = {}
+    native_scan = _native_min_scanner(msize, wsize)
 
     # DP-shard every device kernel over the mesh (the all-threads
     # design of misc/src/minimisers.rs:30-70 mapped to chips); on one
@@ -212,6 +269,30 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
 
     def handle_batch(b: iob.Batch):
         meta.update({ridx: (rid, b.read_lengths[ridx]) for ridx, rid in b.ids.items()})
+        if native_scan is not None:
+            # complete single-row reads (the common case): the native
+            # state machine produces every record — window changes,
+            # ambiguity flushes, sentinels — with no codes expansion
+            real = b.read_idx >= 0
+            if (
+                not states
+                and bool((b.last_row | ~real).all())
+                and not bool((b.row_start[real] != 0).any())
+            ):
+                n = int(real.sum())
+                if n:
+                    offs, counts, vals, sts, ens = native_scan(
+                        b.planes(), b.lengths[:n]
+                    )
+                    for i in range(n):
+                        ridx = int(b.read_idx[i])
+                        rid, rlen = meta.pop(ridx)
+                        o, c = int(offs[i]), int(counts[i])
+                        emit(
+                            ridx, rid, rlen,
+                            (vals[o:o + c], sts[o:o + c], ens[o:o + c]),
+                        )
+                return []
         lengths = b.lengths.astype(np.int64)
         trail = _row_trail(b.codes, lengths)
         hasbad = _row_has_bad(b.codes, lengths)

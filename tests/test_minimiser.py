@@ -1,5 +1,12 @@
 """Minimiser engine: exact-emission tests (kmer/src/minimiser.rs:178-305
-ports), golden files, and property tests against a state-machine oracle."""
+ports), golden files, and property tests against a state-machine oracle.
+
+The whole module runs twice: once with the default engine selection
+(the native C++ state machine takes simple batches on the CPU test
+backend) and once with KMERTOOLS_NO_HETERO pinning the device kernels —
+both engines must match the oracle and the goldens."""
+
+import os
 
 import numpy as np
 import pytest
@@ -7,6 +14,13 @@ import pytest
 from kmertools_tpu.utils import codec
 from kmertools_tpu.utils.fops import load_lines_sorted
 from kmertools_tpu.workloads import minimisers as wmin
+
+
+@pytest.fixture(autouse=True, params=["hetero", "device"])
+def _engine(request, monkeypatch):
+    if request.param == "device":
+        monkeypatch.setenv("KMERTOOLS_NO_HETERO", "1")
+    return request.param
 
 
 # ---------------------------------------------------------------- oracle
@@ -194,8 +208,10 @@ def test_s2m_golden(tmp_path, test_data):
     assert load_lines_sorted(str(out)) == load_lines_sorted(
         str(test_data / "expected_seq_minimisers")
     )
-    # the window-min kernel must have run DP-sharded over the test mesh
-    assert common.MESH_DISPATCHES > before
+    # with the device engine pinned, the window-min kernel must have
+    # run DP-sharded over the test mesh
+    if os.environ.get("KMERTOOLS_NO_HETERO") == "1":
+        assert common.MESH_DISPATCHES > before
 
 
 def test_m2s_golden(tmp_path, test_data):
@@ -207,8 +223,10 @@ def test_m2s_golden(tmp_path, test_data):
     assert load_lines_sorted(str(out)) == load_lines_sorted(
         str(test_data / "expected_minimisers")
     )
-    # the whole-read-min kernel must have run DP-sharded over the mesh
-    assert common.MESH_DISPATCHES > before
+    # with the device engine pinned, the whole-read-min kernel must
+    # have run DP-sharded over the mesh
+    if os.environ.get("KMERTOOLS_NO_HETERO") == "1":
+        assert common.MESH_DISPATCHES > before
 
 
 @pytest.mark.parametrize("seed", range(3))
