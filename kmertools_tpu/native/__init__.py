@@ -128,6 +128,13 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
         c_i32_p, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int16), c_i32_p, ctypes.c_int32,
     ]
+    so.kt_cov_hist.restype = ctypes.c_int
+    so.kt_cov_hist.argtypes = [
+        c_u8_p, c_u8_p, c_i64, c_i64, ctypes.c_int32,
+        c_u64_p, c_i32_p, c_i64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int16), c_i32_p, ctypes.c_int32,
+    ]
     so.kt_min_batch.restype = ctypes.c_int
     so.kt_min_batch.argtypes = [
         c_u8_p, c_u8_p, c_i64, c_i64, c_i32_p,

@@ -1197,6 +1197,83 @@ int64_t kt_ctr_add(void *h, const uint8_t *packed, const uint8_t *validbits,
   return uniq;
 }
 
+// ---- native coverage histogram (heterogeneous cov sink) -------------------
+// Rolling canonical encode + sorted-table lower-bound join + abundance
+// binning (coverage/src/lib.rs:165-184: bin = min(count / bin_size,
+// bin_count - 1), absent k-mers count 0 and land in bin 0). One
+// int16 histogram row + int32 total per read; same fused layout as the
+// device program (workloads/coverage.py:_coverage_batch). k <= 31.
+int kt_cov_hist(const uint8_t *packed, const uint8_t *validbits,
+                int64_t rows, int64_t width, int32_t k,
+                const uint64_t *tkeys, const int32_t *tcnts, int64_t nt,
+                int32_t bin_size, int32_t bin_count,
+                int16_t *counts, int32_t *totals, int32_t nthreads) {
+  if (width % 8 || k < 1 || k > 31 || bin_size < 1 || bin_count < 1)
+    return -1;
+  const int64_t wq = width / 4, wb = width / 8;
+  const uint64_t mask = (1ull << (2 * k)) - 1ull;
+  const int rcshift = 2 * (k - 1);
+
+  auto work = [&](int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; r++) {
+      const uint8_t *p = packed + r * wq;
+      const uint8_t *v = validbits + r * wb;
+      int16_t *cnt = counts + r * bin_count;
+      memset(cnt, 0, (size_t)bin_count * sizeof(int16_t));
+      uint64_t fwd = 0, rc = 0;
+      int run = 0;
+      int32_t tot = 0;
+      for (int64_t i = 0; i < wb; i++) {
+        const uint8_t vb = v[i];
+        if (vb == 0) {
+          run = 0;
+          continue;
+        }
+        const uint32_t two =
+            (uint32_t)p[2 * i] | ((uint32_t)p[2 * i + 1] << 8);
+        for (int j = 0; j < 8; j++) {
+          if (!((vb >> j) & 1)) {
+            run = 0;
+            continue;
+          }
+          const uint64_t b = (two >> (2 * j)) & 3u;
+          fwd = ((fwd << 2) | b) & mask;
+          rc = (rc >> 2) | ((3ull - b) << rcshift);
+          if (++run >= k) {
+            const uint64_t can = fwd < rc ? fwd : rc;
+            const uint64_t *lo =
+                std::lower_bound(tkeys, tkeys + nt, can);
+            int32_t c = 0;
+            if (lo != tkeys + nt && *lo == can) c = tcnts[lo - tkeys];
+            int32_t bin = c / bin_size;
+            if (bin >= bin_count) bin = bin_count - 1;
+            cnt[bin]++;
+            tot++;
+          }
+        }
+      }
+      totals[r] = tot;
+    }
+  };
+
+  int T = nthreads > 0 ? nthreads : 1;
+  if ((int64_t)T > rows) T = (int)(rows > 0 ? rows : 1);
+  if (T <= 1) {
+    work(0, rows);
+    return 0;
+  }
+  std::vector<std::thread> th;
+  const int64_t chunk = (rows + T - 1) / T;
+  for (int t = 0; t < T; t++) {
+    const int64_t r0 = t * chunk;
+    const int64_t r1 = r0 + chunk < rows ? r0 + chunk : rows;
+    if (r0 >= r1) break;
+    th.emplace_back(work, r0, r1);
+  }
+  for (auto &x : th) x.join();
+  return 0;
+}
+
 // ---- native minimiser scanner (heterogeneous min sink) --------------------
 // The reference's sequential minimiser state machine
 // (kmer/src/minimiser.rs:61-175 — buffer of W = w-m+1 canonical m-mer

@@ -30,7 +30,7 @@ from kmertools_tpu.workloads.common import (
     AsyncWriter,
     OrderedArrayEmitter,
     data_parallel_step,
-    run_pipelined,
+    run_pipelined_hetero,
 )
 from kmertools_tpu.workloads.counter import CountComputer
 
@@ -95,7 +95,8 @@ class CovComputer:
         self._table = getattr(ctr, "last_table", None)
 
     def _load_table(self):
-        """kmers.counts -> device-resident sorted (hi, lo, count)."""
+        """kmers.counts -> sorted host (keys u64, counts i32); device
+        uploads split the keys into (hi, lo) u32 pairs."""
         table = getattr(self, "_table", None)
         if table is not None and len(table[0]):
             kmers, counts = table
@@ -108,14 +109,17 @@ class CovComputer:
         counts = counts.astype(np.int64)
         order = np.argsort(kmers)
         kmers, counts = kmers[order], counts[order]
-        nlo = min(self.ksize, 16)
-        th = (kmers >> np.uint64(2 * nlo)).astype(np.uint32)
-        tl = (kmers & np.uint64((1 << (2 * nlo)) - 1)).astype(np.uint32)
         tc = np.minimum(counts, np.int64(2**31 - 1)).astype(np.int32)
-        return jnp.asarray(th), jnp.asarray(tl), jnp.asarray(tc)
+        return np.ascontiguousarray(kmers), np.ascontiguousarray(tc)
 
     def compute_coverages(self) -> None:
-        th, tl, tc = self._load_table()
+        tkeys, tcnts = self._load_table()
+        nlo = min(self.ksize, 16)
+        th = jnp.asarray((tkeys >> np.uint64(2 * nlo)).astype(np.uint32))
+        tl = jnp.asarray(
+            (tkeys & np.uint64((1 << (2 * nlo)) - 1)).astype(np.uint32)
+        )
+        tc = jnp.asarray(tcnts)
         final_path = os.path.join(self.out_dir, "kmers.vectors")
         vec_path = (
             self.mh_ctx.part_path(final_path) if self.mh_ctx else final_path
@@ -166,8 +170,77 @@ class CovComputer:
                     return step_clean(packed, b.lengths)
                 return step_planes(packed, vb)
 
+            def native_dispatch():
+                """The join + binning hot loop as a host sink
+                (kthost.cpp:kt_cov_hist): rolling canonical encode,
+                lower-bound lookup against the sorted table, abundance
+                binning — bit-equal to the device program, scheduled
+                beside it by measured throughput."""
+                import ctypes
+
+                from kmertools_tpu import native
+
+                so = native.lib()
+                if (
+                    so is None
+                    or self.ksize > 31
+                    or os.environ.get("KMERTOOLS_NO_HETERO") == "1"
+                ):
+                    return None
+                nthreads = self.threads or (os.cpu_count() or 1)
+                ksize = self.ksize
+                bin_size, nb_ = self.bin_size, self.bin_count
+                tk_p = tkeys.ctypes.data_as(native.c_u64_p)
+                tc_p = tcnts.ctypes.data_as(native.c_i32_p)
+                nt = len(tkeys)
+                i16_p = ctypes.POINTER(ctypes.c_int16)
+
+                class _H:
+                    __slots__ = ("b",)
+
+                    def __init__(h, b):
+                        h.b = b
+
+                    def __array__(h, dtype=None, copy=None):
+                        packed, vb, _ = h.b.planes()
+                        R = packed.shape[0]
+                        counts = np.empty((R, nb_), np.int16)
+                        totals = np.empty((R,), np.int32)
+                        rc = so.kt_cov_hist(
+                            packed.ctypes.data_as(native.c_u8_p),
+                            vb.ctypes.data_as(native.c_u8_p),
+                            R, packed.shape[1] * 4, ksize,
+                            tk_p, tc_p, nt,
+                            bin_size, nb_,
+                            counts.ctypes.data_as(i16_p),
+                            totals.ctypes.data_as(native.c_i32_p),
+                            nthreads,
+                        )
+                        if rc != 0:
+                            raise RuntimeError("kt_cov_hist failed")
+                        return np.concatenate(
+                            [counts, totals.astype(np.int16)[:, None]],
+                            axis=1,
+                        )
+
+                return lambda b: _H(b)
+
+            # on a CPU-only backend the XLA program and the native
+            # kernel share the same cores — splitting batches between
+            # them just adds contention, and the native kernel wins
+            # outright, so it runs alone (counter.py:_make_engines has
+            # the same policy). On an accelerator both sinks run,
+            # routed by measured throughput.
+            nd = native_dispatch()
+            backend_cpu = jax.local_devices()[0].platform == "cpu"
+            if nd is not None and backend_cpu:
+                dispatches = [nd]
+            elif nd is not None:
+                dispatches = [dispatch, nd]
+            else:
+                dispatches = [dispatch]
             try:
-                run_pipelined(
+                run_pipelined_hetero(
                     iob.stream_path(
                         self.in_path,
                         overlap=self.ksize - 1,
@@ -177,8 +250,9 @@ class CovComputer:
                             if self.mh_ctx else None
                         ),
                     ),
-                    dispatch,
+                    dispatches,
                     consume,
+                    weight=lambda b: int(b.lengths.sum()),
                 )
                 agg.finish()
                 emitter.finish()

@@ -37,3 +37,35 @@ def test_coverage_alt_input(tmp_path, test_data):
     assert (tmp_path / "kmers.vectors").read_bytes() == (
         test_data / "expected_counts.vectors"
     ).read_bytes()
+
+
+def test_native_sink_joins_coverage(tmp_path, test_data):
+    """kmers.vectors must be byte-identical with the native cov sink
+    active (default) and disabled (KMERTOOLS_NO_HETERO) — scheduling
+    must never change bytes."""
+    import os
+
+    import pytest
+
+    from kmertools_tpu import native
+    from kmertools_tpu.workloads.coverage import CovComputer
+
+    if native.lib() is None:
+        pytest.skip("native runtime unavailable")
+
+    def run(sub):
+        d = tmp_path / sub
+        d.mkdir()
+        cov = CovComputer(str(test_data / "reads.fq"), str(d), 4, 2, 3)
+        cov.build_table()
+        cov.compute_coverages()
+        return (d / "kmers.vectors").read_bytes()
+
+    a = run("hetero")
+    os.environ["KMERTOOLS_NO_HETERO"] = "1"
+    try:
+        b = run("device")
+    finally:
+        del os.environ["KMERTOOLS_NO_HETERO"]
+    assert a == b
+    assert a == (test_data / "expected_counts.vectors").read_bytes()
