@@ -241,13 +241,16 @@ def main() -> None:
     # machine costs, not throughput); it also fails fast on any error
     ours(corpus, os.path.join(tmp, "warm.kmers"))
 
-    ours_t = min(
-        ours(corpus, os.path.join(tmp, "ours.kmers")) for _ in range(REPEATS)
-    )
-    base_t = min(
-        baseline_numpy(corpus, os.path.join(tmp, "base.kmers"))
-        for _ in range(REPEATS)
-    )
+    # interleave the two sides: this box's background load drifts on a
+    # ~minute scale, and running all of one side then all of the other
+    # lets the drift decide the ratio
+    ours_t = float("inf")
+    base_t = float("inf")
+    for _ in range(REPEATS):
+        ours_t = min(ours_t, ours(corpus, os.path.join(tmp, "ours.kmers")))
+        base_t = min(
+            base_t, baseline_numpy(corpus, os.path.join(tmp, "base.kmers"))
+        )
 
     # outputs must agree byte-for-byte
     with open(os.path.join(tmp, "base.kmers"), "rb") as a, open(

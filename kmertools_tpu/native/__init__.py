@@ -173,7 +173,10 @@ def lib() -> ctypes.CDLL | None:
             if _build():
                 try:
                     _lib = _bind(ctypes.CDLL(_SO))
-                except OSError:
+                except (OSError, AttributeError):
+                    # AttributeError: a stale wheel-shipped .so missing
+                    # newer symbols (no toolchain to rebuild) — treat
+                    # native as unavailable rather than crashing
                     _lib = None
             _tried = True
     return _lib

@@ -267,6 +267,31 @@ def run_pipelined_hetero(
         raise err[0]
 
 
+def native_hist_sink(kernel):
+    """Host-sink wrapper shared by the native fused-histogram kernels
+    (kt_oligo_hist, kt_cov_hist): dispatch returns a lazy handle whose
+    ``__array__`` runs ``kernel(packed, validbits) -> (counts int16
+    (R, nb), totals int32 (R,))`` on the batch's planes and fuses them
+    into the device programs' int16 ``[counts | total]`` layout. The
+    sink's drain thread triggers the compute via ``np.asarray``, so the
+    kernel runs off the producer thread exactly like a device fetch."""
+
+    class _H:
+        __slots__ = ("b",)
+
+        def __init__(self, b):
+            self.b = b
+
+        def __array__(self, dtype=None, copy=None):
+            packed, vb, _ = self.b.planes()
+            counts, totals = kernel(packed, vb)
+            return np.concatenate(
+                [counts, totals.astype(np.int16)[:, None]], axis=1
+            )
+
+    return lambda b: _H(b)
+
+
 class AsyncWriter:
     """Write-behind wrapper for a binary file: ``write`` enqueues the
     chunk and returns; a drain thread performs the actual writes.

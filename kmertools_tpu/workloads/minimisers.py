@@ -67,14 +67,13 @@ class _ReadState:
         self.min_l = 0xFFFFFFFF
 
 
-def _native_min_scanner(msize: int, wsize: int):
+def _native_min_scanner(msize: int, wsize: int, threads: int = 0):
     """The native per-batch minimiser scanner (kthost.cpp:kt_min_batch)
     when the host engine should run the scan: CPU-only backend (where
     the XLA window kernels share silicon with and lose to the C++ state
     machine), native runtime present, hetero not disabled. Returns a
     callable (planes, lens) -> (offs, counts, vals, starts, ends) or
     None."""
-    import ctypes as _ct
     import os as _os
 
     import jax as _jax
@@ -89,7 +88,7 @@ def _native_min_scanner(msize: int, wsize: int):
     devs = _jax.local_devices()
     if not devs or devs[0].platform != "cpu":
         return None
-    nthreads = _os.cpu_count() or 1
+    nthreads = threads or (_os.cpu_count() or 1)
 
     def scan(planes, lens: np.ndarray):
         packed, vb, _ = planes
@@ -124,7 +123,7 @@ def _native_min_scanner(msize: int, wsize: int):
 
 
 def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
-                     target_codes=None, shard=None):
+                     target_codes=None, shard=None, threads: int = 0):
     """Drive the scan kernels over the file; call emit(read_idx, id,
     read_len, records) with records = an array triple
     (values uint64[], starts int64[], ends int64[])."""
@@ -135,7 +134,7 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
 
     states: dict[int, _ReadState] = {}
     meta: dict[int, tuple[str, int]] = {}
-    native_scan = _native_min_scanner(msize, wsize)
+    native_scan = _native_min_scanner(msize, wsize, threads)
 
     # DP-shard every device kernel over the mesh (the all-threads
     # design of misc/src/minimisers.rs:30-70 mapped to chips); on one
@@ -288,9 +287,17 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
                         ridx = int(b.read_idx[i])
                         rid, rlen = meta.pop(ridx)
                         o, c = int(offs[i]), int(counts[i])
+                        # .copy(): consumers (m2s grouping) hold records
+                        # until a spill ceiling measured in RECORDS —
+                        # a view would pin the whole (len+2)-capacity
+                        # batch arrays (~24 B/base, not ~24 B/record)
                         emit(
                             ridx, rid, rlen,
-                            (vals[o:o + c], sts[o:o + c], ens[o:o + c]),
+                            (
+                                vals[o:o + c].copy(),
+                                sts[o:o + c].copy(),
+                                ens[o:o + c].copy(),
+                            ),
                         )
                 return []
         lengths = b.lengths.astype(np.int64)
@@ -462,7 +469,8 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
         def emit(ridx, rid, rlen, recs):
             emitter.add(ridx, (rid, recs))
 
-        _minimise_stream(in_path, wsize, msize, emit, target_codes, shard=shard)
+        _minimise_stream(in_path, wsize, msize, emit, target_codes,
+                         shard=shard, threads=threads)
         emitter.finish()
 
 
@@ -643,7 +651,8 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
     def emit(ridx, rid, rlen, recs):
         emitter.add(ridx, (rid, recs))
 
-    _minimise_stream(in_path, wsize, msize, emit, target_codes)
+    _minimise_stream(in_path, wsize, msize, emit, target_codes,
+                     threads=threads)
     emitter.finish()
     try:
         with open(out_path, "wb") as out:

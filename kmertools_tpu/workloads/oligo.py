@@ -30,6 +30,7 @@ from kmertools_tpu.workloads.common import (
     OrderedArrayEmitter,
     data_parallel_step,
     hetero_device_sets,
+    native_hist_sink,
     run_pipelined_hetero,
 )
 
@@ -292,34 +293,24 @@ class OligoComputer:
                 ksize = self.ksize
                 i16_p = ctypes.POINTER(ctypes.c_int16)
 
-                class _H:
-                    __slots__ = ("b",)
+                def kernel(packed, vb):
+                    R = packed.shape[0]
+                    counts = np.empty((R, nbins), np.int16)
+                    totals = np.empty((R,), np.int32)
+                    rc = so.kt_oligo_hist(
+                        packed.ctypes.data_as(native.c_u8_p),
+                        vb.ctypes.data_as(native.c_u8_p),
+                        R, packed.shape[1] * 4, ksize,
+                        table_p, nbins,
+                        counts.ctypes.data_as(i16_p),
+                        totals.ctypes.data_as(native.c_i32_p),
+                        nthreads,
+                    )
+                    if rc != 0:
+                        raise RuntimeError("kt_oligo_hist failed")
+                    return counts, totals
 
-                    def __init__(h, b):
-                        h.b = b
-
-                    def __array__(h, dtype=None, copy=None):
-                        packed, vb, _ = h.b.planes()
-                        R = packed.shape[0]
-                        counts = np.empty((R, nbins), np.int16)
-                        totals = np.empty((R,), np.int32)
-                        rc = so.kt_oligo_hist(
-                            packed.ctypes.data_as(native.c_u8_p),
-                            vb.ctypes.data_as(native.c_u8_p),
-                            R, packed.shape[1] * 4, ksize,
-                            table_p, nbins,
-                            counts.ctypes.data_as(i16_p),
-                            totals.ctypes.data_as(native.c_i32_p),
-                            nthreads,
-                        )
-                        if rc != 0:
-                            raise RuntimeError("kt_oligo_hist failed")
-                        return np.concatenate(
-                            [counts, totals.astype(np.int16)[:, None]],
-                            axis=1,
-                        )
-
-                return lambda b: _H(b)
+                return native_hist_sink(kernel)
 
             device_sets = hetero_device_sets()
             dispatches = [
