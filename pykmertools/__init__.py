@@ -134,10 +134,6 @@ class OligoComputer:
         return self.vectorise_batch([seq], norm, mins)[0]
 
     def vectorise_batch(self, seqs, norm: bool = True, mins: bool = True):
-        import jax.numpy as jnp
-
-        from kmertools_tpu.ops import encode, histogram, pallas_histogram
-
         k = self._ksize
         nbins = self._kcount if mins else 4**k
         width = max(max((len(s) for s in seqs), default=8), 8)
@@ -146,6 +142,14 @@ class OligoComputer:
         for i, s in enumerate(seqs):
             b = s.encode() if isinstance(s, str) else s
             codes[i, : len(b)] = encode_bases(b)
+        native_ct = self._native_counts(codes, width, nbins, mins)
+        if native_ct is not None:
+            counts, totals = native_ct
+            return self._postprocess(counts, totals, norm, mins)
+        import jax.numpy as jnp
+
+        from kmertools_tpu.ops import encode, histogram, pallas_histogram
+
         fwd, rc, valid = encode.kmer_ids_small(jnp.asarray(codes), k)
         if pallas_histogram.use_pallas():
             ids = jnp.minimum(fwd, rc) if mins else fwd
@@ -173,6 +177,63 @@ class OligoComputer:
             )
         else:
             counts, totals = histogram.per_read_histogram(fwd, valid, nbins)
+        return self._postprocess(counts, totals, norm, mins)
+
+    def _native_counts(self, codes, width, nbins, mins):
+        """Per-read counts via the native host kernel (kt_oligo_hist)
+        when the C++ engine should run the batch: CPU-only backend,
+        native runtime present, hetero not disabled, k and width inside
+        the kernel's int16/table bounds. Bit-equal to the device paths
+        (tests/test_native_hist.py)."""
+        import ctypes
+        import os
+
+        import jax
+
+        from kmertools_tpu import native
+
+        k = self._ksize
+        if (
+            k > 7
+            or width > 8192  # counts must fit int16
+            or os.environ.get("KMERTOOLS_NO_HETERO") == "1"
+        ):
+            return None
+        so = native.lib()
+        if so is None:
+            return None
+        devs = jax.local_devices()
+        if not devs or devs[0].platform != "cpu":
+            return None
+        from kmertools_tpu.io.batch import pack_planes
+
+        packed, vb, _ = pack_planes(
+            codes, np.full(codes.shape[0], width, np.int32)
+        )
+        table = (
+            np.ascontiguousarray(codec.canonical_slot_table(k), np.int32)
+            if mins
+            else None
+        )
+        R = codes.shape[0]
+        counts = np.empty((R, nbins), np.int16)
+        totals = np.empty((R,), np.int32)
+        rc = so.kt_oligo_hist(
+            np.ascontiguousarray(packed).ctypes.data_as(native.c_u8_p),
+            np.ascontiguousarray(vb).ctypes.data_as(native.c_u8_p),
+            R, width, k,
+            table.ctypes.data_as(native.c_i32_p) if table is not None else None,
+            nbins,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            totals.ctypes.data_as(native.c_i32_p),
+            os.cpu_count() or 1,
+        )
+        if rc != 0:
+            return None
+        return counts, totals
+
+    @staticmethod
+    def _postprocess(counts, totals, norm, mins):
         counts = np.asarray(counts).astype(np.float64)
         totals = np.asarray(totals).astype(np.float64)
         if not mins:

@@ -127,3 +127,18 @@ def test_cgr_bad_base_valueerror():
 
     with pytest.raises(ValueError):
         kt.CgrComputer(1).vectorise_one("ACGTX")
+
+
+def test_oligo_batch_native_matches_device(monkeypatch):
+    """vectorise_batch must return identical floats whichever engine
+    ran the counts (the native kernel joins on CPU backends by
+    default; KMERTOOLS_NO_HETERO pins the device path)."""
+    import pykmertools as kt
+
+    oc = kt.OligoComputer(4)
+    seqs = ["ACGTACGTGTCA", "GCNNGTATGTAT", "A" * 20, ""]
+    cases = [(True, True), (False, True), (True, False), (False, False)]
+    native = [oc.vectorise_batch(seqs, n, m) for n, m in cases]
+    monkeypatch.setenv("KMERTOOLS_NO_HETERO", "1")
+    device = [oc.vectorise_batch(seqs, n, m) for n, m in cases]
+    assert native == device
