@@ -269,6 +269,21 @@ def batch_stream(
             yield out
 
 
+def _fmt_hint(path: str) -> int:
+    """Extension-based format hint for the native parser (0 = sniff
+    from the first line, 1 = FASTA, 2 = FASTQ) — the reference detects
+    by extension (ktio/src/seq.rs:30-41) and only content-sniffs
+    extension-less input."""
+    from kmertools_tpu.io.fastx import SeqFormat, sniff_format
+
+    fmt = sniff_format(path)
+    if fmt is SeqFormat.FASTA:
+        return 1
+    if fmt is SeqFormat.FASTQ:
+        return 2
+    return 0
+
+
 def native_batch_stream(
     path: str,
     overlap: int,
@@ -289,6 +304,7 @@ def native_batch_stream(
         widths.ctypes.data_as(native.c_i64_p),
         len(widths),
         target_codes,
+        _fmt_hint(path),
     )
     if not h:
         raise FileNotFoundError(path)

@@ -150,9 +150,12 @@ def seq_stats(path: str, fmt: SeqFormat | None = None) -> SeqStats:
         if so is not None:
             import ctypes
 
+            from kmertools_tpu.io.batch import _fmt_hint
+
             reads = ctypes.c_int64()
             bases = ctypes.c_int64()
-            if so.kt_seq_stats(path.encode(), reads, bases) == 0:
+            hint = _fmt_hint(path)
+            if so.kt_seq_stats(path.encode(), reads, bases, hint) == 0:
                 return SeqStats(seq_count=reads.value, total_length=bases.value)
     count = 0
     total = 0

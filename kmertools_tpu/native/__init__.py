@@ -54,10 +54,20 @@ def _build() -> bool:
         return os.path.exists(_SO)
 
 
+_ABI_VERSION = 2
+
+
 def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
+    # probe first: a stale wheel-shipped .so without the symbol raises
+    # AttributeError (caught by lib()); an older version is rejected
+    # before any signature-mismatched call can happen
+    so.kt_abi_version.restype = ctypes.c_int
+    so.kt_abi_version.argtypes = []
+    if so.kt_abi_version() != _ABI_VERSION:
+        raise AttributeError("kthost ABI version mismatch")
     so.kt_batcher_open.restype = ctypes.c_void_p
     so.kt_batcher_open.argtypes = [
-        ctypes.c_char_p, c_i64, c_i64_p, ctypes.c_int, c_i64,
+        ctypes.c_char_p, c_i64, c_i64_p, ctypes.c_int, c_i64, ctypes.c_int,
     ]
     so.kt_batcher_close.argtypes = [ctypes.c_void_p]
     so.kt_batcher_next.restype = ctypes.c_int
@@ -73,7 +83,9 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
         c_i64_p, ctypes.POINTER(c_i64_p), ctypes.POINTER(c_i64_p), c_i64_p,
     ]
     so.kt_seq_stats.restype = ctypes.c_int
-    so.kt_seq_stats.argtypes = [ctypes.c_char_p, c_i64_p, c_i64_p]
+    so.kt_seq_stats.argtypes = [
+        ctypes.c_char_p, c_i64_p, c_i64_p, ctypes.c_int,
+    ]
     so.kt_format_fixed6.restype = c_i64
     so.kt_format_fixed6.argtypes = [
         ctypes.POINTER(ctypes.c_double), c_i64, c_i64, ctypes.c_char,

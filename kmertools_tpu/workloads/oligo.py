@@ -313,19 +313,39 @@ class OligoComputer:
                 return native_hist_sink(kernel)
 
             device_sets = hetero_device_sets()
-            dispatches = [
-                make_dispatch(None if len(device_sets) == 1 else d)
-                for d in device_sets
-            ]
             nd = native_dispatch()
-            if nd is not None:
-                dispatches.append(nd)
+            import jax
+
+            backend_cpu = (
+                bool(jax.local_devices())
+                and jax.local_devices()[0].platform == "cpu"
+            )
+            stream_target = self.target_codes
+            if nd is not None and backend_cpu and len(device_sets) == 1:
+                # on a CPU-only backend the XLA program and the native
+                # kernel share the same cores — splitting batches between
+                # them just adds contention (and the XLA dispatch burns
+                # producer-thread time in device_put), so the native
+                # kernel runs alone (coverage.py / counter.py policy).
+                # Forced multi-set runs (tests) still route over XLA.
+                # Smaller batches keep the kernel's working set in cache
+                # and tighten the parse/compute overlap (measured ~2x on
+                # a 4-core host vs 32M-code batches).
+                dispatches = [nd]
+                stream_target = min(stream_target, 1 << 21)
+            else:
+                dispatches = [
+                    make_dispatch(None if len(device_sets) == 1 else d)
+                    for d in device_sets
+                ]
+                if nd is not None:
+                    dispatches.append(nd)
             try:
                 run_pipelined_hetero(
                     iob.stream_path(
                         self.in_path,
                         overlap=self.ksize - 1,
-                        target_codes=self.target_codes,
+                        target_codes=stream_target,
                         shard=self.input_shard,
                     ),
                     dispatches,
