@@ -60,4 +60,88 @@ def _configure_jax() -> None:
         pass
 
 
+def _tune_hugepages() -> None:
+    """Disable numpy's MADV_HUGEPAGE on hosts where transparent-huge-
+    page faults are pathological.
+
+    numpy madvises THP for every allocation >= 4 MB. On lazily-paged
+    VMs (snapshot-restored / ballooned microVMs) each 2 MB huge-page
+    fault can cost ~150 ms — measured here: first touch of a fresh
+    240 MB numpy array 15.5 s with THP vs 0.13 s without, which
+    dominated the counter's drain phase in cold processes. Probe one
+    madvised huge page; if the fault is slow, flip numpy's runtime
+    switch and export NUMPY_MADVISE_HUGEPAGE=0 for child processes.
+    The verdict is cached per boot (the pathology is a property of the
+    host, not the process). KMERTOOLS_HUGEPAGES=1 skips all of this.
+    """
+    if _os.environ.get("KMERTOOLS_HUGEPAGES") == "1":
+        return
+    if _os.environ.get("NUMPY_MADVISE_HUGEPAGE") == "0":
+        return  # already off (env read by numpy at import)
+    try:
+        import numpy as _np
+    except Exception:
+        return
+    _set = None
+    for _mod in ("_core", "core"):
+        _mu = getattr(getattr(_np, _mod, None), "multiarray", None)
+        _set = getattr(_mu, "_set_madvise_hugepage", None)
+        if _set is not None:
+            break
+    if _set is None:
+        return
+    cache_dir = _os.path.join(
+        _os.environ.get("XDG_CACHE_HOME", _os.path.expanduser("~/.cache")),
+        "kmertools_tpu",
+    )
+    probe_file = _os.path.join(cache_dir, "hugepage_probe")
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot_id = f.read().strip()
+    except OSError:
+        boot_id = ""
+    verdict = None
+    try:
+        with open(probe_file) as f:
+            b, v = f.read().split()
+            if b == boot_id and boot_id:
+                verdict = v == "slow"
+    except Exception:
+        pass
+    if verdict is None:
+        import time as _time
+
+        # Probe through numpy itself (mmap-level probes miss the exact
+        # alignment/advice pattern numpy produces): time a fresh-page
+        # fill with the madvise on, then off. 32 MB is big enough that
+        # a warm huge-page pool can't mask a lazily-paged host.
+        def _fill(madv: bool) -> float:
+            _set(madv)
+            t0 = _time.perf_counter()
+            a = _np.empty(4 << 20, _np.uint64)  # 32 MB, freshly mapped
+            a[:] = 1
+            return _time.perf_counter() - t0
+
+        try:
+            t_on = _fill(True)
+            t_off = _fill(False)
+            verdict = t_on > 0.05 and t_on > 5 * t_off
+        except Exception:
+            _set(True)
+            return
+        finally:
+            _set(True)  # decided below; default state back first
+        try:
+            _os.makedirs(cache_dir, exist_ok=True)
+            with open(probe_file, "w") as f:
+                f.write(f"{boot_id} {'slow' if verdict else 'fast'}\n")
+        except OSError:
+            pass
+    if not verdict:
+        return
+    _os.environ["NUMPY_MADVISE_HUGEPAGE"] = "0"  # child processes
+    _set(False)
+
+
 _configure_jax()
+_tune_hugepages()

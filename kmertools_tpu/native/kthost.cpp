@@ -1359,6 +1359,23 @@ int kt_cov_hist(const uint8_t *packed, const uint8_t *validbits,
   const uint64_t mask = (1ull << (2 * k)) - 1ull;
   const int rcshift = 2 * (k - 1);
 
+  // Bucket index over the sorted table: a whole-table lower_bound costs
+  // ~log2(13M) = 24 probes, most of them DRAM misses. Splitting the key
+  // space by the top bits (counting pass + prefix sum, O(nt)) confines
+  // each search to a bucket of ~nt/2^bb keys — 2-3 touched cache lines.
+  // Offsets are u32 (a count table with >4B uniques is not a real
+  // input; guarded anyway).
+  const int bb = 2 * k < 18 ? 2 * k : 18;
+  const int bshift = 2 * k - bb;
+  const size_t nbk = (size_t)1 << bb;
+  std::vector<uint32_t> boff;
+  if (nt >= 0 && (uint64_t)nt <= 0xFFFFFFFFull) {
+    boff.assign(nbk + 2, 0);
+    for (int64_t i = 0; i < nt; i++) boff[(size_t)(tkeys[i] >> bshift) + 1]++;
+    for (size_t b = 1; b <= nbk + 1; b++) boff[b] += boff[b - 1];
+  }
+  const uint32_t *bo = boff.empty() ? nullptr : boff.data();
+
   auto work = [&](int64_t r0, int64_t r1) {
     for (int64_t r = r0; r < r1; r++) {
       const uint8_t *p = packed + r * wq;
@@ -1386,10 +1403,15 @@ int kt_cov_hist(const uint8_t *packed, const uint8_t *validbits,
           rc = (rc >> 2) | ((3ull - b) << rcshift);
           if (++run >= k) {
             const uint64_t can = fwd < rc ? fwd : rc;
-            const uint64_t *lo =
-                std::lower_bound(tkeys, tkeys + nt, can);
+            const uint64_t *b_lo = tkeys, *b_hi = tkeys + nt;
+            if (bo) {
+              const size_t bkt = (size_t)(can >> bshift);
+              b_lo = tkeys + bo[bkt];
+              b_hi = tkeys + bo[bkt + 1];
+            }
+            const uint64_t *lo = std::lower_bound(b_lo, b_hi, can);
             int32_t c = 0;
-            if (lo != tkeys + nt && *lo == can) c = tcnts[lo - tkeys];
+            if (lo != b_hi && *lo == can) c = tcnts[lo - tkeys];
             int32_t bin = c / bin_size;
             if (bin >= bin_count) bin = bin_count - 1;
             cnt[bin]++;
@@ -1572,6 +1594,39 @@ int kt_min_batch(const uint8_t *packed, const uint8_t *validbits,
   return 0;
 }
 
+// LSD radix sort of (key, count) pairs on the low `bits` key bits.
+// The keys here are hash-map extracts — uniformly spread — where
+// std::sort pays ~log2(n) cache-missing passes; 11-bit LSD digits make
+// ceil(bits/11) sequential passes instead (the dominant drain cost in
+// cold processes, where every comparison-sort probe faults a page).
+static void kt_radix_sort_kv(std::vector<std::pair<uint64_t, uint32_t>> &a,
+                             int bits) {
+  const int RB = 11;
+  const size_t NB = (size_t)1 << RB;
+  const size_t n = a.size();
+  if (n < (size_t)1 << 12) {  // small partitions: std::sort wins
+    std::sort(a.begin(), a.end());
+    return;
+  }
+  std::vector<std::pair<uint64_t, uint32_t>> tmp(n);
+  std::vector<size_t> cnt(NB);
+  const int passes = (bits + RB - 1) / RB;
+  for (int pass = 0; pass < passes; pass++) {
+    const int sh = pass * RB;
+    std::fill(cnt.begin(), cnt.end(), 0);
+    for (size_t i = 0; i < n; i++) cnt[(a[i].first >> sh) & (NB - 1)]++;
+    size_t sum = 0;
+    for (size_t b = 0; b < NB; b++) {
+      const size_t v = cnt[b];
+      cnt[b] = sum;
+      sum += v;
+    }
+    for (size_t i = 0; i < n; i++)
+      tmp[cnt[(a[i].first >> sh) & (NB - 1)]++] = a[i];
+    a.swap(tmp);
+  }
+}
+
 // Extract + sort every partition in parallel, resetting the shards.
 // kt_ctr_part_len / kt_ctr_drain_part then read the staged results.
 void kt_ctr_freeze(void *h, int32_t nthreads) {
@@ -1583,14 +1638,19 @@ void kt_ctr_freeze(void *h, int32_t nthreads) {
   auto work = [&](int64_t p0, int64_t p1) {
     for (int64_t p = p0; p < p1; p++) {
       auto &items = c->staged[(size_t)p];
+      size_t total = 0;
+      for (int64_t s = p; s < c->S; s += c->n_parts)
+        total += c->shards[(size_t)s].n;
+      items.resize(total);  // one allocation; growth would re-copy
+      size_t w = 0;
       for (int64_t s = p; s < c->S; s += c->n_parts) {
         KtCtrShard &sh = c->shards[(size_t)s];
         for (size_t i = 0; i < sh.keys.size(); i++)
           if (sh.keys[i] != ~0ull)
-            items.emplace_back(sh.keys[i], sh.vals[i]);
+            items[w++] = {sh.keys[i], sh.vals[i]};
         sh.reset(1024);
       }
-      std::sort(items.begin(), items.end());
+      kt_radix_sort_kv(items, 2 * c->k);
     }
   };
   if (T <= 1) {
@@ -1636,7 +1696,7 @@ int64_t kt_ctr_drain_part(void *h, int64_t part, uint64_t *keys,
         if (sh.keys[i] != ~0ull) local.emplace_back(sh.keys[i], sh.vals[i]);
       sh.reset(1024);
     }
-    std::sort(local.begin(), local.end());
+    kt_radix_sort_kv(local, 2 * c->k);
   }
   const int64_t n = (int64_t)items->size();
   for (int64_t i = 0; i < n; i++) {
