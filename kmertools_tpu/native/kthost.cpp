@@ -1089,12 +1089,76 @@ int kt_oligo_hist(const uint8_t *packed, const uint8_t *validbits,
   const uint32_t mask = (1u << (2 * k)) - 1;
   const int rcshift = 2 * (k - 1);
 
+  // Window LUT (k <= 7): in the 2-bit planes a k-mer starting at base j
+  // IS bits [2j, 2j+2k) of the packed row (earliest base in the LOW
+  // bits — pair-reversed relative to the rolling id). Precomputing
+  // window -> final bin (canonical min + slot remap folded in) turns
+  // the per-base rolling encode + cmov + gather into one unaligned
+  // load + one L1 lookup. 4^7 int16 = 32 KB worst case.
+  std::vector<int16_t> lut;
+  if (k <= 7) {
+    lut.resize((size_t)1 << (2 * k));
+    for (uint32_t w = 0; w < (uint32_t)lut.size(); w++) {
+      uint32_t f = 0, rr = 0;
+      for (int j = 0; j < k; j++) {  // same recurrence as the hot loop
+        const uint32_t c = (w >> (2 * j)) & 3u;
+        f = ((f << 2) | c) & mask;
+        rr = (rr >> 2) | ((3u - c) << rcshift);
+      }
+      const uint32_t id = slot_table ? (f < rr ? f : rr) : f;
+      lut[w] = (int16_t)(slot_table ? (uint32_t)slot_table[id] : id);
+    }
+  }
+  const int16_t *lutp = lut.empty() ? nullptr : lut.data();
+
   auto work = [&](int64_t r0, int64_t r1) {
     for (int64_t r = r0; r < r1; r++) {
       const uint8_t *p = packed + r * wq;
       const uint8_t *v = validbits + r * wb;
       int16_t *cnt = counts + r * nbins;
       memset(cnt, 0, (size_t)nbins * sizeof(int16_t));
+      if (lutp) {
+        // ambiguity-free row? (valid plane = contiguous low-bit run)
+        int64_t full = 0;
+        while (full < wb && v[full] == 0xFF) full++;
+        int64_t len = full * 8;
+        bool clean = true;
+        if (full < wb) {
+          const uint8_t b = v[full];
+          if (b & (uint8_t)(b + 1)) {
+            clean = false;  // hole inside the byte
+          } else {
+            len += __builtin_popcount((unsigned)b);
+            for (int64_t t = full + 1; t < wb && clean; t++)
+              if (v[t]) clean = false;
+          }
+        }
+        if (clean) {
+          const int64_t nk = len - k + 1;
+          if (nk <= 0) {
+            totals[r] = 0;
+            continue;
+          }
+          // safe region for whole-u32 loads: byte j/4 + 3 <= wq - 1
+          const int64_t fast_end =
+              nk < 4 * wq - 12 ? nk : 4 * wq - 12;
+          int64_t j = 0;
+          for (; j < fast_end; j++) {
+            uint32_t w;
+            memcpy(&w, p + (j >> 2), 4);
+            cnt[lutp[(w >> (2 * (j & 3))) & mask]]++;
+          }
+          for (; j < nk; j++) {  // tail: byte-bounded gather
+            uint32_t w = 0;
+            const int64_t b0 = j >> 2;
+            for (int t = 0; t < 4 && b0 + t < wq; t++)
+              w |= (uint32_t)p[b0 + t] << (8 * t);
+            cnt[lutp[(w >> (2 * (j & 3))) & mask]]++;
+          }
+          totals[r] = (int32_t)nk;
+          continue;
+        }
+      }
       uint32_t fwd = 0, rc = 0;
       int run = 0;
       int32_t tot = 0;
