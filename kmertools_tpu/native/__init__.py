@@ -32,6 +32,19 @@ c_u64_p = ctypes.POINTER(ctypes.c_uint64)
 c_char_pp = ctypes.POINTER(ctypes.c_char_p)
 
 
+def out_buf(cap: int):
+    """(array, c_char_p) uninitialised output buffer for the native
+    text emitters. ctypes.create_string_buffer memsets its whole
+    capacity — pure waste for buffers the native side overwrites (the
+    zeroing alone cost ~0.5 s per cgr block). Callers slice the array
+    to the emitter's returned length (``arr[:n].tobytes()`` or a
+    memoryview)."""
+    import numpy as np
+
+    arr = np.empty(cap, dtype=np.uint8)
+    return arr, arr.ctypes.data_as(ctypes.c_char_p)
+
+
 def _build() -> bool:
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return True

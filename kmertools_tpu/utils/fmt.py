@@ -65,13 +65,13 @@ def format_fixed6(values: np.ndarray, delim: str) -> bytes:
         if so is not None:
             vals = np.ascontiguousarray(values)
             cap = nrows * ncols * 9
-            buf = ctypes.create_string_buffer(cap)
+            arr, buf = native.out_buf(cap)
             n = so.kt_format_fixed6(
                 vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                 nrows, ncols, delim.encode(), buf,
             )
             if n == cap:
-                return buf.raw
+                return arr.tobytes()
             # n == -1: a value rendered wider than 8 chars — Python fallback
     uniq, inv = np.unique(values, return_inverse=True)
     lut = np.array([f"{v:.6f}".encode() for v in uniq], dtype="S8")
@@ -111,14 +111,14 @@ def emit_norm_slab(counts: np.ndarray, totals: np.ndarray, delim: str) -> bytes:
             t = np.ascontiguousarray(totals, dtype=np.int32)
             nrows, ncols = c.shape
             cap = nrows * ncols * 9
-            buf = ctypes.create_string_buffer(cap)
+            arr, buf = native.out_buf(cap)
             n = so.kt_emit_oligo_norm(
                 c.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
                 t.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 nrows, ncols, delim.encode(), buf,
             )
             if n == cap:
-                return buf.raw
+                return arr.tobytes()
     vecs = counts.astype(np.float64) / np.maximum(
         1.0, totals.astype(np.float64)
     )[:, None]
@@ -136,12 +136,12 @@ def emit_count_slab(counts: np.ndarray, delim: str) -> bytes:
         if so is not None:
             c = np.ascontiguousarray(counts)
             nrows, ncols = c.shape
-            buf = ctypes.create_string_buffer(nrows * ncols * 8)
+            arr, buf = native.out_buf(nrows * ncols * 8)
             n = so.kt_format_counts_i16(
                 c.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
                 nrows, ncols, delim.encode(), buf,
             )
-            return buf.raw[:n]
+            return arr[:n].tobytes()
     return format_counts(counts, delim)
 
 
@@ -157,12 +157,12 @@ def format_counts(values: np.ndarray, delim: str) -> bytes:
         if so is not None:
             vals = np.ascontiguousarray(values, dtype=np.float64)
             nrows, ncols = vals.shape
-            buf = ctypes.create_string_buffer(nrows * ncols * 21)
+            arr, buf = native.out_buf(nrows * ncols * 21)
             n = so.kt_format_counts(
                 vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                 nrows, ncols, delim.encode(), buf,
             )
-            return buf.raw[:n]
+            return arr[:n].tobytes()
     lines = []
     for row in values:
         lines.append(delim.join(str(int(v)) for v in row))

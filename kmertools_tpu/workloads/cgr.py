@@ -148,7 +148,7 @@ class CgrComputer:
                         fy[i, : len(ys)] = ys
                     cap = int(lens.sum()) * 64 + len(payloads) * 2 + 64
                     while True:
-                        buf = ctypes.create_string_buffer(cap)
+                        arr, buf = native.out_buf(cap)
                         n = so.kt_format_cgr(
                             fx.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                             fy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -156,7 +156,7 @@ class CgrComputer:
                             len(payloads), stride, buf, cap,
                         )
                         if n >= 0:
-                            out.write(buf.raw[:n])
+                            out.write(arr[:n].tobytes())
                             return
                         cap *= 4  # rare deep-walk denormal expansion
             lines = []
@@ -277,7 +277,7 @@ class OligoCgrComputer:
             nrows, ncols = freqs.shape
             cap = nrows * (len(self._prefix_blob) + ncols * 32) + nrows * 2 + 64
             while True:
-                buf = ctypes.create_string_buffer(cap)
+                arr, buf = native.out_buf(cap)
                 n = so.kt_format_oligocgr(
                     self._prefix_blob,
                     self._prefix_off.ctypes.data_as(native.c_i32_p),
@@ -286,7 +286,7 @@ class OligoCgrComputer:
                     nrows, buf, cap,
                 )
                 if n >= 0:
-                    out.write(buf.raw[:n])
+                    out.write(arr[:n].tobytes())
                     return
                 cap *= 4
         lines = []

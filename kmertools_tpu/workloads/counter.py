@@ -87,11 +87,9 @@ def _write_tsv_stream(out, kmers: np.ndarray, counts: np.ndarray,
              + "\n").encode()
         )
         return
-    import ctypes
-
     per_line = (acgt_k + 22) if acgt_k is not None else 42
-    buf = ctypes.create_string_buffer(_CHUNK_LINES * per_line)
-    view = memoryview(buf)
+    arr, buf = native.out_buf(_CHUNK_LINES * per_line)
+    view = memoryview(arr)
     for s in range(0, n_total, _CHUNK_LINES):
         e = min(s + _CHUNK_LINES, n_total)
         k = np.ascontiguousarray(kmers[s:e], dtype=np.uint64)

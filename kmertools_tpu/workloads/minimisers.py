@@ -428,8 +428,6 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
 
         so = native.lib()
         if so is not None:
-            import ctypes
-
             blob_parts = []
             id_off = np.zeros(n_reads, dtype=np.int64)
             pos = 0
@@ -440,7 +438,7 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
                 pos += len(bb)
             blob = b"".join(blob_parts)
             cap = int(pos + offs[-1] * (msize + 46) + n_reads * 4 + 64)
-            buf = ctypes.create_string_buffer(cap)
+            arr, buf = native.out_buf(cap)
             n = so.kt_format_s2m(
                 vals.ctypes.data_as(native.c_u64_p),
                 starts.ctypes.data_as(native.c_i64_p),
@@ -451,7 +449,7 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
                 n_reads, msize, buf, cap,
             )
             if n >= 0:
-                out.write(buf.raw[:n])
+                out.write(arr[:n].tobytes())
                 return
         acgt = codec.numeric_to_kmer_array(vals, msize) if len(vals) else []
         lines = []
@@ -515,7 +513,7 @@ def _write_group_lines(out, msize: int, vals: np.ndarray, ss: np.ndarray,
             idlens[rid64].sum() + 56 * len(vals)
             + (msize + 8) * n_groups + 64
         )
-        buf = ctypes.create_string_buffer(cap)
+        arr, buf = native.out_buf(cap)
         n = so.kt_format_m2s(
             gvals.ctypes.data_as(native.c_u64_p),
             bounds.ctypes.data_as(native.c_i64_p),
@@ -527,7 +525,7 @@ def _write_group_lines(out, msize: int, vals: np.ndarray, ss: np.ndarray,
             n_groups, msize, buf, cap,
         )
         if n >= 0:
-            out.write(buf.raw[:n])
+            out.write(arr[:n].tobytes())
             return
 
     acgts = codec.numeric_to_kmer_array(gvals, msize)
