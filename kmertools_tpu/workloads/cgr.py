@@ -12,6 +12,7 @@ Reference behavior:
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax.numpy as jnp
@@ -131,34 +132,61 @@ class CgrComputer:
         else:
             records = fastx.sequences(self.in_path)
 
-        def write_block(payloads: list) -> None:
+        def _format_native(payloads: list):
+            """One chunk -> output bytes via kt_format_cgr (GIL-free),
+            or None when the native runtime is unavailable."""
             from kmertools_tpu import native
 
             so = native.lib()
-            if so is not None:
-                import ctypes
+            if so is None:
+                return None
+            import ctypes
 
-                lens = np.array([len(xs) for xs, _ in payloads], dtype=np.int32)
-                stride = int(lens.max()) if len(lens) else 0
-                if stride:
-                    fx = np.zeros((len(payloads), stride), dtype=np.float64)
-                    fy = np.zeros((len(payloads), stride), dtype=np.float64)
-                    for i, (xs, ys) in enumerate(payloads):
-                        fx[i, : len(xs)] = xs
-                        fy[i, : len(ys)] = ys
-                    cap = int(lens.sum()) * 64 + len(payloads) * 2 + 64
-                    while True:
-                        arr, buf = native.out_buf(cap)
-                        n = so.kt_format_cgr(
-                            fx.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                            fy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                            lens.ctypes.data_as(native.c_i32_p),
-                            len(payloads), stride, buf, cap,
-                        )
-                        if n >= 0:
-                            out.write(arr[:n].tobytes())
-                            return
-                        cap *= 4  # rare deep-walk denormal expansion
+            lens = np.array([len(xs) for xs, _ in payloads], dtype=np.int32)
+            stride = int(lens.max()) if len(lens) else 0
+            if not stride:
+                return None
+            fx = np.empty((len(payloads), stride), dtype=np.float64)
+            fy = np.empty((len(payloads), stride), dtype=np.float64)
+            for i, (xs, ys) in enumerate(payloads):
+                fx[i, : len(xs)] = xs
+                fy[i, : len(ys)] = ys
+            cap = int(lens.sum()) * 64 + len(payloads) * 2 + 64
+            while True:
+                arr, buf = native.out_buf(cap)
+                n = so.kt_format_cgr(
+                    fx.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                    fy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                    lens.ctypes.data_as(native.c_i32_p),
+                    len(payloads), stride, buf, cap,
+                )
+                if n >= 0:
+                    return arr[:n]
+                cap *= 4  # rare deep-walk denormal expansion
+
+        import concurrent.futures as _cf
+
+        pool = _cf.ThreadPoolExecutor(max_workers=min(4, os.cpu_count() or 1))
+
+        def write_block(payloads: list) -> None:
+            # the format kernel releases the GIL, so chunks of the
+            # block format in parallel; writes stay in block order
+            if payloads and len(payloads) >= 128:
+                step = (len(payloads) + 3) // 4
+                chunks = [
+                    payloads[s : s + step]
+                    for s in range(0, len(payloads), step)
+                ]
+                parts = list(pool.map(_format_native, chunks))
+                if all(p is not None for p in parts):
+                    for p in parts:
+                        out.write(p.tobytes())
+                    return
+            elif payloads:
+                p = _format_native(payloads)
+                if p is not None:
+                    out.write(p.tobytes())
+                    return
             lines = []
             for xs, ys in payloads:
                 lines.append(
@@ -216,6 +244,7 @@ class CgrComputer:
                     n = int(lens[i])
                     emitter.add(int(b.read_idx[i]), (xs[i, :n], ys[i, :n]))
             emitter.finish()
+        pool.shutdown(wait=False)
 
     @staticmethod
     def _check_codes(codes: np.ndarray, rid: str) -> None:
