@@ -67,7 +67,7 @@ def _build() -> bool:
         return os.path.exists(_SO)
 
 
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 
 def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
@@ -157,6 +157,14 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
     so.kt_cov_hist.argtypes = [
         c_u8_p, c_u8_p, c_i64, c_i64, ctypes.c_int32,
         c_u64_p, c_i32_p, c_i64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int16), c_i32_p, ctypes.c_int32,
+    ]
+    so.kt_cov_hist_idx.restype = ctypes.c_int
+    so.kt_cov_hist_idx.argtypes = [
+        c_u8_p, c_u8_p, c_i64, c_i64, ctypes.c_int32,
+        c_u64_p, c_i32_p, c_i64,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int16), c_i32_p, ctypes.c_int32,
     ]

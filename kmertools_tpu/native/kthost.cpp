@@ -508,7 +508,7 @@ extern "C" {
 // ABI version probe: bound by the ctypes loader so a stale wheel-shipped
 // .so (missing the symbol, or older signatures) is rejected instead of
 // called with a mismatched argument list.
-int kt_abi_version(void) { return 2; }
+int kt_abi_version(void) { return 3; }
 
 // fmt_hint: 0 = sniff from the first line, 1 = FASTA, 2 = FASTQ
 // (extension-based detection lives in Python, ktio/src/seq.rs:30-41).
@@ -1442,43 +1442,41 @@ int64_t kt_ctr_add(void *h, const uint8_t *packed, const uint8_t *validbits,
 // bin_count - 1), absent k-mers count 0 and land in bin 0). One
 // int16 histogram row + int32 total per read; same fused layout as the
 // device program (workloads/coverage.py:_coverage_batch). k <= 31.
-int kt_cov_hist(const uint8_t *packed, const uint8_t *validbits,
-                int64_t rows, int64_t width, int32_t k,
-                const uint64_t *tkeys, const int32_t *tcnts, int64_t nt,
-                int32_t bin_size, int32_t bin_count,
-                int16_t *counts, int32_t *totals, int32_t nthreads) {
+// Shared implementation: `bo` (may be null) is a bucket index over the
+// sorted table — bo[b] = first table position whose key >> bshift >= b,
+// length 2^bb + 1. A whole-table lower_bound costs ~log2(13M) = 24
+// probes, most of them DRAM misses; bucketing by the top bits confines
+// each search to ~nt/2^bb keys — 2-3 touched cache lines.
+static int kt_cov_hist_impl(
+    const uint8_t *packed, const uint8_t *validbits,
+    int64_t rows, int64_t width, int32_t k,
+    const uint64_t *tkeys, const int32_t *tcnts, int64_t nt,
+    const uint32_t *bo, int bb,
+    int32_t bin_size, int32_t bin_count,
+    int16_t *counts, int32_t *totals, int32_t nthreads) {
   if (width % 8 || k < 1 || k > 31 || bin_size < 1 || bin_count < 1)
     return -1;
   const int64_t wq = width / 4, wb = width / 8;
   const uint64_t mask = (1ull << (2 * k)) - 1ull;
   const int rcshift = 2 * (k - 1);
-
-  // Bucket index over the sorted table: a whole-table lower_bound costs
-  // ~log2(13M) = 24 probes, most of them DRAM misses. Splitting the key
-  // space by the top bits (counting pass + prefix sum, O(nt)) confines
-  // each search to a bucket of ~nt/2^bb keys — 2-3 touched cache lines.
-  // Offsets are u32 (a count table with >4B uniques is not a real
-  // input; guarded anyway).
-  const int bb = 2 * k < 18 ? 2 * k : 18;
   const int bshift = 2 * k - bb;
-  const size_t nbk = (size_t)1 << bb;
-  std::vector<uint32_t> boff;
-  if (nt >= 0 && (uint64_t)nt <= 0xFFFFFFFFull) {
-    boff.assign(nbk + 2, 0);
-    for (int64_t i = 0; i < nt; i++) boff[(size_t)(tkeys[i] >> bshift) + 1]++;
-    for (size_t b = 1; b <= nbk + 1; b++) boff[b] += boff[b - 1];
-  }
-  const uint32_t *bo = boff.empty() ? nullptr : boff.data();
 
   auto work = [&](int64_t r0, int64_t r1) {
+    // two passes per row: extract the canonical k-mers (cheap,
+    // register-resident), then look them up with the table fetch
+    // software-prefetched PF iterations ahead — the join is
+    // DRAM-latency-bound, and prefetching overlaps ~8 misses.
+    std::vector<uint64_t> kbuf;
+    constexpr int PF = 8;
     for (int64_t r = r0; r < r1; r++) {
       const uint8_t *p = packed + r * wq;
       const uint8_t *v = validbits + r * wb;
       int16_t *cnt = counts + r * bin_count;
       memset(cnt, 0, (size_t)bin_count * sizeof(int16_t));
+      if ((int64_t)kbuf.size() < width) kbuf.resize((size_t)width);
       uint64_t fwd = 0, rc = 0;
       int run = 0;
-      int32_t tot = 0;
+      int64_t nq = 0;
       for (int64_t i = 0; i < wb; i++) {
         const uint8_t vb = v[i];
         if (vb == 0) {
@@ -1495,25 +1493,34 @@ int kt_cov_hist(const uint8_t *packed, const uint8_t *validbits,
           const uint64_t b = (two >> (2 * j)) & 3u;
           fwd = ((fwd << 2) | b) & mask;
           rc = (rc >> 2) | ((3ull - b) << rcshift);
-          if (++run >= k) {
-            const uint64_t can = fwd < rc ? fwd : rc;
-            const uint64_t *b_lo = tkeys, *b_hi = tkeys + nt;
-            if (bo) {
-              const size_t bkt = (size_t)(can >> bshift);
-              b_lo = tkeys + bo[bkt];
-              b_hi = tkeys + bo[bkt + 1];
-            }
-            const uint64_t *lo = std::lower_bound(b_lo, b_hi, can);
-            int32_t c = 0;
-            if (lo != b_hi && *lo == can) c = tcnts[lo - tkeys];
-            int32_t bin = c / bin_size;
-            if (bin >= bin_count) bin = bin_count - 1;
-            cnt[bin]++;
-            tot++;
-          }
+          if (++run >= k) kbuf[(size_t)nq++] = fwd < rc ? fwd : rc;
         }
       }
-      totals[r] = tot;
+      for (int64_t q = 0; q < nq; q++) {
+        if (bo && q + PF < nq) {
+          const size_t fb = (size_t)(kbuf[(size_t)(q + PF)] >> bshift);
+          __builtin_prefetch(&bo[fb], 0, 1);
+          // the bucket midpoint is the search's first (and usually
+          // deepest-missing) probe
+          const uint32_t flo = bo[fb], fhi = bo[fb + 1];
+          if (fhi > flo)
+            __builtin_prefetch(&tkeys[flo + ((fhi - flo) >> 1)], 0, 1);
+        }
+        const uint64_t can = kbuf[(size_t)q];
+        const uint64_t *b_lo = tkeys, *b_hi = tkeys + nt;
+        if (bo) {
+          const size_t bkt = (size_t)(can >> bshift);
+          b_lo = tkeys + bo[bkt];
+          b_hi = tkeys + bo[bkt + 1];
+        }
+        const uint64_t *lo = std::lower_bound(b_lo, b_hi, can);
+        int32_t c = 0;
+        if (lo != b_hi && *lo == can) c = tcnts[lo - tkeys];
+        int32_t bin = c / bin_size;
+        if (bin >= bin_count) bin = bin_count - 1;
+        cnt[bin]++;
+      }
+      totals[r] = (int32_t)nq;
     }
   };
 
@@ -1533,6 +1540,45 @@ int kt_cov_hist(const uint8_t *packed, const uint8_t *validbits,
   }
   for (auto &x : th) x.join();
   return 0;
+}
+
+int kt_cov_hist(const uint8_t *packed, const uint8_t *validbits,
+                int64_t rows, int64_t width, int32_t k,
+                const uint64_t *tkeys, const int32_t *tcnts, int64_t nt,
+                int32_t bin_size, int32_t bin_count,
+                int16_t *counts, int32_t *totals, int32_t nthreads) {
+  if (k < 1 || k > 31) return -1;
+  // self-contained variant: builds the bucket index per call (counting
+  // pass + prefix sum, O(nt)). Callers joining many batches against
+  // one table should build the index once and use kt_cov_hist_idx.
+  const int bb = 2 * k < 18 ? 2 * k : 18;
+  const int bshift = 2 * k - bb;
+  const size_t nbk = (size_t)1 << bb;
+  std::vector<uint32_t> boff;
+  if (nt >= 0 && (uint64_t)nt <= 0xFFFFFFFFull) {
+    boff.assign(nbk + 2, 0);
+    for (int64_t i = 0; i < nt; i++) boff[(size_t)(tkeys[i] >> bshift) + 1]++;
+    for (size_t b = 1; b <= nbk + 1; b++) boff[b] += boff[b - 1];
+  }
+  return kt_cov_hist_impl(packed, validbits, rows, width, k, tkeys, tcnts,
+                          nt, boff.empty() ? nullptr : boff.data(), bb,
+                          bin_size, bin_count, counts, totals, nthreads);
+}
+
+// Caller-built index variant: `boff` has 2^bb + 1 entries, boff[b] =
+// first table position with key >> (2k - bb) >= b (numpy: searchsorted
+// of the bucket boundaries) — built once per count table instead of
+// once per batch.
+int kt_cov_hist_idx(const uint8_t *packed, const uint8_t *validbits,
+                    int64_t rows, int64_t width, int32_t k,
+                    const uint64_t *tkeys, const int32_t *tcnts, int64_t nt,
+                    const uint32_t *boff, int32_t bb,
+                    int32_t bin_size, int32_t bin_count,
+                    int16_t *counts, int32_t *totals, int32_t nthreads) {
+  if (k < 1 || k > 31 || bb < 0 || bb > 2 * k) return -1;
+  return kt_cov_hist_impl(packed, validbits, rows, width, k, tkeys, tcnts,
+                          nt, boff, (int)bb, bin_size, bin_count, counts,
+                          totals, nthreads);
 }
 
 // ---- native minimiser scanner (heterogeneous min sink) --------------------

@@ -195,23 +195,35 @@ class CovComputer:
                 tc_p = tcnts.ctypes.data_as(native.c_i32_p)
                 nt = len(tkeys)
                 i16_p = ctypes.POINTER(ctypes.c_int16)
+                # bucket index built ONCE per table (the kernel's
+                # self-built variant re-scans all nt keys per batch):
+                # boff[b] = first table position with key >> shift >= b
+                if nt >= 1 << 32:  # u32 offsets (a >4B-unique table
+                    return None    # is not a real input; XLA path runs)
+                bb = min(2 * ksize, 18)
+                bounds = np.arange((1 << bb) + 1, dtype=np.uint64) << np.uint64(
+                    2 * ksize - bb
+                )
+                boff = np.searchsorted(tkeys, bounds).astype(np.uint32)
+                boff_p = boff.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
 
                 def kernel(packed, vb):
                     R = packed.shape[0]
                     counts = np.empty((R, nb_), np.int16)
                     totals = np.empty((R,), np.int32)
-                    rc = so.kt_cov_hist(
+                    rc = so.kt_cov_hist_idx(
                         packed.ctypes.data_as(native.c_u8_p),
                         vb.ctypes.data_as(native.c_u8_p),
                         R, packed.shape[1] * 4, ksize,
                         tk_p, tc_p, nt,
+                        boff_p, bb,
                         bin_size, nb_,
                         counts.ctypes.data_as(i16_p),
                         totals.ctypes.data_as(native.c_i32_p),
                         nthreads,
                     )
                     if rc != 0:
-                        raise RuntimeError("kt_cov_hist failed")
+                        raise RuntimeError("kt_cov_hist_idx failed")
                     return counts, totals
 
                 return native_hist_sink(kernel)
