@@ -1033,40 +1033,9 @@ int64_t kt_format_oligocgr(const char *prefix_blob, const int32_t *prefix_off,
 // upload (packed, lengths) instead of (packed, validbits) — exactly
 // 2 bits/base on the wire (ops/encode.py:unpack_packed).
 // Returns: -1 on width%8, else the ambiguous-code count (>= 0).
-int64_t kt_pack_planes(const uint8_t *codes, int64_t rows, int64_t width,
-                       const int32_t *lengths,
-                       uint8_t *packed, uint8_t *validbits) {
-  if (width % 8) return -1;
-  // The pack runs on the pipeline's producer thread (the zero-copy
-  // bucket buffers are only valid until the next batcher call, so it
-  // cannot defer to a sink thread); for large batches split the rows
-  // across helpers so the producer stage keeps pace with the ~1 Gb/s
-  // parse. Row outputs are disjoint; per-thread ambig counts sum.
-  const int64_t total = rows * width;
-  int T = (int)(total / (1 << 20));
-  const int hw = (int)std::thread::hardware_concurrency();
-  if (T > 4) T = 4;
-  if (hw > 0 && T > hw) T = hw;
-  if (T > 1 && rows > 1) {
-    std::vector<int64_t> part((size_t)T, 0);
-    std::vector<std::thread> th;
-    const int64_t chunk = (rows + T - 1) / T;
-    for (int t = 0; t < T; t++) {
-      const int64_t r0 = t * chunk;
-      const int64_t r1 = r0 + chunk < rows ? r0 + chunk : rows;
-      if (r0 >= r1) break;
-      th.emplace_back([=, &part] {
-        part[(size_t)t] = kt_pack_planes(
-            codes + r0 * width, r1 - r0, width,
-            lengths ? lengths + r0 : nullptr,
-            packed + r0 * (width / 4), validbits + r0 * (width / 8));
-      });
-    }
-    for (auto &x : th) x.join();
-    int64_t ambig = 0;
-    for (int64_t v : part) ambig += v;
-    return ambig;
-  }
+static int64_t kt_pack_planes_serial(const uint8_t *codes, int64_t rows,
+                                     int64_t width, const int32_t *lengths,
+                                     uint8_t *packed, uint8_t *validbits) {
   const int64_t wq = width / 4, wb = width / 8;
   int64_t ambig = 0;
   for (int64_t r = 0; r < rows; r++) {
@@ -1096,6 +1065,44 @@ int64_t kt_pack_planes(const uint8_t *codes, int64_t rows, int64_t width,
     }
   }
   return ambig;
+}
+
+int64_t kt_pack_planes(const uint8_t *codes, int64_t rows, int64_t width,
+                       const int32_t *lengths,
+                       uint8_t *packed, uint8_t *validbits) {
+  if (width % 8) return -1;
+  // The pack runs on the pipeline's producer thread (the zero-copy
+  // bucket buffers are only valid until the next batcher call, so it
+  // cannot defer to a sink thread); for large batches split the rows
+  // across helpers so the producer stage keeps pace with the ~1 Gb/s
+  // parse. Row outputs are disjoint; per-thread ambig counts sum.
+  const int64_t total = rows * width;
+  int T = (int)(total / (1 << 20));
+  const int hw = (int)std::thread::hardware_concurrency();
+  if (T > 4) T = 4;
+  if (hw > 0 && T > hw) T = hw;
+  if (T > 1 && rows > 1) {
+    std::vector<int64_t> part((size_t)T, 0);
+    std::vector<std::thread> th;
+    const int64_t chunk = (rows + T - 1) / T;
+    for (int t = 0; t < T; t++) {
+      const int64_t r0 = t * chunk;
+      const int64_t r1 = r0 + chunk < rows ? r0 + chunk : rows;
+      if (r0 >= r1) break;
+      th.emplace_back([=, &part] {
+        part[(size_t)t] = kt_pack_planes_serial(
+            codes + r0 * width, r1 - r0, width,
+            lengths ? lengths + r0 : nullptr,
+            packed + r0 * (width / 4), validbits + r0 * (width / 8));
+      });
+    }
+    for (auto &x : th) x.join();
+    int64_t ambig = 0;
+    for (int64_t v : part) ambig += v;
+    return ambig;
+  }
+  return kt_pack_planes_serial(codes, rows, width, lengths, packed,
+                               validbits);
 }
 
 // ---- native per-read oligo histogram (heterogeneous CPU sink) -------------
