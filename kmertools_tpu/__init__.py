@@ -101,13 +101,14 @@ def _tune_hugepages() -> None:
     except OSError:
         boot_id = ""
     verdict = None
-    try:
-        with open(probe_file) as f:
-            b, v = f.read().split()
-            if b == boot_id and boot_id:
-                verdict = v == "slow"
-    except Exception:
-        pass
+    if boot_id:  # no boot id -> no way to validate a cached verdict
+        try:
+            with open(probe_file) as f:
+                b, v = f.read().split()
+                if b == boot_id:
+                    verdict = v == "slow"
+        except Exception:
+            pass
     if verdict is None:
         import time as _time
 
@@ -131,12 +132,13 @@ def _tune_hugepages() -> None:
             return
         finally:
             _set(True)  # decided below; default state back first
-        try:
-            _os.makedirs(cache_dir, exist_ok=True)
-            with open(probe_file, "w") as f:
-                f.write(f"{boot_id} {'slow' if verdict else 'fast'}\n")
-        except OSError:
-            pass
+        if boot_id:
+            try:
+                _os.makedirs(cache_dir, exist_ok=True)
+                with open(probe_file, "w") as f:
+                    f.write(f"{boot_id} {'slow' if verdict else 'fast'}\n")
+            except OSError:
+                pass
     if not verdict:
         return
     _os.environ["NUMPY_MADVISE_HUGEPAGE"] = "0"  # child processes

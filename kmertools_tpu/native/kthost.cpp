@@ -1504,14 +1504,20 @@ static int kt_cov_hist_impl(
         }
       }
       for (int64_t q = 0; q < nq; q++) {
-        if (bo && q + PF < nq) {
-          const size_t fb = (size_t)(kbuf[(size_t)(q + PF)] >> bshift);
-          __builtin_prefetch(&bo[fb], 0, 1);
-          // the bucket midpoint is the search's first (and usually
-          // deepest-missing) probe
-          const uint32_t flo = bo[fb], fhi = bo[fb + 1];
-          if (fhi > flo)
-            __builtin_prefetch(&tkeys[flo + ((fhi - flo) >> 1)], 0, 1);
+        if (bo) {
+          // two-stage pipeline: warm the index entry 2*PF ahead so
+          // that by q+PF it reads without stalling, then use it to
+          // prefetch that search's first (deepest-missing) probe —
+          // the bucket midpoint in tkeys.
+          if (q + 2 * PF < nq)
+            __builtin_prefetch(
+                &bo[(size_t)(kbuf[(size_t)(q + 2 * PF)] >> bshift)], 0, 1);
+          if (q + PF < nq) {
+            const size_t fb = (size_t)(kbuf[(size_t)(q + PF)] >> bshift);
+            const uint32_t flo = bo[fb], fhi = bo[fb + 1];
+            if (fhi > flo)
+              __builtin_prefetch(&tkeys[flo + ((fhi - flo) >> 1)], 0, 1);
+          }
         }
         const uint64_t can = kbuf[(size_t)q];
         const uint64_t *b_lo = tkeys, *b_hi = tkeys + nt;

@@ -145,7 +145,10 @@ class CgrComputer:
             lens = np.array([len(xs) for xs, _ in payloads], dtype=np.int32)
             stride = int(lens.max()) if len(lens) else 0
             if not stride:
-                return None
+                # all-empty sequences render as empty lines; returning
+                # None here would throw away the sibling chunks' native
+                # output and push the whole block onto the Python path
+                return np.frombuffer(b"\n" * len(payloads), dtype=np.uint8)
             fx = np.empty((len(payloads), stride), dtype=np.float64)
             fy = np.empty((len(payloads), stride), dtype=np.float64)
             for i, (xs, ys) in enumerate(payloads):
@@ -194,7 +197,7 @@ class CgrComputer:
                 )
             out.write(("\n".join(lines) + "\n").encode())
 
-        with open(self.out_path, "wb") as out:
+        with pool, open(self.out_path, "wb") as out:
             emitter = OrderedEmitter(write_block, block=1024)
             max_w = _CGR_ROW_WIDTHS[-1]
 
@@ -244,7 +247,6 @@ class CgrComputer:
                     n = int(lens[i])
                     emitter.add(int(b.read_idx[i]), (xs[i, :n], ys[i, :n]))
             emitter.finish()
-        pool.shutdown(wait=False)
 
     @staticmethod
     def _check_codes(codes: np.ndarray, rid: str) -> None:
