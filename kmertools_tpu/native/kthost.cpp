@@ -18,6 +18,9 @@
 #include <algorithm>
 #include <cctype>
 #include <charconv>
+#include <condition_variable>
+#include <deque>
+#include <mutex>
 #include <utility>
 #include <cmath>
 #include <cstdint>
@@ -498,6 +501,93 @@ struct Batcher {
   }
 };
 
+// Parse-ahead wrapper. A dedicated thread runs the sequential Batcher
+// and hands completed buckets through a bounded queue, so the Python
+// producer packs/uploads bucket N while bucket N+1 parses — the two
+// stages of the producer overlap instead of alternating. Completed
+// buckets are swapped out whole (vector moves, no copies) and their
+// buffers recycle through a per-width-class spare pool; the yielded
+// bucket stays valid until the next kt_batcher_next call, exactly the
+// sequential contract.
+struct ThreadedBatcher {
+  Batcher inner;  // touched only by the parse thread after start()
+  std::thread th;
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_free;
+  std::deque<std::pair<int, Bucket>> ready;  // (width class, bucket)
+  std::vector<std::vector<Bucket>> spare;    // recycled, per class
+  std::pair<int, Bucket> out;                // yielded to the consumer
+  bool out_valid = false;
+  bool done = false, quit = false;
+
+  ThreadedBatcher(gzFile f, int fmt_hint) : inner(f, fmt_hint) {}
+
+  void start() {
+    spare.resize(inner.buckets.size());
+    th = std::thread([this] { run(); });
+  }
+
+  void run() {
+    for (;;) {
+      const int bi = inner.next();
+      if (bi < 0) break;
+      Bucket filled;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_free.wait(lk, [&] { return ready.size() < 2 || quit; });
+        if (quit) return;
+        auto &pool = spare[(size_t)bi];
+        if (!pool.empty()) {
+          filled = std::move(pool.back());
+          pool.pop_back();
+        }
+      }
+      Bucket &src = inner.buckets[(size_t)bi];
+      if (filled.width != src.width || filled.rows != src.rows)
+        filled.init(src.width, src.rows);
+      // src takes the (dirty) recycled buffers; inner.next() resets
+      // them at the start of its next call (last_emitted == bi)
+      std::swap(filled, src);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        ready.emplace_back(bi, std::move(filled));
+      }
+      cv_ready.notify_one();
+    }
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      done = true;
+    }
+    cv_ready.notify_one();
+  }
+
+  int next() {
+    std::unique_lock<std::mutex> lk(mu);
+    if (out_valid) {
+      spare[(size_t)out.first].push_back(std::move(out.second));
+      out_valid = false;
+      cv_free.notify_one();
+    }
+    cv_ready.wait(lk, [&] { return !ready.empty() || done; });
+    if (ready.empty()) return -1;
+    out = std::move(ready.front());
+    ready.pop_front();
+    out_valid = true;
+    return out.first;
+  }
+
+  Bucket &current() { return out.second; }
+
+  ~ThreadedBatcher() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      quit = true;
+    }
+    cv_free.notify_one();
+    if (th.joinable()) th.join();
+  }
+};
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -517,28 +607,32 @@ void *kt_batcher_open(const char *path, int64_t overlap,
                       int64_t target_codes, int fmt_hint) {
   gzFile f = open_path(path);
   if (!f) return nullptr;
-  Batcher *b = new Batcher(f, fmt_hint);
-  b->overlap = overlap;
-  b->buckets.resize((size_t)n_widths);
+  ThreadedBatcher *b = new ThreadedBatcher(f, fmt_hint);
+  b->inner.overlap = overlap;
+  b->inner.buckets.resize((size_t)n_widths);
   for (int i = 0; i < n_widths; i++) {
     int64_t w = widths[i];
     // multiple of 8 so the mesh DP path (workloads/common.py:
     // data_parallel_rows) can row-shard every full bucket
     int64_t rows = (target_codes / w) & ~int64_t(7);
     if (rows < 8) rows = 8;
-    b->buckets[(size_t)i].init(w, rows);
+    b->inner.buckets[(size_t)i].init(w, rows);
   }
+  b->start();
   return b;
 }
 
-void kt_batcher_close(void *h) { delete (Batcher *)h; }
+void kt_batcher_close(void *h) { delete (ThreadedBatcher *)h; }
 
 // Returns the bucket index of the next ready batch, or -1 when done.
-int kt_batcher_next(void *h) { return ((Batcher *)h)->next(); }
+// The yielded bucket (read via kt_bucket_shape/kt_bucket_data, which
+// ignore their index argument) stays valid until the next call.
+int kt_batcher_next(void *h) { return ((ThreadedBatcher *)h)->next(); }
 
 void kt_bucket_shape(void *h, int bi, int64_t *rows, int64_t *width,
                      int64_t *fill) {
-  Bucket &b = ((Batcher *)h)->buckets[(size_t)bi];
+  (void)bi;  // the yielded bucket is the handle's current() slot
+  Bucket &b = ((ThreadedBatcher *)h)->current();
   *rows = b.rows;
   *width = b.width;
   *fill = b.fill;
@@ -548,7 +642,8 @@ void kt_bucket_data(void *h, int bi, uint8_t **codes, int32_t **lengths,
                     int64_t **read_idx, int64_t **row_start,
                     uint8_t **last_row, char **ids_blob, int64_t *ids_blob_len,
                     int64_t **id_ridx, int64_t **id_rlen, int64_t *n_ids) {
-  Bucket &b = ((Batcher *)h)->buckets[(size_t)bi];
+  (void)bi;
+  Bucket &b = ((ThreadedBatcher *)h)->current();
   *codes = b.codes.data();
   *lengths = b.lengths.data();
   *read_idx = b.read_idx.data();
