@@ -109,6 +109,15 @@ def hetero_device_sets() -> list[list]:
     return sets
 
 
+# Learned sink rates survive across pipeline runs in this process
+# (keyed by workload+platform, e.g. "oligo:xla:axon"). Without a prior
+# every run re-pays exploration of an unmeasured sink: on a remote-
+# attached chip one explore batch costs seconds of tunnel transfer, and
+# with large batches that head-of-line stall decides short runs.
+_SINK_PRIORS: dict[str, float] = {}
+_SINK_PRIORS_LOCK = threading.Lock()
+
+
 class _HeteroSink:
     """One execution sink (a device set) in the multi-sink pipeline:
     its own bounded FIFO and drain thread. The drain thread blocks on
@@ -117,15 +126,21 @@ class _HeteroSink:
     a slow sink never blocks a fast one."""
 
     def __init__(self, idx: int, dispatch: Callable, out_q: queue.Queue,
-                 err: list, depth: int):
+                 err: list, depth: int, key: str | None = None):
         self.idx = idx
         self.dispatch = dispatch
+        self.key = key
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._out_q = out_q
         self._err = err
         self.lock = threading.Lock()
         self.inflight = 0  # dispatched-but-unfinished work units (codes)
+        self.routed = 0  # batches routed here (KMERTOOLS_HETERO_STATS)
+        self.routed_w = 0
         self.rate = 0.0  # EWMA codes/s; 0 = no sample yet
+        if key is not None:
+            with _SINK_PRIORS_LOCK:
+                self.rate = _SINK_PRIORS.get(key, 0.0)
         self._last_done: float | None = None
         self.thread = threading.Thread(target=self._drain, daemon=True)
         self.thread.start()
@@ -142,6 +157,8 @@ class _HeteroSink:
     def submit(self, seq: int, meta, res: tuple, w: int, t_disp: float) -> None:
         with self.lock:
             self.inflight += w
+            self.routed += 1
+            self.routed_w += w
         self.q.put((seq, meta, res, w, t_disp))
 
     def _drain(self) -> None:
@@ -172,6 +189,9 @@ class _HeteroSink:
                         else 0.5 * self.rate + 0.5 * sample
                     )
                     self.inflight -= w
+                if self.key is not None:
+                    with _SINK_PRIORS_LOCK:
+                        _SINK_PRIORS[self.key] = self.rate
                 self._out_q.put(((seq, meta, arrs), self.idx))
             except BaseException as e:  # propagated by the caller
                 self._err.append(e)
@@ -187,6 +207,7 @@ def run_pipelined_hetero(
     weight: Callable,
     depth: int = 3,
     max_inflight: int = 8,
+    keys: list | None = None,
 ) -> None:
     """run_pipelined over MULTIPLE execution sinks (device sets).
 
@@ -197,6 +218,11 @@ def run_pipelined_hetero(
     batch boundaries rely on it), buffered by a seq-number reorder.
     `max_inflight` bounds batches between dispatch and consumption so a
     stalled sink can't let a fast one fill RAM.
+
+    `keys` (optional, parallel to `dispatches`) names each sink for the
+    process-wide rate-prior table: a sink starts from the EWMA its key
+    last converged to, so repeated runs skip the exploration batch that
+    a slow remote sink turns into a multi-second head-of-line stall.
     """
     if len(dispatches) == 1:
         return run_pipelined(batches, dispatches[0], consume)
@@ -204,7 +230,9 @@ def run_pipelined_hetero(
     out_q: queue.Queue = queue.Queue()
     err: list[BaseException] = []
     sinks = [
-        _HeteroSink(i, d, out_q, err, depth) for i, d in enumerate(dispatches)
+        _HeteroSink(i, d, out_q, err, depth,
+                    key=keys[i] if keys else None)
+        for i, d in enumerate(dispatches)
     ]
     tokens = threading.Semaphore(max_inflight)
 
@@ -263,6 +291,16 @@ def run_pipelined_hetero(
         ct.join()
         for s in sinks:
             s.thread.join()
+        if os.environ.get("KMERTOOLS_HETERO_STATS") == "1":
+            import sys
+
+            for s in sinks:
+                print(
+                    f"[hetero] sink={keys[s.idx] if keys else s.idx} "
+                    f"batches={s.routed} weight={s.routed_w} "
+                    f"rate={s.rate / 1e6:.1f} Mcodes/s",
+                    file=sys.stderr,
+                )
     if err:
         raise err[0]
 

@@ -236,12 +236,16 @@ class CovComputer:
             # routed by measured throughput.
             nd = native_dispatch()
             backend_cpu = jax.local_devices()[0].platform == "cpu"
+            xla_key = f"cov{self.ksize}:xla:" + jax.local_devices()[0].platform
             if nd is not None and backend_cpu:
                 dispatches = [nd]
+                keys = [f"cov{self.ksize}:native"]
             elif nd is not None:
                 dispatches = [dispatch, nd]
+                keys = [xla_key, f"cov{self.ksize}:native"]
             else:
                 dispatches = [dispatch]
+                keys = [xla_key]
             try:
                 run_pipelined_hetero(
                     iob.stream_path(
@@ -256,6 +260,7 @@ class CovComputer:
                     dispatches,
                     consume,
                     weight=lambda b: int(b.lengths.sum()),
+                    keys=keys,
                 )
                 agg.finish()
                 emitter.finish()

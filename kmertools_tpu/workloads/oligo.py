@@ -332,14 +332,29 @@ class OligoComputer:
                 # and tighten the parse/compute overlap (measured ~2x on
                 # a 4-core host vs 32M-code batches).
                 dispatches = [nd]
+                keys = [f"oligo{self.ksize}:native"]
                 stream_target = min(stream_target, 1 << 21)
             else:
                 dispatches = [
                     make_dispatch(None if len(device_sets) == 1 else d)
                     for d in device_sets
                 ]
+                keys = [
+                    f"oligo{self.ksize}:xla:"
+                    + (d[0].platform if d else "default")
+                    for d in device_sets
+                ]
                 if nd is not None:
                     dispatches.append(nd)
+                    keys.append(f"oligo{self.ksize}:native")
+                if len(dispatches) > 1:
+                    # multi-sink runs need routing granularity: with a
+                    # handful of mega-batches one slow-sink assignment
+                    # (or a lost parse/compute overlap tail) decides the
+                    # wall clock. 4M codes keeps the native sink's
+                    # working set near cache while a per-batch device
+                    # dispatch still amortises its launch overhead.
+                    stream_target = min(stream_target, 1 << 22)
             try:
                 run_pipelined_hetero(
                     iob.stream_path(
@@ -351,6 +366,7 @@ class OligoComputer:
                     dispatches,
                     consume,
                     weight=lambda b: int(b.lengths.sum()),
+                    keys=keys,
                 )
                 agg.finish()
                 emitter.finish()

@@ -168,3 +168,32 @@ def test_oligo_two_sink_output_identical(tmp_path, test_data, monkeypatch):
     het_out = tmp_path / "hetero.kmers"
     OligoComputer(str(corpus), str(het_out), 4, True).vectorise()
     assert het_out.read_bytes() == ref_out.read_bytes()
+
+
+def test_sink_rate_priors_persist_across_runs():
+    """A sink's learned rate survives into the next run (keyed by name):
+    the scheduler must NOT re-explore a known-slow sink with the opening
+    batch — on a remote-attached chip that explore batch is seconds of
+    tunnel transfer at the head of the consume line."""
+    for k in ("t:slow", "t:fast"):
+        common._SINK_PRIORS.pop(k, None)
+    routed1, routed2 = [], []
+    common.run_pipelined_hetero(
+        range(24),
+        [_sink(0.05, routed1, "slow"), _sink(0.001, routed1, "fast")],
+        lambda m, a: None,
+        weight=lambda b: 1,
+        keys=["t:slow", "t:fast"],
+    )
+    assert common._SINK_PRIORS["t:slow"] < common._SINK_PRIORS["t:fast"]
+    common.run_pipelined_hetero(
+        range(24),
+        [_sink(0.05, routed2, "slow"), _sink(0.001, routed2, "fast")],
+        lambda m, a: None,
+        weight=lambda b: 1,
+        keys=["t:slow", "t:fast"],
+    )
+    # without the prior the opening batch goes to sink 0 (idx tiebreak);
+    # with it the scheduler starts on the measured-fast sink
+    assert routed2[0] == "fast"
+    assert routed2.count("fast") > routed2.count("slow")
