@@ -141,6 +141,9 @@ class _HeteroSink:
         if key is not None:
             with _SINK_PRIORS_LOCK:
                 self.rate = _SINK_PRIORS.get(key, 0.0)
+        # a loaded prior may be stale (recorded under a different
+        # contention regime / input); the first live sample outweighs it
+        self._seeded = self.rate > 0
         self._last_done: float | None = None
         self.thread = threading.Thread(target=self._drain, daemon=True)
         self.thread.start()
@@ -184,10 +187,13 @@ class _HeteroSink:
                 self._last_done = now
                 sample = w / max(now - t0, 1e-6)
                 with self.lock:
-                    self.rate = (
-                        sample if self.rate == 0
-                        else 0.5 * self.rate + 0.5 * sample
-                    )
+                    if self.rate == 0:
+                        self.rate = sample
+                    elif self._seeded:
+                        self.rate = 0.25 * self.rate + 0.75 * sample
+                    else:
+                        self.rate = 0.5 * self.rate + 0.5 * sample
+                    self._seeded = False
                     self.inflight -= w
                 if self.key is not None:
                     with _SINK_PRIORS_LOCK:
@@ -224,6 +230,9 @@ def run_pipelined_hetero(
     last converged to, so repeated runs skip the exploration batch that
     a slow remote sink turns into a multi-second head-of-line stall.
     """
+    assert keys is None or len(keys) == len(dispatches), (
+        f"keys ({len(keys)}) must parallel dispatches ({len(dispatches)})"
+    )
     if len(dispatches) == 1:
         return run_pipelined(batches, dispatches[0], consume)
 

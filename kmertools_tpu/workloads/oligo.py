@@ -339,10 +339,14 @@ class OligoComputer:
                     make_dispatch(None if len(device_sets) == 1 else d)
                     for d in device_sets
                 ]
+                # set index + device count disambiguate two sets on the
+                # same platform (e.g. a split CPU sub-mesh): each must
+                # keep its own rate prior or their drain threads
+                # overwrite each other's EWMA
                 keys = [
-                    f"oligo{self.ksize}:xla:"
-                    + (d[0].platform if d else "default")
-                    for d in device_sets
+                    f"oligo{self.ksize}:xla:{i}:"
+                    + (f"{d[0].platform}x{len(d)}" if d else "default")
+                    for i, d in enumerate(device_sets)
                 ]
                 if nd is not None:
                     dispatches.append(nd)

@@ -178,22 +178,31 @@ def test_sink_rate_priors_persist_across_runs():
     for k in ("t:slow", "t:fast"):
         common._SINK_PRIORS.pop(k, None)
     routed1, routed2 = [], []
-    common.run_pipelined_hetero(
-        range(24),
-        [_sink(0.05, routed1, "slow"), _sink(0.001, routed1, "fast")],
-        lambda m, a: None,
-        weight=lambda b: 1,
-        keys=["t:slow", "t:fast"],
-    )
-    assert common._SINK_PRIORS["t:slow"] < common._SINK_PRIORS["t:fast"]
-    common.run_pipelined_hetero(
-        range(24),
-        [_sink(0.05, routed2, "slow"), _sink(0.001, routed2, "fast")],
-        lambda m, a: None,
-        weight=lambda b: 1,
-        keys=["t:slow", "t:fast"],
-    )
-    # without the prior the opening batch goes to sink 0 (idx tiebreak);
-    # with it the scheduler starts on the measured-fast sink
-    assert routed2[0] == "fast"
-    assert routed2.count("fast") > routed2.count("slow")
+    try:
+        common.run_pipelined_hetero(
+            range(24),
+            [_sink(0.05, routed1, "slow"), _sink(0.001, routed1, "fast")],
+            lambda m, a: None,
+            weight=lambda b: 1,
+            keys=["t:slow", "t:fast"],
+        )
+        assert common._SINK_PRIORS["t:slow"] < common._SINK_PRIORS["t:fast"]
+        # pin run 2's priors deterministically: run 1 proved they get
+        # RECORDED; seeding directly proves they get USED without
+        # depending on run-1 timing on a loaded CI host
+        common._SINK_PRIORS["t:slow"] = 20.0
+        common._SINK_PRIORS["t:fast"] = 1000.0
+        common.run_pipelined_hetero(
+            range(24),
+            [_sink(0.05, routed2, "slow"), _sink(0.001, routed2, "fast")],
+            lambda m, a: None,
+            weight=lambda b: 1,
+            keys=["t:slow", "t:fast"],
+        )
+        # without the prior the opening batch goes to sink 0 (idx
+        # tiebreak); with it the scheduler starts on the known-fast sink
+        assert routed2[0] == "fast"
+        assert routed2.count("fast") > routed2.count("slow")
+    finally:
+        for k in ("t:slow", "t:fast"):
+            common._SINK_PRIORS.pop(k, None)
