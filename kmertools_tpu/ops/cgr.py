@@ -57,6 +57,11 @@ def cgr_scan(codes: jnp.ndarray, vecsize: float, dtype=jnp.float64, associative=
 
     init = jnp.full((codes.shape[0], 2), center, dtype=dtype)
     corners = jnp.stack([cx, cy], axis=-1).swapaxes(0, 1)  # (W, R, 2)
+    # under shard_map the scanned corners are device-varying but a
+    # fresh-constant carry is replicated, which lax.scan rejects; adding
+    # input-derived zeros gives the carry the input's variance (a no-op
+    # add otherwise, folded by XLA)
+    init = init + jnp.zeros_like(corners[0])
 
     def step(m, c):
         m2 = (m + c) * half

@@ -37,20 +37,56 @@ DEVICE_SCAN_RUNS = 0
 
 
 _F64_EXACT: bool | None = None
+_PROBE_CACHE: dict[str, bool] = {}
+
+
+def _probe_exact(device=None) -> bool:
+    """Run a 64-step cgr_scan (on `device`, or the default backend)
+    and compare bit-for-bit against the host f64 oracle.
+
+    A dtype probe is NOT enough: TPU emulated f64 runs the elementwise
+    ops correctly rounded yet drifts in the last ulp inside the scan,
+    so only a real kernel run decides (composition/src/cgr.rs:127-144
+    per-step rounding is part of the reference's output bytes)."""
+    import jax
+
+    from kmertools_tpu.ops import cgr as cgr_ops
+
+    key = str(device) if device is not None else "default"
+    hit = _PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        codes = (np.arange(64) % 4).astype(np.uint8)[None, :]
+        arg = jnp.asarray(codes)
+        if device is not None:
+            arg = jax.device_put(arg, device)  # committed: compute follows
+        xs, ys = cgr_ops.cgr_scan(arg, 1.0, jnp.float64)
+        xs = np.asarray(xs)[0]
+        ys = np.asarray(ys)[0]
+        cx = np.array([0.0, 0.0, 1.0, 1.0])
+        cy = np.array([0.0, 1.0, 1.0, 0.0])
+        hx = hy = 0.5
+        ok = True
+        for i, c in enumerate(codes[0]):
+            hx = (hx + cx[c]) / 2.0
+            hy = (hy + cy[c]) / 2.0
+            if hx != xs[i] or hy != ys[i]:
+                ok = False
+                break
+    except Exception:
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
 
 
 def _f64_supported() -> bool:
-    """True iff the backend runs the CGR scan kernel BIT-EXACTLY in
-    f64; ENABLES x64 if needed.
+    """True iff the DEFAULT backend runs the CGR scan kernel BIT-
+    EXACTLY in f64; ENABLES x64 if needed.
 
-    The CGR walk needs exact IEEE f64 (the reference's per-step
-    rounding is part of its output bytes, composition/src/cgr.rs:
-    127-144), but JAX defaults to x64-off — so a plain CLI run would
-    otherwise silently take the host loop forever. A dtype probe is
-    NOT enough: TPU emulated f64 runs the elementwise ops correctly
-    rounded yet drifts in the last ulp inside the scan, so the probe
-    runs a real 64-step kernel against the host oracle and falls back
-    on any mismatch. Set KMERTOOLS_NO_X64=1 to force the host path.
+    The CGR walk needs exact IEEE f64, but JAX defaults to x64-off —
+    so a plain CLI run would otherwise silently take the host loop
+    forever. Set KMERTOOLS_NO_X64=1 to force the host path.
     """
     global _F64_EXACT
     if _F64_EXACT is not None:
@@ -58,8 +94,6 @@ def _f64_supported() -> bool:
     import os
 
     import jax
-
-    from kmertools_tpu.ops import cgr as cgr_ops
 
     if os.environ.get("KMERTOOLS_NO_X64"):
         _F64_EXACT = False
@@ -70,25 +104,46 @@ def _f64_supported() -> bool:
         except Exception:
             _F64_EXACT = False
             return False
+    _F64_EXACT = _probe_exact()
+    return _F64_EXACT
+
+
+def _cpu_scan_devices() -> list | None:
+    """Host-CPU XLA devices eligible to run the exact scan when the
+    default backend fails the probe: only when the default backend is
+    an accelerator, the CPU platform is registered beside it (hetero),
+    and x64 could be enabled. None otherwise."""
+    import jax
+
+    if (
+        os.environ.get("KMERTOOLS_NO_X64")
+        or os.environ.get("KMERTOOLS_NO_HETERO") == "1"
+    ):
+        return None
     try:
-        codes = (np.arange(64) % 4).astype(np.uint8)[None, :]
-        xs, ys = cgr_ops.cgr_scan(jnp.asarray(codes), 1.0, jnp.float64)
-        xs = np.asarray(xs)[0]
-        ys = np.asarray(ys)[0]
-        cx = np.array([0.0, 0.0, 1.0, 1.0])
-        cy = np.array([0.0, 1.0, 1.0, 0.0])
-        hx = hy = 0.5
-        for i, c in enumerate(codes[0]):
-            hx = (hx + cx[c]) / 2.0
-            hy = (hy + cy[c]) / 2.0
-            if hx != xs[i] or hy != ys[i]:
-                _F64_EXACT = False
-                return False
-        _F64_EXACT = True
-        return True
-    except Exception:
-        _F64_EXACT = False
-        return False
+        if not jax.config.read("jax_enable_x64"):
+            return None
+        prim = jax.local_devices()
+        if not prim or prim[0].platform == "cpu":
+            return None  # default IS cpu and it failed: nothing better
+        cpus = list(jax.local_devices(backend="cpu"))
+    except RuntimeError:
+        return None
+    return cpus or None
+
+
+def _scan_device_set():
+    """Where the exact-f64 scan runs: ``"default"`` (default backend
+    passed the probe), a host-CPU device list (accelerator failed, CPU
+    registered under hetero and bit-exact), or None (host numpy walk).
+    The reference kernel being replaced: composition/src/cgr.rs:127-144.
+    """
+    if _f64_supported():
+        return "default"
+    cpus = _cpu_scan_devices()
+    if cpus and _probe_exact(cpus[0]):
+        return cpus
+    return None
 
 
 class CgrComputer:
@@ -124,7 +179,7 @@ class CgrComputer:
         return xs, ys
 
     def vectorise(self) -> None:
-        use_device = _f64_supported()
+        scan_devs = _scan_device_set()
         if self.input_shard is not None:
             from kmertools_tpu.parallel import dataflow
 
@@ -197,8 +252,13 @@ class CgrComputer:
                 )
             out.write(("\n".join(lines) + "\n").encode())
 
+        import threading
+
         with pool, open(self.out_path, "wb") as out:
             emitter = OrderedEmitter(write_block, block=1024)
+            # long-read host walks (producer thread) and device-scan
+            # results (writer thread) both feed the emitter
+            emit_lock = threading.Lock()
             max_w = _CGR_ROW_WIDTHS[-1]
 
             def records_filtered():
@@ -206,32 +266,83 @@ class CgrComputer:
                     if len(rec.seq) > max_w:
                         codes = iob.encode_bases(rec.seq)
                         self._check_codes(codes, rec.id)
-                        emitter.add(rec.n, self._points_host(codes))
+                        with emit_lock:
+                            emitter.add(rec.n, self._points_host(codes))
                     else:
                         yield rec
 
-            for b in iob.batch_stream(
+            stream = iob.batch_stream(
                 records_filtered(),
                 overlap=0,
                 row_widths=_CGR_ROW_WIDTHS,
                 target_codes=self.target_codes,
-            ):
+            )
+
+            def emit_points(b, xs: np.ndarray, ys: np.ndarray) -> None:
                 lens = b.lengths
-                for i in np.nonzero(b.read_idx >= 0)[0]:
-                    self._check_codes(
-                        b.codes[i, : lens[i]], b.ids.get(int(b.read_idx[i]), "?")
-                    )
-                if use_device:
+                with emit_lock:
+                    for i in np.nonzero(b.read_idx >= 0)[0]:
+                        n = int(lens[i])
+                        emitter.add(
+                            int(b.read_idx[i]), (xs[i, :n], ys[i, :n])
+                        )
+
+            if scan_devs is not None:
+                # device path: the scan kernel runs on the exact-f64
+                # device set — the default backend, or the host-CPU XLA
+                # devices when the accelerator fails the exactness probe
+                # (hetero sink; the producer thread computes no points).
+                from kmertools_tpu.workloads.common import (
+                    data_parallel_rows,
+                    run_pipelined,
+                )
+
+                devs = None if scan_devs == "default" else scan_devs
+                ndev = 1 if devs is None else len(devs)
+                vecsize = float(self.vecsize)
+                fn = data_parallel_rows(
+                    lambda c: cgr_ops.cgr_scan(c, vecsize, jnp.float64),
+                    devices=devs,
+                )
+
+                def dispatch(b):
                     global DEVICE_SCAN_RUNS
+                    # bad-base abort stays on the producer (fail fast,
+                    # before the batch is paid for)
+                    for i in np.nonzero(b.read_idx >= 0)[0]:
+                        self._check_codes(
+                            b.codes[i, : b.lengths[i]],
+                            b.ids.get(int(b.read_idx[i]), "?"),
+                        )
                     DEVICE_SCAN_RUNS += 1
-                    xs, ys = cgr_ops.cgr_scan(
-                        jnp.asarray(b.codes), float(self.vecsize), jnp.float64
-                    )
-                    xs = np.asarray(xs)
-                    ys = np.asarray(ys)
-                else:
+                    codes = b.codes
+                    if devs is not None and codes.shape[0] % ndev:
+                        # the explicit-set step must NEVER fall back to
+                        # the (inexact) default backend: pad rows so the
+                        # shard_map path always applies
+                        from kmertools_tpu.parallel.mesh import (
+                            pad_rows_to_devices,
+                        )
+
+                        codes = pad_rows_to_devices(codes, ndev, 4)
+                    return fn(jnp.asarray(codes))
+
+                def consume(b, xs, ys):
+                    nrows = b.codes.shape[0]
+                    emit_points(b, np.asarray(xs)[:nrows], np.asarray(ys)[:nrows])
+
+                run_pipelined(stream, dispatch, consume)
+            else:
+                # host numpy walk (column-sweep over the batch)
+                for b in stream:
+                    for i in np.nonzero(b.read_idx >= 0)[0]:
+                        self._check_codes(
+                            b.codes[i, : b.lengths[i]],
+                            b.ids.get(int(b.read_idx[i]), "?"),
+                        )
                     full = np.empty(
-                        (b.codes.shape[0], b.codes.shape[1], 2), dtype=np.float64
+                        (b.codes.shape[0], b.codes.shape[1], 2),
+                        dtype=np.float64,
                     )
                     s = float(self.vecsize)
                     cx_t = np.array([0.0, 0.0, s, s, 0.0])
@@ -242,10 +353,7 @@ class CgrComputer:
                             [cx_t[b.codes[:, t]], cy_t[b.codes[:, t]]], axis=1
                         )) / 2.0
                         full[:, t] = m
-                    xs, ys = full[..., 0], full[..., 1]
-                for i in np.nonzero(b.read_idx >= 0)[0]:
-                    n = int(lens[i])
-                    emitter.add(int(b.read_idx[i]), (xs[i, :n], ys[i, :n]))
+                    emit_points(b, full[..., 0], full[..., 1])
             emitter.finish()
 
     @staticmethod
@@ -331,62 +439,180 @@ class OligoCgrComputer:
         out.write(("\n".join(lines) + "\n").encode())
 
     def vectorise(self) -> None:
+        """Heterogeneous pipeline (oligo.py:vectorise structure): XLA
+        device sets + the native kt_oligo_hist sink — the histogram is
+        the same canonical per-read count oligo computes; only the
+        emitter (CGR-point prefixes, oligocgr.rs:123-143) differs."""
+        import ctypes
+
+        import jax
+
         from kmertools_tpu.ops import pallas_histogram
         from kmertools_tpu.workloads.common import (
             ArrayAggregator,
+            AsyncWriter,
             OrderedArrayEmitter,
             data_parallel_step,
-            run_pipelined,
+            hetero_device_sets,
+            native_hist_sink,
+            run_pipelined_hetero,
         )
 
+        nbins = self.kcount
         slot_table = jnp.asarray(codec.canonical_slot_table(self.ksize))
-        use_pallas = pallas_histogram.use_pallas()
-        if use_pallas:
-            bin_values = jnp.asarray(codec.canonical_bin_values(self.ksize))
+        bin_values = jnp.asarray(codec.canonical_bin_values(self.ksize))
 
-        def device_step(codes):
-            fwd, rc, valid = encode.kmer_ids_small(codes, self.ksize)
-            ids = jnp.minimum(fwd, rc)
-            if use_pallas:
-                return pallas_histogram.per_read_histogram_tpu(
-                    ids.astype(jnp.int32), valid, bin_values, self.kcount
-                )
-            if histogram.prefer_scatter():
-                slots = jnp.take(
-                    slot_table, jnp.where(valid, ids, 0), mode="clip"
-                )
-                counts, totals = histogram.per_read_histogram_scatter(
-                    slots.astype(jnp.int32), valid, self.kcount
-                )
-            else:
-                counts, totals = histogram.per_read_histogram_gathered(
-                    ids, valid, slot_table, self.kcount
-                )
-            return counts.astype(jnp.int16), totals.astype(jnp.int32)
+        def make_hist(platform: str | None):
+            """Per-sink histogram kernel — Pallas on TPU, scatter-add
+            on CPU, one-hot MXU matmul elsewhere; all bit-equal."""
+            use_pallas = pallas_histogram.use_pallas(platform)
+            use_scatter = (
+                not use_pallas and histogram.prefer_scatter(platform)
+            )
 
-        with open(self.out_path, "wb") as out:
+            def _hist(codes):
+                fwd, rc, valid = encode.kmer_ids_small(codes, self.ksize)
+                ids = jnp.minimum(fwd, rc)
+                if use_pallas:
+                    return pallas_histogram.per_read_histogram_tpu(
+                        ids.astype(jnp.int32), valid, bin_values, nbins
+                    )
+                if use_scatter:
+                    slots = jnp.take(
+                        slot_table, jnp.where(valid, ids, 0), mode="clip"
+                    )
+                    return histogram.per_read_histogram_scatter(
+                        slots.astype(jnp.int32), valid, nbins
+                    )
+                return histogram.per_read_histogram_gathered(
+                    ids, valid, slot_table, nbins
+                )
+
+            return _hist
+
+        def _fuse_i16(counts, totals):
+            # int16 [counts | total]: rows are <= 8192 wide so both fit
+            return jnp.concatenate(
+                [counts.astype(jnp.int16),
+                 totals.astype(jnp.int16)[:, None]],
+                axis=1,
+            )
+
+        def make_dispatch(devs):
+            h = make_hist(devs[0].platform if devs else None)
+            sp = data_parallel_step(
+                lambda p, v: _fuse_i16(*h(encode.unpack_planes(p, v))),
+                devices=devs,
+            )
+            sc = data_parallel_step(
+                lambda p, ln: _fuse_i16(*h(encode.unpack_packed(p, ln))),
+                devices=devs,
+            )
+
+            def dispatch(b):
+                packed, vb, n_ambig = b.planes()
+                if n_ambig == 0:
+                    return sc(packed, b.lengths)
+                return sp(packed, vb)
+
+            return dispatch
+
+        def native_dispatch():
+            """kt_oligo_hist as a host sink (oligo.py:native_dispatch;
+            canonical table always — oligocgr has no raw mode)."""
+            from kmertools_tpu import native
+
+            so = native.lib()
+            if (
+                so is None
+                or self.ksize > 7
+                or os.environ.get("KMERTOOLS_NO_HETERO") == "1"
+            ):
+                return None
+            table = np.ascontiguousarray(
+                codec.canonical_slot_table(self.ksize), dtype=np.int32
+            )
+            table_p = table.ctypes.data_as(native.c_i32_p)
+            nthreads = self.threads or (os.cpu_count() or 1)
+            ksize = self.ksize
+            i16_p = ctypes.POINTER(ctypes.c_int16)
+
+            def kernel(packed, vb):
+                R = packed.shape[0]
+                counts = np.empty((R, nbins), np.int16)
+                totals = np.empty((R,), np.int32)
+                rc = so.kt_oligo_hist(
+                    packed.ctypes.data_as(native.c_u8_p),
+                    vb.ctypes.data_as(native.c_u8_p),
+                    R, packed.shape[1] * 4, ksize,
+                    table_p, nbins,
+                    counts.ctypes.data_as(i16_p),
+                    totals.ctypes.data_as(native.c_i32_p),
+                    nthreads,
+                )
+                if rc != 0:
+                    raise RuntimeError("kt_oligo_hist failed")
+                return counts, totals
+
+            return native_hist_sink(kernel)
+
+        with open(self.out_path, "wb") as raw:
+            out = AsyncWriter(raw)
             emitter = OrderedArrayEmitter(
                 lambda vecs, tots: self._emit_slab(out, vecs, tots)
             )
-            agg = ArrayAggregator(self.kcount)
+            agg = ArrayAggregator(nbins)
 
-            def consume(meta, counts, totals) -> None:
+            def consume(meta, fused) -> None:
+                arr = np.asarray(fused)
                 ridx, vecs, tots = agg.add_batch(
                     meta.read_idx, meta.last_row,
-                    np.asarray(counts), np.asarray(totals),
+                    arr[:, :nbins], arr[:, nbins].astype(np.int32),
                 )
                 emitter.add(ridx, vecs, tots)
 
-            sharded_step = data_parallel_step(device_step)
-            run_pipelined(
-                iob.stream_path(
-                    self.in_path,
-                    overlap=self.ksize - 1,
-                    target_codes=self.target_codes,
-                    shard=self.input_shard,
-                ),
-                lambda b: sharded_step(jnp.asarray(b.codes)),
-                consume,
+            device_sets = hetero_device_sets()
+            nd = native_dispatch()
+            backend_cpu = (
+                bool(jax.local_devices())
+                and jax.local_devices()[0].platform == "cpu"
             )
-            agg.finish()
-            emitter.finish()
+            stream_target = self.target_codes
+            if nd is not None and backend_cpu and len(device_sets) == 1:
+                # CPU-only backend: the native kernel owns the cores
+                # (oligo.py / coverage.py policy)
+                dispatches = [nd]
+                keys = [f"oligocgr{self.ksize}:native"]
+                stream_target = min(stream_target, 1 << 21)
+            else:
+                dispatches = [
+                    make_dispatch(None if len(device_sets) == 1 else d)
+                    for d in device_sets
+                ]
+                keys = [
+                    f"oligocgr{self.ksize}:xla:{i}:"
+                    + (f"{d[0].platform}x{len(d)}" if d else "default")
+                    for i, d in enumerate(device_sets)
+                ]
+                if nd is not None:
+                    dispatches.append(nd)
+                    keys.append(f"oligocgr{self.ksize}:native")
+                if len(dispatches) > 1:
+                    stream_target = min(stream_target, 1 << 22)
+            try:
+                run_pipelined_hetero(
+                    iob.stream_path(
+                        self.in_path,
+                        overlap=self.ksize - 1,
+                        target_codes=stream_target,
+                        shard=self.input_shard,
+                    ),
+                    dispatches,
+                    consume,
+                    weight=lambda b: int(b.lengths.sum()),
+                    keys=keys,
+                )
+                agg.finish()
+                emitter.finish()
+            finally:
+                out.close()
