@@ -154,9 +154,6 @@ def _multihost_ctx(args):
     """HostContext for --num-hosts > 1 runs, else None."""
     if getattr(args, "num_hosts", 1) <= 1:
         return None
-    if args.command == "min" and args.preset == "m2s":
-        raise ValueError("m2s groups reads across the whole input; "
-                         "run it single-host")
     from kmertools_tpu.parallel import multihost
 
     return multihost.init(args.num_hosts, args.host_id, args.coordinator)
@@ -263,8 +260,12 @@ def _dispatch(args) -> int:
         from kmertools_tpu.workloads import minimisers
 
         if args.preset == "m2s":
+            # multi-host m2s: hosts spill shard-local val-sorted runs
+            # into a shared dir; host 0 k-way merges them (groups stay
+            # whole — the merge is the single-host merge)
             minimisers.bin_sequences(
-                args.w_size, args.m_size, args.input, args.output, args.threads
+                args.w_size, args.m_size, args.input, args.output,
+                args.threads, mh_ctx=ctx,
             )
         else:
             out = ctx.part_path(args.output) if ctx else args.output

@@ -541,10 +541,11 @@ def _write_group_lines(out, msize: int, vals: np.ndarray, ss: np.ndarray,
 def _merge_sorted_runs(runs: list, emit_chunk, chunk: int = 1 << 20) -> None:
     """K-way merge of val-sorted record runs; calls ``emit_chunk(vals,
     ss, ee, rid_of)`` with val-complete chunks (no group ever split
-    across two calls). ``runs`` items are (vals, ss, ee, rid_of) array
-    quadruples (memory-mapped for spilled runs). Read order within a
-    group is preserved: runs are chronological and the merge is stable
-    by run index."""
+    across two calls). ``runs`` items are (vals, ss, ee, rid_of, base)
+    quintuples (arrays memory-mapped for spilled runs); ``rid_of`` is
+    run-LOCAL and shifts by ``base`` into the global id space. Read
+    order within a group is preserved: runs are chronological and the
+    merge is stable by run index."""
     pos = [0] * len(runs)
     while True:
         live = [i for i in range(len(runs)) if pos[i] < len(runs[i][0])]
@@ -558,10 +559,15 @@ def _merge_sorted_runs(runs: list, emit_chunk, chunk: int = 1 << 20) -> None:
         )
         parts = []
         for i in live:
-            v = runs[i][0]
+            v, s, e, r, base = runs[i]
             hi = int(np.searchsorted(v[pos[i]:], pivot, side="right")) + pos[i]
             if hi > pos[i]:
-                parts.append(tuple(np.asarray(a[pos[i]:hi]) for a in runs[i]))
+                parts.append((
+                    np.asarray(v[pos[i]:hi]),
+                    np.asarray(s[pos[i]:hi]),
+                    np.asarray(e[pos[i]:hi]),
+                    np.asarray(r[pos[i]:hi]) + base,
+                ))
                 pos[i] = hi
         vals = np.concatenate([p[0] for p in parts])
         ss = np.concatenate([p[1] for p in parts])
@@ -571,13 +577,48 @@ def _merge_sorted_runs(runs: list, emit_chunk, chunk: int = 1 << 20) -> None:
         emit_chunk(vals[order], ss[order], ee[order], rid_of[order])
 
 
+class _RunIdStore:
+    """Indexable read-id lookup over per-run spilled id blobs: global
+    read index -> id string, decoding only the ids a chunk references.
+    Spilling ids with their run bounds m2s RSS by the record ceiling
+    alone — the id strings no longer accumulate in RAM."""
+
+    def __init__(self):
+        self._blobs: list = []  # uint8 memmaps: "id\\0id\\0..."
+        self._offs: list = []   # int64 (n_ids + 1,)
+        self._bases = [0]
+
+    def add_run(self, blob, offs) -> int:
+        """Register one run's ids; returns the run's global id base."""
+        base = self._bases[-1]
+        self._blobs.append(blob)
+        self._offs.append(offs)
+        self._bases.append(base + len(offs) - 1)
+        return base
+
+    @property
+    def total(self) -> int:
+        return self._bases[-1]
+
+    def __getitem__(self, g) -> str:
+        import bisect
+
+        g = int(g)
+        r = bisect.bisect_right(self._bases, g) - 1
+        o = self._offs[r]
+        local = g - self._bases[r]
+        return bytes(
+            self._blobs[r][int(o[local]):int(o[local + 1]) - 1]
+        ).decode()
+
+
 # ~24 B/record resident; default ceiling mirrors the reference's 6 GB
 # default memory budget (kmertools/src/args.rs:163-165)
 _M2S_DEFAULT_SPILL_RECORDS = (6 << 30) // 24
 
 
 def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
-                  threads: int = 0, target_codes=None) -> None:
+                  threads: int = 0, target_codes=None, mh_ctx=None) -> None:
     """M2s mode (minimisers.rs:11-85); deterministic minimiser-sorted
     output with read-ordered group entries (reference map/scan order is
     nondeterministic; its tests sort lines: minimisers.rs:169-187).
@@ -586,7 +627,16 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
     default = 6 GB worth of records) accumulated records spill to
     val-sorted runs beside the output file and the final pass k-way
     merges the runs — the reference's whole-map-in-RAM design
-    (minimisers.rs:21) is its scalability cliff; this removes it."""
+    (minimisers.rs:21) is its scalability cliff; this removes it. Read
+    ids spill WITH their run (rid_of is run-local; ids decode lazily at
+    merge), so RSS is bounded by the record ceiling alone.
+
+    Multi-host (``mh_ctx``): every host streams its input shard and
+    spills val-sorted runs into a shared spill dir beside the output;
+    after a rendezvous host 0 k-way merges ALL hosts' runs — groups
+    stay whole because the merge is the single-host merge. Runs order
+    host-major, so group entries keep global file order."""
+    import json
     import os as _os
     import shutil
     import tempfile
@@ -599,11 +649,20 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
     all_vals: list[np.ndarray] = []
     all_s: list[np.ndarray] = []
     all_e: list[np.ndarray] = []
-    all_ridx: list[np.ndarray] = []  # per-record global read index
-    all_rid: list[str] = []          # read-index -> id (strings stay in RAM)
+    all_ridx: list[np.ndarray] = []  # per-record RUN-LOCAL read index
+    all_rid: list[str] = []          # run-local read-index -> id
     pending = 0
     spill_dir: list = [None]
     runs: list = []
+    if mh_ctx is not None:
+        # shared spill dir: every host writes its own runs here; a
+        # fresh dir per run is the caller's contract (same as the
+        # multihost gate markers, parallel/multihost.py:gate_open)
+        spill_dir[0] = f"{out_path}.m2s_spill"
+        _os.makedirs(spill_dir[0], exist_ok=True)
+        run_prefix = f"run_h{mh_ctx.host_id}_"
+    else:
+        run_prefix = "run_"
 
     def _sorted_quad():
         vals = np.concatenate(all_vals).astype(np.uint64)
@@ -615,19 +674,36 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
 
     def _spill_run() -> None:
         nonlocal pending
+        if not all_rid:
+            return
         if spill_dir[0] is None:
             spill_dir[0] = tempfile.mkdtemp(
                 prefix=_os.path.basename(out_path) + ".spill.",
                 dir=_os.path.dirname(_os.path.abspath(out_path)),
             )
-        vals, ss, ee, rid_of = _sorted_quad()
-        base = _os.path.join(spill_dir[0], f"run_{len(runs)}")
+        if all_vals:
+            vals, ss, ee, rid_of = _sorted_quad()
+        else:
+            vals = np.empty(0, np.uint64)
+            ss = ee = rid_of = np.empty(0, np.int64)
+        base = _os.path.join(spill_dir[0], f"{run_prefix}{len(runs)}")
         np.save(base + ".v.npy", vals)
         np.save(base + ".s.npy", ss)
         np.save(base + ".e.npy", ee)
         np.save(base + ".r.npy", rid_of)
+        # the run's read ids ride along (VERDICT r2 item 8): id blob +
+        # offsets, decoded lazily per merge chunk (_RunIdStore)
+        blob_parts = [rid.encode() + b"\0" for rid in all_rid]
+        offs = np.zeros(len(blob_parts) + 1, dtype=np.int64)
+        np.cumsum([len(bb) for bb in blob_parts], out=offs[1:])
+        np.save(
+            base + ".ib.npy",
+            np.frombuffer(b"".join(blob_parts), dtype=np.uint8),
+        )
+        np.save(base + ".io.npy", offs)
         runs.append(base)
         all_vals.clear(); all_s.clear(); all_e.clear(); all_ridx.clear()
+        all_rid.clear()
         pending = 0
 
     def write_block(payloads: list) -> None:
@@ -649,9 +725,64 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
     def emit(ridx, rid, rlen, recs):
         emitter.add(ridx, (rid, recs))
 
-    _minimise_stream(in_path, wsize, msize, emit, target_codes,
-                     threads=threads)
+    _minimise_stream(
+        in_path, wsize, msize, emit, target_codes, threads=threads,
+        shard=mh_ctx.shard_for(in_path) if mh_ctx else None,
+    )
     emitter.finish()
+
+    def _merge_runs_to(out, run_bases: list) -> None:
+        ids = _RunIdStore()
+        quints = []
+        for base in run_bases:
+            v, s, e, r = (
+                np.load(f"{base}.{t}.npy", mmap_mode="r")
+                for t in ("v", "s", "e", "r")
+            )
+            blob = np.load(base + ".ib.npy", mmap_mode="r")
+            offs = np.load(base + ".io.npy")
+            quints.append((v, s, e, r, ids.add_run(blob, offs)))
+        _merge_sorted_runs(
+            quints,
+            lambda v, s, e, r: _write_group_lines(out, msize, v, s, e, r, ids),
+        )
+
+    if mh_ctx is not None:
+        from kmertools_tpu.parallel import multihost
+
+        _spill_run()  # all data becomes durable runs in the shared dir
+        with open(
+            _os.path.join(spill_dir[0], f"runs_h{mh_ctx.host_id}.json"), "w"
+        ) as f:
+            json.dump([_os.path.basename(b) for b in runs], f)
+        multihost.rendezvous(mh_ctx, spill_dir[0], "m2s_runs")
+        if mh_ctx.is_primary:
+            try:
+                run_bases = []
+                for h in range(mh_ctx.num_hosts):
+                    with open(
+                        _os.path.join(spill_dir[0], f"runs_h{h}.json")
+                    ) as f:
+                        run_bases.extend(
+                            _os.path.join(spill_dir[0], name)
+                            for name in json.load(f)
+                        )
+                with open(out_path, "wb") as out:
+                    _merge_runs_to(out, run_bases)
+            finally:
+                shutil.rmtree(spill_dir[0], ignore_errors=True)
+            multihost.gate_open(
+                mh_ctx, _os.path.dirname(_os.path.abspath(out_path)),
+                "m2s_done",
+            )
+        else:
+            multihost.gate_wait(
+                mh_ctx, _os.path.dirname(_os.path.abspath(out_path)),
+                "m2s_done",
+            )
+        multihost.release(mh_ctx, "m2s_merge")
+        return
+
     try:
         with open(out_path, "wb") as out:
             if not runs:
@@ -660,21 +791,8 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
                 vals, ss, ee, rid_of = _sorted_quad()
                 _write_group_lines(out, msize, vals, ss, ee, rid_of, all_rid)
                 return
-            if all_vals:
-                _spill_run()
-            quads = [
-                tuple(
-                    np.load(f"{base}.{t}.npy", mmap_mode="r")
-                    for t in ("v", "s", "e", "r")
-                )
-                for base in runs
-            ]
-            _merge_sorted_runs(
-                quads,
-                lambda v, s, e, r: _write_group_lines(
-                    out, msize, v, s, e, r, all_rid
-                ),
-            )
+            _spill_run()  # leftover in-RAM segment becomes the last run
+            _merge_runs_to(out, runs)
     finally:
         if spill_dir[0] is not None:
             shutil.rmtree(spill_dir[0], ignore_errors=True)

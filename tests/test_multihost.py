@@ -162,10 +162,29 @@ def test_two_host_cov_equals_whole_file(tmp_path):
     ).read_bytes()
 
 
-def test_m2s_rejects_multihost(tmp_path, capsys):
+@pytest.mark.parametrize("spill_records", [None, 5],
+                         ids=["one-run-per-host", "multi-run-per-host"])
+def test_two_host_min_m2s_equals_whole_file(tmp_path, monkeypatch,
+                                            spill_records):
+    """m2s multi-host: every host spills shard-local val-sorted runs
+    (with their id blobs) into the shared dir; host 0 k-way merges all
+    hosts' runs. Output is deterministic (minimiser-sorted groups,
+    file-ordered entries) so bytes match the single-host run exactly
+    (the reference's own m2s tests sort lines: minisers.rs:169-187 —
+    byte equality is the stronger claim)."""
+    if spill_records is not None:
+        monkeypatch.setenv("KMERTOOLS_M2S_SPILL_RECORDS", str(spill_records))
     fa = tmp_path / "reads.fa"
-    _make_corpus(fa, n_reads=4)
-    rc = main(["min", "-i", str(fa), "-o", str(tmp_path / "x"), "-m", "10",
-               "-p", "m2s", "--num-hosts", "2", "--host-id", "0"])
-    assert rc == 1
-    assert "single-host" in capsys.readouterr().err
+    _make_corpus(fa, n_reads=30)
+    whole = tmp_path / "whole.m2s"
+    rc = main(["min", "-i", str(fa), "-o", str(whole), "-m", "8",
+               "-w", "20", "-p", "m2s"])
+    assert rc == 0
+    sharded = tmp_path / "sharded.m2s"
+    _run_hosts(
+        ["min", "-i", str(fa), "-o", str(sharded), "-m", "8", "-w", "20",
+         "-p", "m2s"],
+        2, tmp_path,
+    )
+    assert sharded.read_bytes() == whole.read_bytes()
+    assert not list(tmp_path.glob("*.m2s_spill*")), "spill dir left behind"
