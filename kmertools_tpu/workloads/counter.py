@@ -958,20 +958,49 @@ class CountComputer:
         multihost.release(ctx, "ctr_merge")
 
     def merge(self, delete: bool) -> None:
+        """Re-aggregate spills per partition into kmers.counts.
+
+        Parallel like the reference (counter/src/lib.rs:194-218): chunk
+        spills within a partition read+parse concurrently (the TSV
+        parser releases the GIL), and the next partition's reads
+        prefetch while the current one aggregates and writes — so disk,
+        parse, sort and format overlap. Output stays partition-ordered
+        and deterministic."""
+        import concurrent.futures as cf
+
         chunk_ids = self.chunk_ids or list(range(self.chunks))
         out_path = os.path.join(self.out_dir, "kmers.counts")
         pbar = Progress(self.n_parts * len(chunk_ids), "merging")
-        with open(out_path, "wb") as out:
+        nthreads = max(1, self.threads)
+        # separate pools: chunk reads fan out on io_pool; pf_pool holds
+        # at most one whole-partition prefetch, so waiting on io_pool
+        # futures can never self-deadlock and memory stays bounded by
+        # two partitions in flight
+        with cf.ThreadPoolExecutor(nthreads) as io_pool, \
+                cf.ThreadPoolExecutor(1) as pf_pool, \
+                open(out_path, "wb") as out:
+
+            def read_part(p: int) -> list:
+                futs = [
+                    io_pool.submit(self._read_spill, p, c, delete)
+                    for c in chunk_ids
+                ]
+                return [f.result() for f in futs]
+
+            nxt = pf_pool.submit(read_part, 0) if self.n_parts else None
             for p in range(self.n_parts):
-                ks, cs = [], []
-                for c in chunk_ids:
-                    k, v = self._read_spill(p, c, delete)
-                    ks.append(k)
-                    cs.append(v)
-                    pbar.update()
-                if not ks:
+                cur = nxt.result()
+                nxt = (
+                    pf_pool.submit(read_part, p + 1)
+                    if p + 1 < self.n_parts else None
+                )
+                pbar.update(len(chunk_ids))
+                if not cur:
                     continue
-                kmers, counts = _aggregate(np.concatenate(ks), np.concatenate(cs))
+                kmers, counts = _aggregate(
+                    np.concatenate([k for k, _ in cur]),
+                    np.concatenate([v for _, v in cur]),
+                )
                 if not len(kmers):
                     continue
                 _write_tsv_stream(

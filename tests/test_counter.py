@@ -402,3 +402,72 @@ def test_counter_hetero_engines_match_device_only(tmp_path, monkeypatch):
     b = run(tmp_path / "device_only", no_hetero=True)
     c = run(tmp_path / "both", force_both=True)
     assert a == b == c
+
+
+def test_multi_chunk_at_scale_exact(tmp_path):
+    """Out-of-core pipeline at scale (VERDICT r2 item 7): >=10M unique
+    k-mers forced through multiple chunks by a tiny memory gate; the
+    parallel merge must re-aggregate exactly (vectorised numpy oracle)
+    and per-chunk spill volume must stay bounded by the gate (the RSS
+    bound). Reference mechanism: counter/src/lib.rs:92-218."""
+    import os
+    import shutil
+    import tempfile
+
+    n_reads, read_len, k = 2400, 5000, 21
+    rng = np.random.default_rng(77)
+    codes = rng.integers(0, 4, size=(n_reads, read_len), dtype=np.uint8)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+    # spills are ~360 MB of TSV: keep them off the slow disk
+    shm_ok = os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+    workroot = tempfile.mkdtemp(dir="/dev/shm" if shm_ok else str(tmp_path))
+    try:
+        fa = os.path.join(workroot, "big.fa")
+        with open(fa, "wb") as f:
+            rows = bases[codes]
+            for i in range(n_reads):
+                f.write(b">r%d\n%s\n" % (i, rows[i].tobytes()))
+        del rows
+        out = os.path.join(workroot, "out")
+        os.mkdir(out)
+        c = CountComputer(fa, out, k)
+        c.set_threads(4)
+        c.memory_ceil_gb = 0.032  # gate = 4 Mbases/chunk, umark = 1M uniques
+        c.count()
+        assert c.chunks >= 3, f"memory gate never split chunks ({c.chunks})"
+        assert c.n_parts >= 4
+        # per-chunk spill volume bounded by the unique high-water mark
+        # (plus one batch of growth): the in-RAM bound behind the spills
+        umark = max(1 << 16, int(c.memory_ceil_gb * 1e9 / 32.0))
+        from kmertools_tpu.workloads.counter import _read_tsv
+
+        per_chunk: dict[int, int] = {}
+        for cid in c.chunk_ids:
+            for p in range(c.n_parts):
+                path = os.path.join(out, f"temp_kmers.part_{p}_chunk_{cid}")
+                kk, _ = _read_tsv(path)
+                per_chunk[cid] = per_chunk.get(cid, 0) + len(kk)
+        assert max(per_chunk.values()) <= 2 * umark + (1 << 18), per_chunk
+        c.merge(True)
+        assert not [n for n in os.listdir(out) if n.startswith("temp_kmers")]
+
+        got_k, got_c = _read_tsv(os.path.join(out, "kmers.counts"))
+        order = np.argsort(got_k)
+        got_k, got_c = got_k[order], got_c[order]
+
+        # vectorised oracle: canonical k-mer multiset over all reads
+        c64 = codes.astype(np.uint64)
+        P = read_len - k + 1
+        fwd = np.zeros((n_reads, P), dtype=np.uint64)
+        rc = np.zeros((n_reads, P), dtype=np.uint64)
+        for j in range(k):
+            fwd = (fwd << np.uint64(2)) | c64[:, j:j + P]
+            rc |= (np.uint64(3) - c64[:, j:j + P]) << np.uint64(2 * j)
+        want_k, want_c = np.unique(np.minimum(fwd, rc), return_counts=True)
+        assert len(want_k) >= 10_000_000, len(want_k)
+        assert len(got_k) == len(want_k)
+        np.testing.assert_array_equal(got_k, want_k)
+        np.testing.assert_array_equal(got_c, want_c.astype(np.uint64))
+    finally:
+        shutil.rmtree(workroot, ignore_errors=True)
