@@ -126,9 +126,10 @@ class OligoComputer:
     (composition/src/oligo.rs:250).
     """
 
-    def __init__(self, ksize: int):
-        self._ksize = ksize
-        self._pos_map, self._pos_kmer, self._kcount = codec.kmer_pos_maps(ksize)
+    def __init__(self, k: int):
+        # arg named `k` per the reference stub (pykmertools.pyi:178)
+        self._ksize = k
+        self._pos_map, self._pos_kmer, self._kcount = codec.kmer_pos_maps(k)
 
     def vectorise_one(self, seq: str, norm: bool = True, mins: bool = True):
         return self.vectorise_batch([seq], norm, mins)[0]
