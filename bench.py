@@ -127,7 +127,11 @@ def _baseline_numpy_impl(in_path: str, out_path: str) -> float:
     return time.perf_counter() - t0
 
 
+LAST_SINKS: list = []
+
+
 def ours(in_path: str, out_path: str) -> float:
+    from kmertools_tpu.workloads import common
     from kmertools_tpu.workloads.oligo import OligoComputer
 
     com = OligoComputer(in_path, out_path, K, True)
@@ -136,7 +140,40 @@ def ours(in_path: str, out_path: str) -> float:
     com.set_max_memory(6.0)
     t0 = time.perf_counter()
     com.vectorise()
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    LAST_SINKS[:] = [dict(s) for s in common.LAST_RUN_STATS]
+    return dt
+
+
+def baseline_native_1t(in_path: str, out_path: str) -> float:
+    """Second baseline (VERDICT r2 item 6): the in-repo native C++
+    engine pinned to ONE counting thread on the CPU backend — the
+    closest stand-in for one Rust-CLI core (same rolling-encode+count
+    hot loop, counter/src/lib.rs:104-143 class). Run in a subprocess so
+    the live process's accelerator backend stays untouched. Slightly
+    generous to the baseline: the parse-ahead thread still overlaps
+    parsing with counting, as the Rust CLI's iterator thread does."""
+    import subprocess
+
+    prog = (
+        "import time, os\n"
+        "os.environ['KMERTOOLS_QUIET'] = '1'\n"
+        "os.environ['KMERTOOLS_PLATFORM'] = 'cpu'\n"
+        "from kmertools_tpu.workloads.oligo import OligoComputer\n"
+        f"c = OligoComputer({in_path!r}, {out_path!r}, {K}, True)\n"
+        "c.set_threads(1)\n"
+        "t0 = time.perf_counter()\n"
+        "c.vectorise()\n"
+        "print('ELAPSED', time.perf_counter() - t0)\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", prog],
+        capture_output=True, text=True, timeout=1800,
+    )
+    for line in r.stdout.splitlines():
+        if line.startswith("ELAPSED"):
+            return float(line.split()[1])
+    raise RuntimeError("native-1t baseline failed: " + r.stderr[-500:])
 
 
 def _ensure_live_backend() -> None:
@@ -147,6 +184,16 @@ def _ensure_live_backend() -> None:
     a last resort fall back to the CPU backend — a slower headline
     beats a hung or crashed bench run."""
     import subprocess
+
+    if os.environ.get("KMERTOOLS_PLATFORM") == "cpu":
+        # explicit CPU pin (tests / tunnel-free smoke runs): skip the
+        # accelerator probe entirely
+        ndev = min(8, os.cpu_count() or 1)
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={ndev}"
+        )
+        return "skipped: KMERTOOLS_PLATFORM=cpu pin"
 
     probe = (
         "import jax, jax.numpy as jnp;"
@@ -163,7 +210,7 @@ def _ensure_live_backend() -> None:
             )
             if b"LIVE" in r.stdout:
                 _enable_hetero_cpu()
-                return
+                return "live"
         except subprocess.TimeoutExpired:
             pass
         print(
@@ -224,7 +271,7 @@ def main() -> None:
     import tempfile
 
     os.environ.setdefault("KMERTOOLS_QUIET", "1")
-    _ensure_live_backend()
+    accel = _ensure_live_backend() or "down: fell back to cpu backend"
     # tmpfs when available: this box's disk writeback throttles in
     # bursts (26-440 MB/s swings run-to-run), which would decide the
     # headline instead of the pipeline under test. Both sides read and
@@ -246,27 +293,64 @@ def main() -> None:
     # lets the drift decide the ratio
     ours_t = float("inf")
     base_t = float("inf")
+    sinks: list = []
     for _ in range(REPEATS):
-        ours_t = min(ours_t, ours(corpus, os.path.join(tmp, "ours.kmers")))
+        t = ours(corpus, os.path.join(tmp, "ours.kmers"))
+        if t < ours_t:
+            ours_t = t
+            sinks = [dict(s) for s in LAST_SINKS]
         base_t = min(
             base_t, baseline_numpy(corpus, os.path.join(tmp, "base.kmers"))
         )
+    nat1_t = float("inf")
+    for _ in range(2):
+        nat1_t = min(
+            nat1_t, baseline_native_1t(corpus, os.path.join(tmp, "nat1.kmers"))
+        )
 
-    # outputs must agree byte-for-byte
-    with open(os.path.join(tmp, "base.kmers"), "rb") as a, open(
-        os.path.join(tmp, "ours.kmers"), "rb"
-    ) as b:
-        assert a.read() == b.read(), "bench output mismatch vs host baseline"
+    # outputs must agree byte-for-byte (both baselines)
+    with open(os.path.join(tmp, "ours.kmers"), "rb") as f:
+        ours_bytes = f.read()
+    for name in ("base.kmers", "nat1.kmers"):
+        with open(os.path.join(tmp, name), "rb") as f:
+            assert f.read() == ours_bytes, f"bench output mismatch vs {name}"
 
+    import jax
+
+    plats = sorted({d.platform for d in jax.local_devices()})
+    try:
+        plats += sorted(
+            {d.platform for d in jax.local_devices(backend="cpu")} - set(plats)
+        )
+    except RuntimeError:
+        pass
     ours_rate = total_bases / ours_t
     base_rate = total_bases / base_t
+    nat1_rate = total_bases / nat1_t
     print(
         json.dumps(
             {
                 "metric": "oligo_k4_bases_per_sec",
                 "value": round(ours_rate),
                 "unit": "bases/s",
+                # primary ratio: vs the optimised single-process numpy
+                # stand-in (BASELINE.md methodology note)
                 "vs_baseline": round(ours_rate / base_rate, 3),
+                # honest second baseline: vs the in-repo native engine
+                # pinned to ONE thread — the stand-in for one Rust-CLI
+                # core (BASELINE.json's >=10x target class)
+                "vs_native_1t": round(ours_rate / nat1_rate, 3),
+                # what actually ran: accelerator gate + per-sink routing
+                "backend": "+".join(plats),
+                "accelerator": accel,
+                "sinks": {
+                    s["key"]: {
+                        "batches": s["batches"],
+                        "weight": s["weight"],
+                        "Mcodes_s": round(s["rate"] / 1e6, 1),
+                    }
+                    for s in sinks
+                },
             }
         )
     )

@@ -117,6 +117,11 @@ def hetero_device_sets() -> list[list]:
 _SINK_PRIORS: dict[str, float] = {}
 _SINK_PRIORS_LOCK = threading.Lock()
 
+# Routing record of the most recent run_pipelined_hetero call: one dict
+# per sink {key, batches, weight, rate}. Observability for the bench
+# (which sinks actually served batches) and for tests.
+LAST_RUN_STATS: list[dict] = []
+
 
 class _HeteroSink:
     """One execution sink (a device set) in the multi-sink pipeline:
@@ -234,7 +239,20 @@ def run_pipelined_hetero(
         f"keys ({len(keys)}) must parallel dispatches ({len(dispatches)})"
     )
     if len(dispatches) == 1:
-        return run_pipelined(batches, dispatches[0], consume)
+        nb, nw = [0], [0]
+
+        def counted(b):
+            nb[0] += 1
+            nw[0] += max(1, int(weight(b)))
+            return dispatches[0](b)
+
+        try:
+            return run_pipelined(batches, counted, consume)
+        finally:
+            LAST_RUN_STATS[:] = [{
+                "key": keys[0] if keys else "0",
+                "batches": nb[0], "weight": nw[0], "rate": 0.0,
+            }]
 
     out_q: queue.Queue = queue.Queue()
     err: list[BaseException] = []
@@ -300,14 +318,23 @@ def run_pipelined_hetero(
         ct.join()
         for s in sinks:
             s.thread.join()
+        LAST_RUN_STATS[:] = [
+            {
+                "key": keys[s.idx] if keys else str(s.idx),
+                "batches": s.routed,
+                "weight": s.routed_w,
+                "rate": s.rate,
+            }
+            for s in sinks
+        ]
         if os.environ.get("KMERTOOLS_HETERO_STATS") == "1":
             import sys
 
-            for s in sinks:
+            for st in LAST_RUN_STATS:
                 print(
-                    f"[hetero] sink={keys[s.idx] if keys else s.idx} "
-                    f"batches={s.routed} weight={s.routed_w} "
-                    f"rate={s.rate / 1e6:.1f} Mcodes/s",
+                    f"[hetero] sink={st['key']} batches={st['batches']} "
+                    f"weight={st['weight']} "
+                    f"rate={st['rate'] / 1e6:.1f} Mcodes/s",
                     file=sys.stderr,
                 )
     if err:

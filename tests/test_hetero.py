@@ -206,3 +206,29 @@ def test_sink_rate_priors_persist_across_runs():
     finally:
         for k in ("t:slow", "t:fast"):
             common._SINK_PRIORS.pop(k, None)
+
+
+def test_last_run_stats_recorded():
+    """run_pipelined_hetero records per-sink routing stats (bench.py
+    reports them in the driver JSON) — multi-sink and single-sink."""
+    common.run_pipelined_hetero(
+        range(16),
+        [_sink(0.001), _sink(0.001)],
+        lambda m, a: None,
+        weight=lambda b: 2,
+        keys=["t:a", "t:b"],
+    )
+    stats = {s["key"]: s for s in common.LAST_RUN_STATS}
+    assert set(stats) == {"t:a", "t:b"}
+    assert sum(s["batches"] for s in stats.values()) == 16
+    assert sum(s["weight"] for s in stats.values()) == 32
+    for k in ("t:a", "t:b"):
+        common._SINK_PRIORS.pop(k, None)
+
+    common.run_pipelined_hetero(
+        range(5), [_sink()], lambda m, a: None,
+        weight=lambda b: 3, keys=["t:solo"],
+    )
+    assert common.LAST_RUN_STATS == [
+        {"key": "t:solo", "batches": 5, "weight": 15, "rate": 0.0}
+    ]

@@ -9,11 +9,41 @@ down, CPU-only box). It runs in a subprocess because the test process
 is pinned to the CPU backend before jax ever loads.
 """
 
+import json
 import os
 import subprocess
 import sys
+import time
 
 import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _record_gate(status: str, reason: str) -> None:
+    """Persist the hardware-gate outcome where the driver can see it
+    (VERDICT r2 item 10): a pytest skip is invisible in round artifacts,
+    so a round could silently pass with zero hardware validation."""
+    path = os.path.join(_REPO, "evidence", "tpu_gate_status.json")
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "gate": "pallas_mosaic_lowering",
+                    "status": status,
+                    "reason": reason,
+                    "time": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                },
+                f,
+            )
+    except OSError:
+        pass
+
+
+def _skip(reason: str):
+    _record_gate("skipped", reason)
+    pytest.skip(reason)
 
 _INIT_PROBE = r"""
 import jax
@@ -53,12 +83,12 @@ def test_pallas_mosaic_lowering_on_tpu():
             text=True,
         )
     except subprocess.TimeoutExpired:
-        pytest.skip(
+        _skip(
             "TPU backend init hung (tunnel down?); "
             "Mosaic lowering NOT validated"
         )
     if "TPU" not in r.stdout or "NO-TPU" in r.stdout:
-        pytest.skip("no TPU device visible; Mosaic lowering NOT validated")
+        _skip("no TPU device visible; Mosaic lowering NOT validated")
     # stage 2: compile + run the kernel (first Mosaic compile goes
     # through the remote compile service — minutes; cached after)
     timeout = int(os.environ.get("KMERTOOLS_TPU_TEST_TIMEOUT", "900"))
@@ -71,9 +101,10 @@ def test_pallas_mosaic_lowering_on_tpu():
             text=True,
         )
     except subprocess.TimeoutExpired:
-        pytest.skip(
+        _skip(
             "TPU reachable but kernel compile timed out "
             "(remote compile service starved); Mosaic lowering NOT validated"
         )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "PALLAS-TPU-OK" in r.stdout, r.stdout + r.stderr
+    _record_gate("passed", "Mosaic kernel compiled and ran on the chip")
