@@ -230,6 +230,79 @@ def accum_merge_clean(ah, al, ac, packed, lengths, k):
     return accum_merge(ah, al, ac, unpack_packed(packed, lengths), k)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "bucket_bits", "steps")
+)
+def lookup_counts_bucketed(qh, ql, tkl, tc, boff, k, bucket_bits, steps):
+    """Bucketed lower-bound join: like `lookup_counts` but the search
+    starts inside the query's key-prefix bucket.
+
+    TPU gathers run at ~1e8 scalars/s and dominate the join (measured:
+    a 13M-table lookup_counts spends 24 steps x 2 scalar gathers per
+    query). Two cuts: (a) `boff` — host-precomputed lower bounds of
+    each `bucket_bits`-bit key prefix (the same index the native sink
+    builds, workloads/coverage.py) — shrinks the search range to the
+    bucket's span, so `steps` ~ log2(max bucket) instead of log2(n);
+    (b) the table travels as (n, 2) uint32 rows so each probe is ONE
+    2-wide row gather instead of two scalar gathers.
+
+    `steps` is static and must satisfy 2^steps >= max bucket span (the
+    caller derives it from boff's gaps)."""
+    n = tkl.shape[0]
+    if n == 0:
+        return jnp.zeros(qh.shape, jnp.int32)
+    nlo = min(k, 16)
+    lo_bits = 2 * nlo
+    hi_bits = 2 * k - lo_bits
+    if bucket_bits <= hi_bits:
+        b = (qh >> (hi_bits - bucket_bits)).astype(jnp.int32)
+    else:
+        up = bucket_bits - hi_bits
+        b = (
+            (qh.astype(jnp.uint32) << up)
+            | (ql >> (lo_bits - up))
+        ).astype(jnp.int32)
+    lo = jnp.take(boff, b).astype(jnp.int32)
+    hi = jnp.take(boff, b + 1).astype(jnp.int32)
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        safe = jnp.clip(mid, 0, n - 1)
+        rows = jnp.take(tkl, safe, axis=0)
+        mh = rows[..., 0]
+        ml = rows[..., 1]
+        less = (mh < qh) | ((mh == qh) & (ml < ql))
+        return (
+            jnp.where(less, mid + 1, lo).astype(jnp.int32),
+            jnp.where(less, hi, mid).astype(jnp.int32),
+        )
+
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    pos = jnp.clip(lo, 0, n - 1)
+    rows = jnp.take(tkl, pos, axis=0)
+    found = (lo < n) & (rows[..., 0] == qh) & (rows[..., 1] == ql)
+    return jnp.where(found, jnp.take(tc, pos), 0)
+
+
+def bucket_offsets(tkeys, k: int, bucket_bits: int):
+    """Host-side lower bounds of each `bucket_bits`-bit key prefix over
+    the sorted u64 table, plus the static step count the bucketed join
+    needs. Shared with the native sink's index (kt_cov_hist_idx)."""
+    import numpy as np
+
+    bounds = np.arange((1 << bucket_bits) + 1, dtype=np.uint64) << np.uint64(
+        2 * k - bucket_bits
+    )
+    boff = np.searchsorted(tkeys, bounds).astype(np.uint32)
+    max_gap = int((boff[1:].astype(np.int64) - boff[:-1]).max()) if len(
+        tkeys
+    ) else 0
+    # round steps up to even: fewer distinct compiles across inputs
+    steps = max(4, (max(1, max_gap).bit_length() + 1) // 2 * 2)
+    return boff, steps
+
+
 @functools.partial(jax.jit, static_argnames=())
 def lookup_counts(qh, ql, th, tl, tc):
     """Vectorised lower-bound join: per-query count from the sorted

@@ -38,19 +38,31 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+_P_BLK = 8  # positions per loop step: one native (8, 128) f32/i32 tile
+
+
 def _hist_kernel(ids_ref, bins_ref, out_ref, acc_ref):
-    P = ids_ref.shape[0]
+    P = ids_ref.shape[0]  # padded to a multiple of _P_BLK
     C = bins_ref.shape[0]
     bins = bins_ref[:]  # (C, 1) int32 bin values
 
     acc_ref[:] = jnp.zeros((C, _TILE_R), jnp.float32)
 
-    def body(p, _):
-        s = ids_ref[p, :].reshape(1, _TILE_R)
-        acc_ref[:] += (bins == s).astype(jnp.float32)
+    def body(i, _):
+        # one full-tile load per step (a per-position (1, 128) slice
+        # wastes 7/8 sublanes and was ~6x slower end to end), and the
+        # accumulator round-trips VMEM once per 8 positions instead of
+        # once per position
+        blk = ids_ref[pl.ds(i * _P_BLK, _P_BLK), :]  # (8, _TILE_R)
+        acc = acc_ref[:]
+        for s in range(_P_BLK):
+            acc = acc + (bins == blk[s].reshape(1, _TILE_R)).astype(
+                jnp.float32
+            )
+        acc_ref[:] = acc
         return 0
 
-    jax.lax.fori_loop(0, P, body, 0)
+    jax.lax.fori_loop(0, P // _P_BLK, body, 0)
     out_ref[:] = acc_ref[:].astype(jnp.int16)
 
 
@@ -71,11 +83,17 @@ def per_read_histogram_tpu(
     """
     R, P = ids.shape
     R_pad = _round_up(R, _TILE_R)
-    C = _round_up(nbins, 128)
+    # bins pad to the f32 sublane quantum (8), not 128: 136 bins cost
+    # 144 compare rows, not 256 — the compare work is C*P*R, so the
+    # pad factor is throughput
+    C = _round_up(nbins, 8)
+    P_pad = _round_up(P, _P_BLK)
     ids_m = jnp.where(valid, ids, -1).astype(jnp.int32)
     if R_pad != R:
         ids_m = jnp.pad(ids_m, ((0, R_pad - R), (0, 0)), constant_values=-1)
     ids_t = ids_m.T  # (P, R_pad)
+    if P_pad != P:
+        ids_t = jnp.pad(ids_t, ((0, P_pad - P), (0, 0)), constant_values=-1)
     bins_pad = (
         jnp.full((C,), -2, jnp.int32)
         .at[:nbins]
@@ -88,7 +106,9 @@ def per_read_histogram_tpu(
         _hist_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((P, _TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (P_pad, _TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((C, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

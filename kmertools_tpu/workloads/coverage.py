@@ -116,10 +116,17 @@ class CovComputer:
     def compute_coverages(self) -> None:
         tkeys, tcnts = self._load_table()
         nlo = min(self.ksize, 16)
-        th = jnp.asarray((tkeys >> np.uint64(2 * nlo)).astype(np.uint32))
-        tl = jnp.asarray(
-            (tkeys & np.uint64((1 << (2 * nlo)) - 1)).astype(np.uint32)
+        th_np = (tkeys >> np.uint64(2 * nlo)).astype(np.uint32)
+        tl_np = (tkeys & np.uint64((1 << (2 * nlo)) - 1)).astype(np.uint32)
+        # bucket index shared by the device join and the native sink:
+        # lower bound of every bb-bit key prefix (ops/count.py:
+        # bucket_offsets); the device join probes (n, 2) key rows
+        bb = min(2 * self.ksize, 18)
+        boff_np, join_steps = cops.bucket_offsets(tkeys, self.ksize, bb)
+        tkl = jnp.asarray(
+            np.ascontiguousarray(np.stack([th_np, tl_np], axis=1))
         )
+        boff_d = jnp.asarray(boff_np)
         tc = jnp.asarray(tcnts)
         final_path = os.path.join(self.out_dir, "kmers.vectors")
         vec_path = (
@@ -154,8 +161,9 @@ class CovComputer:
             # as ONE fused int16 [counts | total] array per batch
             def _step(codes):
                 return _coverage_batch(
-                    codes, th, tl, tc,
+                    codes, tkl, tc, boff_d,
                     self.ksize, self.bin_size, self.bin_count,
+                    bb, join_steps,
                 )
 
             step_planes = data_parallel_step(
@@ -195,17 +203,13 @@ class CovComputer:
                 tc_p = tcnts.ctypes.data_as(native.c_i32_p)
                 nt = len(tkeys)
                 i16_p = ctypes.POINTER(ctypes.c_int16)
-                # bucket index built ONCE per table (the kernel's
-                # self-built variant re-scans all nt keys per batch):
-                # boff[b] = first table position with key >> shift >= b
+                # bucket index shared with the device join (boff_np:
+                # first table position with key >> shift >= b)
                 if nt >= 1 << 32:  # u32 offsets (a >4B-unique table
                     return None    # is not a real input; XLA path runs)
-                bb = min(2 * ksize, 18)
-                bounds = np.arange((1 << bb) + 1, dtype=np.uint64) << np.uint64(
-                    2 * ksize - bb
+                boff_p = boff_np.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint32)
                 )
-                boff = np.searchsorted(tkeys, bounds).astype(np.uint32)
-                boff_p = boff.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
 
                 def kernel(packed, vb):
                     R = packed.shape[0]
@@ -276,13 +280,19 @@ import functools
 import jax
 
 
-@functools.partial(jax.jit, static_argnames=("k", "bin_size", "bin_count"))
-def _coverage_batch(codes, th, tl, tc, k, bin_size, bin_count):
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "bin_size", "bin_count", "bucket_bits", "steps"),
+)
+def _coverage_batch(codes, tkl, tc, boff, k, bin_size, bin_count,
+                    bucket_bits, steps):
     """ONE fused int16 [counts | total] array per batch: a single
     device->host fetch (the narrow wire on remote-attached chips);
     counts and totals both fit int16 (row width <= 8192)."""
     qh, ql, valid = encode.canonical_ids_pair(codes, k)
-    cnt = cops.lookup_counts(qh, ql, th, tl, tc)
+    cnt = cops.lookup_counts_bucketed(
+        qh, ql, tkl, tc, boff, k, bucket_bits, steps
+    )
     bins = jnp.minimum(cnt // bin_size, bin_count - 1).astype(jnp.int32)
     if pallas_histogram.use_pallas():
         bin_values = jnp.arange(bin_count, dtype=jnp.int32)

@@ -471,3 +471,68 @@ def test_multi_chunk_at_scale_exact(tmp_path):
         np.testing.assert_array_equal(got_c, want_c.astype(np.uint64))
     finally:
         shutil.rmtree(workroot, ignore_errors=True)
+
+
+@pytest.mark.parametrize("k", [11, 15, 21, 31])
+def test_lookup_counts_bucketed_matches_reference(k):
+    """The bucketed join (host prefix index + 2-wide row gathers) must
+    agree with the plain binary-search join on hits and misses."""
+    import jax.numpy as jnp
+
+    from kmertools_tpu.ops import count as cops
+
+    rng = np.random.default_rng(k)
+    space = np.uint64(1) << np.uint64(2 * k)
+    n = 5000
+    tkeys = np.unique(
+        (rng.integers(0, 1 << 63, n, dtype=np.uint64) % space)
+    )
+    tcnts = rng.integers(1, 1000, len(tkeys), dtype=np.int64).astype(np.int32)
+    hits = rng.choice(tkeys, 3000)
+    misses = rng.integers(0, 1 << 63, 3000, dtype=np.uint64) % space
+    q = np.concatenate([hits, misses])
+    rng.shuffle(q)
+
+    nlo = min(k, 16)
+    sh = np.uint64(2 * nlo)
+    mask = np.uint64((1 << (2 * nlo)) - 1)
+    th = jnp.asarray((tkeys >> sh).astype(np.uint32))
+    tl = jnp.asarray((tkeys & mask).astype(np.uint32))
+    qh = jnp.asarray((q >> sh).astype(np.uint32))
+    ql = jnp.asarray((q & mask).astype(np.uint32))
+    tc = jnp.asarray(tcnts)
+
+    want = np.asarray(cops.lookup_counts(qh, ql, th, tl, tc))
+
+    bb = min(2 * k, 18)
+    boff, steps = cops.bucket_offsets(tkeys, k, bb)
+    tkl = jnp.asarray(
+        np.stack(
+            [(tkeys >> sh).astype(np.uint32), (tkeys & mask).astype(np.uint32)],
+            axis=1,
+        )
+    )
+    got = np.asarray(
+        cops.lookup_counts_bucketed(
+            qh, ql, tkl, tc, jnp.asarray(boff), k, bb, steps
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+    # oracle check on the hits
+    table = dict(zip(tkeys.tolist(), tcnts.tolist()))
+    want_oracle = np.array([table.get(int(x), 0) for x in q], np.int32)
+    np.testing.assert_array_equal(got, want_oracle)
+
+
+def test_lookup_counts_bucketed_empty_table():
+    import jax.numpy as jnp
+
+    from kmertools_tpu.ops import count as cops
+
+    boff, steps = cops.bucket_offsets(np.empty(0, np.uint64), 15, 18)
+    got = cops.lookup_counts_bucketed(
+        jnp.zeros((4,), jnp.uint32), jnp.zeros((4,), jnp.uint32),
+        jnp.zeros((0, 2), jnp.uint32), jnp.zeros((0,), jnp.int32),
+        jnp.asarray(boff), 15, 18, steps,
+    )
+    assert np.asarray(got).tolist() == [0, 0, 0, 0]
