@@ -157,12 +157,14 @@ def _pow2_at_least(n: int, floor: int = 1 << 10) -> int:
 
 # Counter batches are capped well below the global streaming target:
 # the accumulator's capacity scales with the batch (C ~= 8x growth so
-# the spill mark stays useful), and the per-batch merge sorts
-# (C + batch) elements — XLA's TPU sort compile time grows
-# superlinearly with that (a 37M-element merge took >55 min of remote
-# compile; ~10M compiles in minutes and its runtime is HBM-bound
-# either way). 2-bit uploads make the smaller batches nearly free.
-_CTR_TARGET_CODES = int(os.environ.get("KMERTOOLS_CTR_TARGET", 1 << 20))
+# the spill mark stays useful), and the per-batch merge program's TPU
+# compile time grows superlinearly with C + batch — measured round 3:
+# the 1<<20 target's 16.7M-element merge took >50 min of remote
+# compile, the 1<<18 target's 4.2M ~20 min (one-time, cached). The
+# merge RUNTIME per code is ~independent of the target (C tracks the
+# batch by the same 8x factor), so the smaller default costs only more
+# per-batch host round trips — negligible next to the compile cliff.
+_CTR_TARGET_CODES = int(os.environ.get("KMERTOOLS_CTR_TARGET", 1 << 18))
 
 _DRAIN_PIECE_FLOOR = 1 << 16
 
