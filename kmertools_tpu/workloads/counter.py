@@ -224,6 +224,12 @@ class DeviceAccumulator:
     """
 
     _LAG = 2
+    # single-device runs resolve pending batches in groups of this many
+    # with ONE n-fetch (post-merge unique counts are monotone, so the
+    # newest batch's n bounds the group): on a remote-attached chip a
+    # scalar fetch is a ~30 ms round trip, and fetching per batch made
+    # the merge loop round-trip-bound (PERF.md round 3)
+    _RESOLVE_EVERY = 4
 
     def __init__(self, ksize: int, target_codes: int,
                  out_capacity: int | None = None,
@@ -247,16 +253,24 @@ class DeviceAccumulator:
             m_dev = self.ndev * self._ex_cap
         else:
             m_dev = n_flat
+        # mesh runs resolve per batch (each carries an overflow flag);
+        # single-device runs resolve lazily in groups
+        self._unresolved_max = self._LAG + (
+            0 if self.ndev > 1 else self._RESOLVE_EVERY - 1
+        )
+        margin = (self._unresolved_max + 2) * growth
         if out_capacity is None:
             # merge_sorted_batch pads C + M to a power of two anyway;
             # claim the padding as usable capacity
-            self.C_dev = _pow2_at_least(8 * growth + m_dev) - m_dev
+            self.C_dev = _pow2_at_least(
+                max(8 * growth, margin + growth) + m_dev
+            ) - m_dev
         else:
             self.C_dev = max(
                 -(-out_capacity // self.ndev),
-                (self._LAG + 2) * growth + 256,
+                margin + 256,
             )
-        self.spill_mark = self.C_dev - (self._LAG + 2) * growth
+        self.spill_mark = self.C_dev - margin
         assert self.spill_mark > 0
         self.used_mesh = self.ndev > 1
         if self.used_mesh:
@@ -380,17 +394,30 @@ class DeviceAccumulator:
     def add(self, codes_np: np.ndarray | None = None,
             lengths_np: np.ndarray | None = None,
             planes=None) -> int | None:
-        """Dispatch one batch (async). Returns the resolved unique
-        count of the batch `LAG` dispatches ago, or None. Callers pass
-        either raw ``codes_np`` (packed here) or prebuilt ``planes``
-        (the batcher's wire format — no byte-per-base array exists)."""
+        """Dispatch one batch (async). Returns a resolved unique count
+        lagging the latest dispatch, or None. Callers pass either raw
+        ``codes_np`` (packed here) or prebuilt ``planes`` (the
+        batcher's wire format — no byte-per-base array exists).
+
+        Mesh runs resolve one batch per add (each carries an overflow
+        flag that may trigger a rollback retry). Single-device runs
+        resolve the oldest _RESOLVE_EVERY batches with ONE n-fetch of
+        the newest of them — n is monotone nondecreasing across merges,
+        so it bounds the whole group, and the capacity margin already
+        covers `_unresolved_max` outstanding batches."""
         if planes is None:
             planes = iob.pack_planes(codes_np, lengths_np)
         entry = (planes, lengths_np, *self._dispatch(planes, lengths_np))
         self._pending.append(entry)
-        if len(self._pending) > self._LAG:
+        if len(self._pending) <= self._unresolved_max:
+            return None
+        if self.used_mesh:
             return self._resolve(self._pending.pop(0))
-        return None
+        group = [
+            self._pending.pop(0)
+            for _ in range(min(self._RESOLVE_EVERY, len(self._pending)))
+        ]
+        return self._resolve(group[-1])
 
     def needs_drain(self, n_unique: int | None) -> bool:
         return n_unique is not None and n_unique > self.spill_mark
@@ -402,7 +429,12 @@ class DeviceAccumulator:
         (few distinct shapes -> few compiles), ~bytes proportional to
         unique k-mers; hi halves travel as u16 for k <= 23."""
         while self._pending:
-            self._resolve(self._pending.pop(0))
+            entry = self._pending.pop(0)
+            if self.used_mesh or not self._pending:
+                # single-device: only the newest pending n matters
+                # (monotone); skipping the rest saves one ~30 ms fetch
+                # round trip each on remote-attached chips
+                self._resolve(entry)
         if self._state is None:
             return np.empty(0, np.uint64), np.empty(0, np.uint64)
         ah, al, ac = self._state
@@ -420,9 +452,22 @@ class DeviceAccumulator:
             ph, plo, pct = [], [], []
             for off, size in _prefix_pieces(n_need, self.C_dev):
                 o = np.int32(off)
-                ph.append(np.asarray(_slice_fn(size, small_hi)(ah, o)))
-                plo.append(np.asarray(_slice_fn(size, False)(al, o)))
-                pct.append(np.asarray(_slice_fn(size, False)(ac, o)))
+                ph.append(_slice_fn(size, small_hi)(ah, o))
+                plo.append(_slice_fn(size, False)(al, o))
+                pct.append(_slice_fn(size, False)(ac, o))
+            # start every device->host copy before blocking on any:
+            # piece fetches overlap instead of paying one round trip
+            # each in sequence
+            for r in (*ph, *plo, *pct):
+                cast = getattr(r, "copy_to_host_async", None)
+                if cast is not None:
+                    try:
+                        cast()
+                    except Exception:
+                        pass
+            ph = [np.asarray(r) for r in ph]
+            plo = [np.asarray(r) for r in plo]
+            pct = [np.asarray(r) for r in pct]
             hdt = np.uint16 if small_hi else np.uint32
             hi = np.concatenate(ph) if ph else np.empty(0, hdt)
             lo = np.concatenate(plo) if plo else np.empty(0, np.uint32)
