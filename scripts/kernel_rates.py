@@ -343,6 +343,59 @@ def cov_join_rate() -> None:
     )
 
 
+def minimiser_rates() -> None:
+    """Window-min kernels (the `min` workload's accelerator path):
+    fused m<=15 single-u32 variant and the (hi, lo) pair variant."""
+    from kmertools_tpu.ops import minimiser as mops
+
+    R, L = 2048, 1024
+    rng = np.random.default_rng(4)
+    codes_np = rng.integers(0, 4, size=(R, L), dtype=np.uint8)
+    codes = jax.device_put(jnp.asarray(codes_np))
+
+    def chain_of(kernel, pick):
+        def make_step(n):
+            def run():
+                def body(i, carry):
+                    c, acc = carry
+                    out = kernel(c)
+                    acc = acc + pick(out).astype(jnp.int32)
+                    c = (c + (acc & 1).astype(jnp.uint8)) & 3
+                    return c, acc
+
+                _, acc = jax.lax.fori_loop(0, n, body, (codes, jnp.int32(0)))
+                return acc
+
+            return run
+
+        return make_step
+
+    _rate_chained(
+        chain_of(
+            lambda c: mops.window_min_fused(c, 10, 31),
+            lambda o: o.reshape(-1)[0],
+        ),
+        R * L, "window min fused (m=10, w=31)",
+        "min_window_fused_Mcodes_s", 1e6, "Mcodes/s",
+    )
+    _rate_chained(
+        chain_of(
+            lambda c: mops.window_min(c, 21, 31),
+            lambda o: o[1].reshape(-1)[0],
+        ),
+        R * L, "window min pair (m=21, w=31)",
+        "min_window_pair_Mcodes_s", 1e6, "Mcodes/s",
+    )
+    _rate_chained(
+        chain_of(
+            lambda c: mops.whole_read_min(c, 10),
+            lambda o: o[1].reshape(-1)[0],
+        ),
+        R * L, "whole-read min (m=10)",
+        "min_whole_read_Mcodes_s", 1e6, "Mcodes/s",
+    )
+
+
 def main() -> None:
     devs = jax.devices()
     plat = devs[0].platform
@@ -350,6 +403,7 @@ def main() -> None:
     RESULTS["backend"] = plat
     fused_oligo_step()
     hist_only()
+    minimiser_rates()
     accum_merge_rate()
     cov_join_rate()
     print(json.dumps(RESULTS))
