@@ -722,6 +722,27 @@ class CountComputer:
                 f,
             )
 
+    def load_manifest(self) -> bool:
+        """Restore chunks/n_parts/chunk_ids from out_dir/manifest.json —
+        the durable resume point the count phase writes beside its
+        spills (SURVEY §5 checkpoint/resume; the reference's merge-only
+        flow needs the caller to re-derive both, lib.rs:279-293).
+        Returns False when no manifest exists."""
+        path = os.path.join(self.out_dir, "manifest.json")
+        try:
+            with open(path) as f:
+                m = json.load(f)
+        except OSError:
+            return False
+        if m.get("ksize") != self.ksize:
+            raise ValueError(
+                f"manifest ksize {m.get('ksize')} != requested {self.ksize}"
+            )
+        self.chunks = int(m["chunks"])
+        self.n_parts = int(m["n_parts"])
+        self.chunk_ids = list(m.get("chunk_ids", range(self.chunks)))
+        return True
+
     def _alloc_chunk_id(self) -> int:
         """Next spill chunk id (thread-safe: engine sinks spill from
         their own worker threads). Ids interleave by host rank in
@@ -1007,6 +1028,10 @@ class CountComputer:
     def merge(self, delete: bool) -> None:
         """Re-aggregate spills per partition into kmers.counts.
 
+        Standalone resume: with neither chunks nor chunk_ids set (a
+        fresh CountComputer pointed at a spilled-out dir), the manifest
+        restores them.
+
         Parallel like the reference (counter/src/lib.rs:194-218): chunk
         spills within a partition read+parse concurrently (the TSV
         parser releases the GIL), and the next partition's reads
@@ -1015,6 +1040,8 @@ class CountComputer:
         and deterministic."""
         import concurrent.futures as cf
 
+        if not self.chunks and not self.chunk_ids:
+            self.load_manifest()
         chunk_ids = self.chunk_ids or list(range(self.chunks))
         out_path = os.path.join(self.out_dir, "kmers.counts")
         pbar = Progress(self.n_parts * len(chunk_ids), "merging")

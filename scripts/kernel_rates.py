@@ -75,10 +75,15 @@ def _rate_chained(make_step, payload_per_call: float, label: str,
     inside ONE jitted program (loop-carried perturbation prevents DCE /
     reordering), fetching a scalar, and amortising the fetch floor."""
     lat = _fetch_floor()
-    fn = jax.jit(make_step(chain))
     one = jax.jit(make_step(1))
-    dt_n = _bench_fetch(fn)
     dt_1 = _bench_fetch(one)
+    # escalate the chain until its span clears the fetch-floor noise
+    # (fast kernels finish a 16-chain inside the floor's 26-37 ms jitter)
+    while True:
+        dt_n = _bench_fetch(jax.jit(make_step(chain)))
+        if dt_n - lat >= lat or chain >= 4096:
+            break
+        chain *= 8
     per_call = max((dt_n - lat) / chain, 1e-9)
     rate = payload_per_call / per_call
     RESULTS[result_key] = rate / unit_div

@@ -536,3 +536,40 @@ def test_lookup_counts_bucketed_empty_table():
         jnp.asarray(boff), 15, 18, steps,
     )
     assert np.asarray(got).tolist() == [0, 0, 0, 0]
+
+
+def test_merge_resumes_from_manifest(tmp_path):
+    """Checkpoint/resume: a FRESH CountComputer pointed at a spilled-out
+    dir restores chunks/n_parts/chunk_ids from manifest.json and merges
+    without the caller re-deriving anything (SURVEY §5)."""
+    rng = np.random.default_rng(31)
+    fa = tmp_path / "r.fa"
+    with open(fa, "w") as f:
+        for i in range(120):
+            seq = "".join("ACGT"[j] for j in rng.integers(0, 4, size=140))
+            f.write(f">r{i}\n{seq}\n")
+    ref = tmp_path / "ref"
+    ref.mkdir()
+    c0 = CountComputer(str(fa), str(ref), 17)
+    c0.count_and_merge(True)
+    want = load_lines_sorted(str(ref / "kmers.counts"))
+
+    out = tmp_path / "out"
+    out.mkdir()
+    c1 = CountComputer(str(fa), str(out), 17)
+    c1.set_threads(4)
+    c1.target_codes = 1 << 13
+    c1.memory_ceil_gb = 1e-5  # force several chunks
+    c1.count()
+    assert c1.chunks > 1
+
+    # process "restarts": a new computer knows nothing but the dir
+    c2 = CountComputer(str(fa), str(out), 17)
+    c2.merge(True)
+    assert load_lines_sorted(str(out / "kmers.counts")) == want
+    assert not list(out.glob("temp_kmers.*"))
+
+    # wrong-k resume is an error, not silent garbage
+    c3 = CountComputer(str(fa), str(out), 21)
+    with pytest.raises(ValueError, match="manifest ksize"):
+        c3.load_manifest()
