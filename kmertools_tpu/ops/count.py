@@ -246,8 +246,9 @@ def lookup_counts_bucketed(qh, ql, tkl, tc, boff, k, bucket_bits, steps):
     (b) the table travels as (n, 2) uint32 rows so each probe is ONE
     2-wide row gather instead of two scalar gathers.
 
-    `steps` is static and must satisfy 2^steps >= max bucket span (the
-    caller derives it from boff's gaps)."""
+    `steps` is static and must satisfy steps >= bit_length(max bucket
+    span) — a span of 2^s needs s+1 halvings to pin the lower bound
+    (`bucket_offsets` derives exactly this from boff's gaps)."""
     n = tkl.shape[0]
     if n == 0:
         return jnp.zeros(qh.shape, jnp.int32)

@@ -266,8 +266,12 @@ class CgrComputer:
                     if len(rec.seq) > max_w:
                         codes = iob.encode_bases(rec.seq)
                         self._check_codes(codes, rec.id)
+                        # walk BEFORE taking the lock: a multi-Mb host
+                        # walk must not stall the consumer thread's
+                        # device-result emission
+                        pts = self._points_host(codes)
                         with emit_lock:
-                            emitter.add(rec.n, self._points_host(codes))
+                            emitter.add(rec.n, pts)
                     else:
                         yield rec
 
@@ -443,18 +447,14 @@ class OligoCgrComputer:
         device sets + the native kt_oligo_hist sink — the histogram is
         the same canonical per-read count oligo computes; only the
         emitter (CGR-point prefixes, oligocgr.rs:123-143) differs."""
-        import ctypes
-
-        import jax
-
         from kmertools_tpu.ops import pallas_histogram
         from kmertools_tpu.workloads.common import (
             ArrayAggregator,
             AsyncWriter,
             OrderedArrayEmitter,
             data_parallel_step,
-            hetero_device_sets,
-            native_hist_sink,
+            oligo_hist_native_sink,
+            plan_hetero_sinks,
             run_pipelined_hetero,
         )
 
@@ -517,45 +517,6 @@ class OligoCgrComputer:
 
             return dispatch
 
-        def native_dispatch():
-            """kt_oligo_hist as a host sink (oligo.py:native_dispatch;
-            canonical table always — oligocgr has no raw mode)."""
-            from kmertools_tpu import native
-
-            so = native.lib()
-            if (
-                so is None
-                or self.ksize > 7
-                or os.environ.get("KMERTOOLS_NO_HETERO") == "1"
-            ):
-                return None
-            table = np.ascontiguousarray(
-                codec.canonical_slot_table(self.ksize), dtype=np.int32
-            )
-            table_p = table.ctypes.data_as(native.c_i32_p)
-            nthreads = self.threads or (os.cpu_count() or 1)
-            ksize = self.ksize
-            i16_p = ctypes.POINTER(ctypes.c_int16)
-
-            def kernel(packed, vb):
-                R = packed.shape[0]
-                counts = np.empty((R, nbins), np.int16)
-                totals = np.empty((R,), np.int32)
-                rc = so.kt_oligo_hist(
-                    packed.ctypes.data_as(native.c_u8_p),
-                    vb.ctypes.data_as(native.c_u8_p),
-                    R, packed.shape[1] * 4, ksize,
-                    table_p, nbins,
-                    counts.ctypes.data_as(i16_p),
-                    totals.ctypes.data_as(native.c_i32_p),
-                    nthreads,
-                )
-                if rc != 0:
-                    raise RuntimeError("kt_oligo_hist failed")
-                return counts, totals
-
-            return native_hist_sink(kernel)
-
         with open(self.out_path, "wb") as raw:
             out = AsyncWriter(raw)
             emitter = OrderedArrayEmitter(
@@ -571,34 +532,14 @@ class OligoCgrComputer:
                 )
                 emitter.add(ridx, vecs, tots)
 
-            device_sets = hetero_device_sets()
-            nd = native_dispatch()
-            backend_cpu = (
-                bool(jax.local_devices())
-                and jax.local_devices()[0].platform == "cpu"
+            # kt_oligo_hist canonical-table sink (oligocgr has no raw
+            # mode) + the standard sink policy, shared with oligo.py
+            dispatches, keys, stream_target = plan_hetero_sinks(
+                make_dispatch,
+                oligo_hist_native_sink(self.ksize, nbins, True, self.threads),
+                f"oligocgr{self.ksize}",
+                self.target_codes,
             )
-            stream_target = self.target_codes
-            if nd is not None and backend_cpu and len(device_sets) == 1:
-                # CPU-only backend: the native kernel owns the cores
-                # (oligo.py / coverage.py policy)
-                dispatches = [nd]
-                keys = [f"oligocgr{self.ksize}:native"]
-                stream_target = min(stream_target, 1 << 21)
-            else:
-                dispatches = [
-                    make_dispatch(None if len(device_sets) == 1 else d)
-                    for d in device_sets
-                ]
-                keys = [
-                    f"oligocgr{self.ksize}:xla:{i}:"
-                    + (f"{d[0].platform}x{len(d)}" if d else "default")
-                    for i, d in enumerate(device_sets)
-                ]
-                if nd is not None:
-                    dispatches.append(nd)
-                    keys.append(f"oligocgr{self.ksize}:native")
-                if len(dispatches) > 1:
-                    stream_target = min(stream_target, 1 << 22)
             try:
                 run_pipelined_hetero(
                     iob.stream_path(

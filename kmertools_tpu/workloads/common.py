@@ -341,6 +341,107 @@ def run_pipelined_hetero(
         raise err[0]
 
 
+def oligo_hist_native_sink(ksize: int, nbins: int, count_min: bool,
+                           threads: int):
+    """The reference's oligo hot loop as a host sink: the multithreaded
+    C++ rolling-encode+count kernel (kthost.cpp:kt_oligo_hist) joins
+    the scheduler beside the XLA device programs. ctypes releases the
+    GIL, so the sink's drain thread crunches on spare cores while the
+    producer parses and the device computes. Shared by the oligo and
+    oligo-CGR workloads (same histogram, different emitters). None when
+    the native runtime is absent, k > 7, or hetero is disabled."""
+    import ctypes
+
+    import jax  # noqa: F401  (keep import ordering consistent)
+
+    from kmertools_tpu import native
+    from kmertools_tpu.utils import codec
+
+    so = native.lib()
+    if (
+        so is None
+        or ksize > 7
+        or os.environ.get("KMERTOOLS_NO_HETERO") == "1"
+    ):
+        return None
+    table = (
+        np.ascontiguousarray(
+            codec.canonical_slot_table(ksize), dtype=np.int32
+        )
+        if count_min
+        else None
+    )
+    table_p = (
+        table.ctypes.data_as(native.c_i32_p) if table is not None else None
+    )
+    nthreads = threads or (os.cpu_count() or 1)
+    i16_p = ctypes.POINTER(ctypes.c_int16)
+
+    def kernel(packed, vb):
+        R = packed.shape[0]
+        counts = np.empty((R, nbins), np.int16)
+        totals = np.empty((R,), np.int32)
+        rc = so.kt_oligo_hist(
+            packed.ctypes.data_as(native.c_u8_p),
+            vb.ctypes.data_as(native.c_u8_p),
+            R, packed.shape[1] * 4, ksize,
+            table_p, nbins,
+            counts.ctypes.data_as(i16_p),
+            totals.ctypes.data_as(native.c_i32_p),
+            nthreads,
+        )
+        if rc != 0:
+            raise RuntimeError("kt_oligo_hist failed")
+        return counts, totals
+
+    return native_hist_sink(kernel)
+
+
+def plan_hetero_sinks(make_dispatch, native_sink, key_prefix: str,
+                      target_codes: int):
+    """Standard sink assembly for the histogram workloads. Returns
+    ``(dispatches, keys, stream_target)``.
+
+    Policy: on a CPU-only backend with a native kernel present the
+    native engine runs alone — the XLA program would share (and lose)
+    the same cores, and smaller batches keep the kernel's working set
+    in cache (measured ~2x on a 4-core host vs 32M-code batches).
+    Otherwise every hetero device set becomes an XLA sink (set index +
+    device count in the key so same-platform sets keep separate rate
+    priors) and the native kernel joins as one more sink; multi-sink
+    runs cap the batch size for routing granularity — with a handful of
+    mega-batches one slow-sink assignment decides the wall clock."""
+    import jax
+
+    device_sets = hetero_device_sets()
+    backend_cpu = (
+        bool(jax.local_devices())
+        and jax.local_devices()[0].platform == "cpu"
+    )
+    if native_sink is not None and backend_cpu and len(device_sets) == 1:
+        return (
+            [native_sink],
+            [f"{key_prefix}:native"],
+            min(target_codes, 1 << 21),
+        )
+    dispatches = [
+        make_dispatch(None if len(device_sets) == 1 else d)
+        for d in device_sets
+    ]
+    keys = [
+        f"{key_prefix}:xla:{i}:"
+        + (f"{d[0].platform}x{len(d)}" if d else "default")
+        for i, d in enumerate(device_sets)
+    ]
+    if native_sink is not None:
+        dispatches.append(native_sink)
+        keys.append(f"{key_prefix}:native")
+    stream_target = target_codes
+    if len(dispatches) > 1:
+        stream_target = min(stream_target, 1 << 22)
+    return dispatches, keys, stream_target
+
+
 def native_hist_sink(kernel):
     """Host-sink wrapper shared by the native fused-histogram kernels
     (kt_oligo_hist, kt_cov_hist): dispatch returns a lazy handle whose

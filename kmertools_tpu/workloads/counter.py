@@ -1041,7 +1041,14 @@ class CountComputer:
         import concurrent.futures as cf
 
         if not self.chunks and not self.chunk_ids:
-            self.load_manifest()
+            if not self.load_manifest():
+                # refusing beats silently truncating kmers.counts to an
+                # empty file when pointed at the wrong / already-merged
+                # dir
+                raise RuntimeError(
+                    f"nothing to merge: no chunks set and no manifest.json "
+                    f"in {self.out_dir}"
+                )
         chunk_ids = self.chunk_ids or list(range(self.chunks))
         out_path = os.path.join(self.out_dir, "kmers.counts")
         pbar = Progress(self.n_parts * len(chunk_ids), "merging")

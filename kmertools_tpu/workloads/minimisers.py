@@ -654,15 +654,11 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
     pending = 0
     spill_dir: list = [None]
     runs: list = []
-    if mh_ctx is not None:
-        # shared spill dir: every host writes its own runs here; a
-        # fresh dir per run is the caller's contract (same as the
-        # multihost gate markers, parallel/multihost.py:gate_open)
-        spill_dir[0] = f"{out_path}.m2s_spill"
-        _os.makedirs(spill_dir[0], exist_ok=True)
-        run_prefix = f"run_h{mh_ctx.host_id}_"
-    else:
-        run_prefix = "run_"
+    # every host spills into a PRIVATE temp dir during streaming (no
+    # shared state until the exchange); multihost runs move their runs
+    # into a nonce-fresh shared dir afterwards, so stale files from a
+    # crashed earlier run can never satisfy this run's rendezvous
+    run_prefix = f"run_h{mh_ctx.host_id}_" if mh_ctx is not None else "run_"
 
     def _sorted_quad():
         vals = np.concatenate(all_vals).astype(np.uint64)
@@ -748,38 +744,70 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
         )
 
     if mh_ctx is not None:
+        import time as _time
+
         from kmertools_tpu.parallel import multihost
 
-        _spill_run()  # all data becomes durable runs in the shared dir
+        _spill_run()  # all data becomes durable runs (private dir)
+        # exchange protocol (parallel/multihost.py:_finalize_fs's nonce
+        # pattern): the primary creates a FRESH shared rundir and
+        # publishes its name atomically; every host moves its runs in,
+        # acks inside the rundir (fresh by construction — stale acks
+        # from a crashed run cannot satisfy this run's rendezvous), and
+        # the primary merges + cleans up. A host that raced a stale
+        # marker fails the rendezvous loudly instead of merging wrong
+        # bytes.
+        marker = f"{out_path}.m2s.mh"
+        if mh_ctx.is_primary:
+            nonce = f"{_os.getpid()}_{_time.time_ns()}"
+            rundir = f"{out_path}.m2s_mh_{nonce}"
+            _os.makedirs(rundir, exist_ok=True)
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(nonce)
+            _os.replace(tmp, marker)  # atomic publish
+        else:
+            deadline = _time.time() + multihost._TIMEOUT_S
+            while not _os.path.exists(marker):
+                if _time.time() > deadline:
+                    raise TimeoutError(
+                        "m2s exchange marker from host 0 never appeared"
+                    )
+                _time.sleep(multihost._POLL_S)
+            with open(marker) as f:
+                rundir = f"{out_path}.m2s_mh_{f.read().strip()}"
+        moved = []
+        for base in runs:
+            dst = _os.path.join(rundir, _os.path.basename(base))
+            for t in ("v", "s", "e", "r", "ib", "io"):
+                _os.replace(f"{base}.{t}.npy", f"{dst}.{t}.npy")
+            moved.append(dst)
         with open(
-            _os.path.join(spill_dir[0], f"runs_h{mh_ctx.host_id}.json"), "w"
+            _os.path.join(rundir, f"runs_h{mh_ctx.host_id}.json"), "w"
         ) as f:
-            json.dump([_os.path.basename(b) for b in runs], f)
-        multihost.rendezvous(mh_ctx, spill_dir[0], "m2s_runs")
+            json.dump([_os.path.basename(b) for b in moved], f)
+        if spill_dir[0] is not None:
+            shutil.rmtree(spill_dir[0], ignore_errors=True)
+        multihost.rendezvous(mh_ctx, rundir, "m2s_runs")
         if mh_ctx.is_primary:
             try:
                 run_bases = []
                 for h in range(mh_ctx.num_hosts):
                     with open(
-                        _os.path.join(spill_dir[0], f"runs_h{h}.json")
+                        _os.path.join(rundir, f"runs_h{h}.json")
                     ) as f:
                         run_bases.extend(
-                            _os.path.join(spill_dir[0], name)
+                            _os.path.join(rundir, name)
                             for name in json.load(f)
                         )
                 with open(out_path, "wb") as out:
                     _merge_runs_to(out, run_bases)
             finally:
-                shutil.rmtree(spill_dir[0], ignore_errors=True)
-            multihost.gate_open(
-                mh_ctx, _os.path.dirname(_os.path.abspath(out_path)),
-                "m2s_done",
-            )
-        else:
-            multihost.gate_wait(
-                mh_ctx, _os.path.dirname(_os.path.abspath(out_path)),
-                "m2s_done",
-            )
+                shutil.rmtree(rundir, ignore_errors=True)
+                try:
+                    _os.unlink(marker)
+                except OSError:
+                    pass
         multihost.release(mh_ctx, "m2s_merge")
         return
 

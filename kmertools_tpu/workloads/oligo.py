@@ -14,9 +14,6 @@ support.
 
 from __future__ import annotations
 
-import ctypes
-import os
-
 import numpy as np
 import jax.numpy as jnp
 
@@ -29,8 +26,8 @@ from kmertools_tpu.workloads.common import (
     AsyncWriter,
     OrderedArrayEmitter,
     data_parallel_step,
-    hetero_device_sets,
-    native_hist_sink,
+    oligo_hist_native_sink,
+    plan_hetero_sinks,
     run_pipelined_hetero,
 )
 
@@ -260,105 +257,14 @@ class OligoComputer:
 
                 return dispatch
 
-            def native_dispatch():
-                """The reference's hot loop as a host sink: the
-                multithreaded C++ rolling-encode+count kernel
-                (kthost.cpp:kt_oligo_hist) joins the scheduler beside
-                the XLA device programs. ctypes releases the GIL, so
-                the sink's drain thread crunches on spare cores while
-                the producer parses and the device computes."""
-                from kmertools_tpu import native
-
-                so = native.lib()
-                if (
-                    so is None
-                    or self.ksize > 7
-                    or os.environ.get("KMERTOOLS_NO_HETERO") == "1"
-                ):
-                    return None
-                table = (
-                    np.ascontiguousarray(
-                        codec.canonical_slot_table(self.ksize),
-                        dtype=np.int32,
-                    )
-                    if self.count_min
-                    else None
-                )
-                table_p = (
-                    table.ctypes.data_as(native.c_i32_p)
-                    if table is not None
-                    else None
-                )
-                nthreads = self.threads or (os.cpu_count() or 1)
-                ksize = self.ksize
-                i16_p = ctypes.POINTER(ctypes.c_int16)
-
-                def kernel(packed, vb):
-                    R = packed.shape[0]
-                    counts = np.empty((R, nbins), np.int16)
-                    totals = np.empty((R,), np.int32)
-                    rc = so.kt_oligo_hist(
-                        packed.ctypes.data_as(native.c_u8_p),
-                        vb.ctypes.data_as(native.c_u8_p),
-                        R, packed.shape[1] * 4, ksize,
-                        table_p, nbins,
-                        counts.ctypes.data_as(i16_p),
-                        totals.ctypes.data_as(native.c_i32_p),
-                        nthreads,
-                    )
-                    if rc != 0:
-                        raise RuntimeError("kt_oligo_hist failed")
-                    return counts, totals
-
-                return native_hist_sink(kernel)
-
-            device_sets = hetero_device_sets()
-            nd = native_dispatch()
-            import jax
-
-            backend_cpu = (
-                bool(jax.local_devices())
-                and jax.local_devices()[0].platform == "cpu"
+            dispatches, keys, stream_target = plan_hetero_sinks(
+                make_dispatch,
+                oligo_hist_native_sink(
+                    self.ksize, nbins, self.count_min, self.threads
+                ),
+                f"oligo{self.ksize}",
+                self.target_codes,
             )
-            stream_target = self.target_codes
-            if nd is not None and backend_cpu and len(device_sets) == 1:
-                # on a CPU-only backend the XLA program and the native
-                # kernel share the same cores — splitting batches between
-                # them just adds contention (and the XLA dispatch burns
-                # producer-thread time in device_put), so the native
-                # kernel runs alone (coverage.py / counter.py policy).
-                # Forced multi-set runs (tests) still route over XLA.
-                # Smaller batches keep the kernel's working set in cache
-                # and tighten the parse/compute overlap (measured ~2x on
-                # a 4-core host vs 32M-code batches).
-                dispatches = [nd]
-                keys = [f"oligo{self.ksize}:native"]
-                stream_target = min(stream_target, 1 << 21)
-            else:
-                dispatches = [
-                    make_dispatch(None if len(device_sets) == 1 else d)
-                    for d in device_sets
-                ]
-                # set index + device count disambiguate two sets on the
-                # same platform (e.g. a split CPU sub-mesh): each must
-                # keep its own rate prior or their drain threads
-                # overwrite each other's EWMA
-                keys = [
-                    f"oligo{self.ksize}:xla:{i}:"
-                    + (f"{d[0].platform}x{len(d)}" if d else "default")
-                    for i, d in enumerate(device_sets)
-                ]
-                if nd is not None:
-                    dispatches.append(nd)
-                    keys.append(f"oligo{self.ksize}:native")
-                if len(dispatches) > 1:
-                    # multi-sink runs need routing granularity: with a
-                    # handful of mega-batches one slow-sink assignment
-                    # (or a lost parse/compute overlap tail) decides the
-                    # wall clock. 4M codes keeps the native sink's
-                    # working set near cache while a per-batch device
-                    # dispatch still amortises its launch overhead.
-                    stream_target = min(stream_target, 1 << 22)
             try:
                 run_pipelined_hetero(
                     iob.stream_path(

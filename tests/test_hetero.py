@@ -157,13 +157,9 @@ def test_oligo_two_sink_output_identical(tmp_path, test_data, monkeypatch):
     ref_out = tmp_path / "single.kmers"
     OligoComputer(str(corpus), str(ref_out), 4, True).vectorise()
 
+    # plan_hetero_sinks (common.py) is the single consumer now
     monkeypatch.setattr(
         common, "hetero_device_sets", lambda: [devs[:4], devs[4:]]
-    )
-    from kmertools_tpu.workloads import oligo as oligo_mod
-
-    monkeypatch.setattr(
-        oligo_mod, "hetero_device_sets", lambda: [devs[:4], devs[4:]]
     )
     het_out = tmp_path / "hetero.kmers"
     OligoComputer(str(corpus), str(het_out), 4, True).vectorise()

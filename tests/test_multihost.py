@@ -187,4 +187,9 @@ def test_two_host_min_m2s_equals_whole_file(tmp_path, monkeypatch,
         2, tmp_path,
     )
     assert sharded.read_bytes() == whole.read_bytes()
-    assert not list(tmp_path.glob("*.m2s_spill*")), "spill dir left behind"
+    leftovers = [
+        p for p in tmp_path.iterdir()
+        if ".m2s_mh" in p.name or p.name.endswith(".m2s.mh")
+        or ".spill" in p.name
+    ]
+    assert not leftovers, f"m2s exchange left files behind: {leftovers}"
