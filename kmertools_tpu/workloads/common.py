@@ -777,6 +777,16 @@ class OrderedEmitter:
         self._pending: dict[int, object] = {}
         self._ready: list = []
 
+    def bypass(self, start: int, count: int) -> bool:
+        """True (and advance) iff [start, start+count) is exactly the
+        next contiguous run and nothing is buffered: the caller may
+        write that block itself, skipping per-item buffering (the slab
+        fast path — on uniform corpora every slab qualifies)."""
+        if self._pending or self._ready or start != self._next:
+            return False
+        self._next += count
+        return True
+
     def add(self, read_idx: int, payload) -> None:
         self._pending[read_idx] = payload
         while self._next in self._pending:

@@ -122,11 +122,39 @@ def _native_min_scanner(msize: int, wsize: int, threads: int = 0):
     return scan
 
 
+def _compact_ranges(offs: np.ndarray, counts: np.ndarray,
+                    arrays: tuple) -> tuple:
+    """Gather the used per-read ranges [offs[i], offs[i]+counts[i]) of
+    each array into compact form; returns (new_offs, compacted...).
+    Vectorised (no per-read Python): the record plumbing must not cost
+    more than the scan (measured 3x the native kernel on short reads).
+    """
+    n = len(counts)
+    new_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=new_offs[1:])
+    tot = int(new_offs[-1])
+    if tot == 0:
+        return new_offs, tuple(a[:0] for a in arrays)
+    idx = np.repeat(offs[:n] - new_offs[:-1], counts) + np.arange(
+        tot, dtype=np.int64
+    )
+    return new_offs, tuple(a[idx] for a in arrays)
+
+
 def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
-                     target_codes=None, shard=None, threads: int = 0):
+                     target_codes=None, shard=None, threads: int = 0,
+                     emit_slab=None):
     """Drive the scan kernels over the file; call emit(read_idx, id,
     read_len, records) with records = an array triple
-    (values uint64[], starts int64[], ends int64[])."""
+    (values uint64[], starts int64[], ends int64[]).
+
+    ``emit_slab(rids, ids, lens, offs, vals, starts, ends)`` (optional)
+    receives WHOLE batches of complete single-row reads as flat record
+    arrays (offs delimits read i's records) — the common case on
+    short-read corpora, where per-read Python emits dominate the wall
+    clock. Reads on fallback paths (split rows, carried state) still
+    arrive via per-read ``emit``; rids within a slab are increasing but
+    gappy across slabs when length buckets interleave."""
     target = target_codes or iob.DEFAULT_TARGET_CODES
     overlap = (wsize - 1) if wsize > 0 else (msize - 1)
     max_val = (1 << (2 * msize)) - 1  # u64::MAX masked to 2m bits: all-T
@@ -259,6 +287,14 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
             vals_f[spos] = max_val
             st_f[spos] = lengths[si] - trail[si]
             en_f[spos] = lengths[si]
+        if emit_slab is not None:
+            emit_slab(
+                rids.astype(np.int64),
+                [meta.pop(int(r))[0] for r in rids],
+                lengths,
+                offs, vals_f, st_f, en_f,
+            )
+            return True
         for i in range(n):
             ridx = int(rids[i])
             rid, rlen = meta.pop(ridx)
@@ -283,8 +319,22 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
                     offs, counts, vals, sts, ens = native_scan(
                         b.planes(), b.lengths[:n]
                     )
+                    rids = b.read_idx[:n]
+                    if emit_slab is not None:
+                        # compact gather drops the (len+2)-capacity
+                        # spacing so the slab pins only real records
+                        new_offs, (v, s, e) = _compact_ranges(
+                            offs, counts, (vals, sts, ens)
+                        )
+                        emit_slab(
+                            rids.astype(np.int64),
+                            [meta.pop(int(r))[0] for r in rids],
+                            b.lengths[:n].astype(np.int64),
+                            new_offs, v, s, e,
+                        )
+                        return []
                     for i in range(n):
-                        ridx = int(b.read_idx[i])
+                        ridx = int(rids[i])
                         rid, rlen = meta.pop(ridx)
                         o, c = int(offs[i]), int(counts[i])
                         # .copy(): consumers (m2s grouping) hold records
@@ -404,25 +454,14 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
                target_codes=None, shard=None) -> None:
     """S2m mode (minimisers.rs:87-160)."""
 
-    def write_block(payloads: list) -> None:
-        n_reads = len(payloads)
-        counts = np.array([len(r[1][0]) for r in payloads], dtype=np.int64)
-        offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-        vals = (
-            np.concatenate([r[1][0] for r in payloads])
-            if offs[-1]
-            else np.empty(0, np.uint64)
-        ).astype(np.uint64)
-        starts = (
-            np.concatenate([r[1][1] for r in payloads])
-            if offs[-1]
-            else np.empty(0, np.int64)
-        ).astype(np.int64)
-        ends = (
-            np.concatenate([r[1][2] for r in payloads])
-            if offs[-1]
-            else np.empty(0, np.int64)
-        ).astype(np.int64)
+    def write_flat(ids: list, offs, vals, starts, ends) -> None:
+        """Format one ordered block of reads from flat record arrays
+        (offs delimits read i's records)."""
+        n_reads = len(ids)
+        vals = np.ascontiguousarray(vals, dtype=np.uint64)
+        starts = np.ascontiguousarray(starts, dtype=np.int64)
+        ends = np.ascontiguousarray(ends, dtype=np.int64)
+        offs = np.ascontiguousarray(offs, dtype=np.int64)
 
         from kmertools_tpu import native
 
@@ -431,7 +470,7 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
             blob_parts = []
             id_off = np.zeros(n_reads, dtype=np.int64)
             pos = 0
-            for i, (rid, _) in enumerate(payloads):
+            for i, rid in enumerate(ids):
                 bb = rid.encode() + b"\0"
                 blob_parts.append(bb)
                 id_off[i] = pos
@@ -453,7 +492,7 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
                 return
         acgt = codec.numeric_to_kmer_array(vals, msize) if len(vals) else []
         lines = []
-        for i, (rid, _) in enumerate(payloads):
+        for i, rid in enumerate(ids):
             parts = [rid.encode()]
             for j in range(offs[i], offs[i + 1]):
                 parts.append(b"%s:%d-%d" % (acgt[j], starts[j], ends[j]))
@@ -461,14 +500,46 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
             lines.append(b"\t".join(parts))
         out.write(b"".join(lines))
 
+    def write_block(payloads: list) -> None:
+        counts = np.array([len(r[1][0]) for r in payloads], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        z3 = (np.empty(0, np.uint64), np.empty(0, np.int64),
+              np.empty(0, np.int64))
+        vals, starts, ends = (
+            tuple(
+                np.concatenate([r[1][j] for r in payloads])
+                for j in range(3)
+            )
+            if offs[-1] else z3
+        )
+        write_flat([rid for rid, _ in payloads], offs, vals, starts, ends)
+
     with open(out_path, "wb") as out:
         emitter = OrderedEmitter(write_block, block=4096)
 
         def emit(ridx, rid, rlen, recs):
             emitter.add(ridx, (rid, recs))
 
+        def emit_slab(rids, ids, lens, offs, vals, starts, ends):
+            n = len(rids)
+            if (
+                rids[-1] - rids[0] + 1 == n
+                and emitter.bypass(int(rids[0]), n)
+            ):
+                # ordered pass-through: the slab is the next contiguous
+                # block of reads (always, on uniform corpora) — write it
+                # whole, no per-read buffering
+                write_flat(ids, offs, vals, starts, ends)
+                return
+            for i in range(n):
+                a, z = int(offs[i]), int(offs[i + 1])
+                emitter.add(
+                    int(rids[i]),
+                    (ids[i], (vals[a:z], starts[a:z], ends[a:z])),
+                )
+
         _minimise_stream(in_path, wsize, msize, emit, target_codes,
-                         shard=shard, threads=threads)
+                         shard=shard, threads=threads, emit_slab=emit_slab)
         emitter.finish()
 
 
@@ -541,11 +612,14 @@ def _write_group_lines(out, msize: int, vals: np.ndarray, ss: np.ndarray,
 def _merge_sorted_runs(runs: list, emit_chunk, chunk: int = 1 << 20) -> None:
     """K-way merge of val-sorted record runs; calls ``emit_chunk(vals,
     ss, ee, rid_of)`` with val-complete chunks (no group ever split
-    across two calls). ``runs`` items are (vals, ss, ee, rid_of, base)
-    quintuples (arrays memory-mapped for spilled runs); ``rid_of`` is
-    run-LOCAL and shifts by ``base`` into the global id space. Read
-    order within a group is preserved: runs are chronological and the
-    merge is stable by run index."""
+    across two calls). ``runs`` items are (vals, ss, ee, rid_of,
+    rid_key, base) sextuples (arrays memory-mapped for spilled runs):
+    ``rid_of`` is run-LOCAL and shifts by ``base`` into the id-store
+    space; ``rid_key`` is the GLOBAL read-order key. Chunks sort
+    explicitly by (val, rid_key, start) — the output order contract —
+    so the merge is independent of run arrival order (slab emission
+    interleaves length buckets, and multi-host runs arrive host-major
+    regardless of read order)."""
     pos = [0] * len(runs)
     while True:
         live = [i for i in range(len(runs)) if pos[i] < len(runs[i][0])]
@@ -559,7 +633,7 @@ def _merge_sorted_runs(runs: list, emit_chunk, chunk: int = 1 << 20) -> None:
         )
         parts = []
         for i in live:
-            v, s, e, r, base = runs[i]
+            v, s, e, r, rk, base = runs[i]
             hi = int(np.searchsorted(v[pos[i]:], pivot, side="right")) + pos[i]
             if hi > pos[i]:
                 parts.append((
@@ -567,13 +641,15 @@ def _merge_sorted_runs(runs: list, emit_chunk, chunk: int = 1 << 20) -> None:
                     np.asarray(s[pos[i]:hi]),
                     np.asarray(e[pos[i]:hi]),
                     np.asarray(r[pos[i]:hi]) + base,
+                    np.asarray(rk[pos[i]:hi]),
                 ))
                 pos[i] = hi
         vals = np.concatenate([p[0] for p in parts])
         ss = np.concatenate([p[1] for p in parts])
         ee = np.concatenate([p[2] for p in parts])
         rid_of = np.concatenate([p[3] for p in parts])
-        order = np.argsort(vals, kind="stable")  # stable: run order kept
+        rk = np.concatenate([p[4] for p in parts])
+        order = np.lexsort((ss, rk, vals))
         emit_chunk(vals[order], ss[order], ee[order], rid_of[order])
 
 
@@ -623,19 +699,27 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
     output with read-ordered group entries (reference map/scan order is
     nondeterministic; its tests sort lines: minimisers.rs:169-187).
 
+    Output order contract: records sort by (minimiser value, global
+    read order, span start) — byte-identical to the former arrival-
+    ordered stable sort, but computable with NO ordering bookkeeping:
+    record slabs append in any arrival order (length buckets
+    interleave) and every sort is explicit, including the k-way merge.
+    The multi-host read-order key is (host_id << 40) | local_index —
+    hosts don't know each other's read counts, byte-range shards are
+    file-ordered.
+
     Out-of-core: past a memory ceiling (KMERTOOLS_M2S_SPILL_RECORDS,
     default = 6 GB worth of records) accumulated records spill to
     val-sorted runs beside the output file and the final pass k-way
     merges the runs — the reference's whole-map-in-RAM design
     (minimisers.rs:21) is its scalability cliff; this removes it. Read
-    ids spill WITH their run (rid_of is run-local; ids decode lazily at
-    merge), so RSS is bounded by the record ceiling alone.
+    ids spill WITH their run (ids decode lazily at merge), so RSS is
+    bounded by the record ceiling alone.
 
-    Multi-host (``mh_ctx``): every host streams its input shard and
-    spills val-sorted runs into a shared spill dir beside the output;
-    after a rendezvous host 0 k-way merges ALL hosts' runs — groups
-    stay whole because the merge is the single-host merge. Runs order
-    host-major, so group entries keep global file order."""
+    Multi-host (``mh_ctx``): every host streams its input shard,
+    spills privately, then moves its runs into a nonce-fresh shared
+    dir; after a rendezvous host 0 k-way merges ALL hosts' runs —
+    groups stay whole because the merge is the single-host merge."""
     import json
     import os as _os
     import shutil
@@ -645,51 +729,76 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
         _os.environ.get("KMERTOOLS_M2S_SPILL_RECORDS",
                         _M2S_DEFAULT_SPILL_RECORDS)
     )
-    # accumulate flat record arrays in read order; group at the end
+    # flat record arrays, appended in ARRIVAL order (slabs from
+    # interleaved buckets); rid_key carries the true read order
     all_vals: list[np.ndarray] = []
     all_s: list[np.ndarray] = []
     all_e: list[np.ndarray] = []
-    all_ridx: list[np.ndarray] = []  # per-record RUN-LOCAL read index
-    all_rid: list[str] = []          # run-local read-index -> id
+    all_rk: list[np.ndarray] = []  # per-record global read-order key
+    id_map: dict[int, str] = {}    # rid_key -> id (reads WITH records)
     pending = 0
     spill_dir: list = [None]
     runs: list = []
-    # every host spills into a PRIVATE temp dir during streaming (no
-    # shared state until the exchange); multihost runs move their runs
-    # into a nonce-fresh shared dir afterwards, so stale files from a
-    # crashed earlier run can never satisfy this run's rendezvous
+    rid_base = (mh_ctx.host_id << 40) if mh_ctx is not None else 0
     run_prefix = f"run_h{mh_ctx.host_id}_" if mh_ctx is not None else "run_"
+    # slabs from interleaved length buckets can arrive out of read
+    # order; on uniform corpora (one bucket) arrival IS read order and
+    # the sort below collapses to a single stable argsort
+    arrival_sorted = [True]
+    last_rk = [-1]
 
-    def _sorted_quad():
-        vals = np.concatenate(all_vals).astype(np.uint64)
-        ss = np.concatenate(all_s).astype(np.int64)
-        ee = np.concatenate(all_e).astype(np.int64)
-        rid_of = np.concatenate(all_ridx)
-        order = np.argsort(vals, kind="stable")  # keeps read order per group
-        return vals[order], ss[order], ee[order], rid_of[order]
+    def _note_order(first_rk: int, last: int) -> None:
+        if first_rk < last_rk[0]:
+            arrival_sorted[0] = False
+        last_rk[0] = last
+
+    def _sorted_arrays():
+        """Records in (val, read order, start) order plus the blob-
+        local id index per record and the ascending unique rid_keys.
+
+        Records of one read arrive contiguously in start order, so one
+        stable argsort by val over read-ordered arrays realises the
+        full (val, rid, start) contract; a prior stable sort by rid_key
+        restores read order first when buckets interleaved. Cheaper
+        than a 3-key lexsort by ~2x (measured: the sort WAS the m2s
+        wall clock at 11M records)."""
+        vals = np.concatenate(all_vals)
+        ss = np.concatenate(all_s)
+        ee = np.concatenate(all_e)
+        rk = np.concatenate(all_rk)
+        if not arrival_sorted[0]:
+            o1 = np.argsort(rk, kind="stable")
+            vals, ss, ee, rk = vals[o1], ss[o1], ee[o1], rk[o1]
+        # rk now nondecreasing: O(n) unique + inverse, no extra sort
+        first = np.empty(len(rk), bool)
+        first[0] = True
+        np.not_equal(rk[1:], rk[:-1], out=first[1:])
+        uniq = rk[first]
+        local = np.cumsum(first) - 1
+        order = np.argsort(vals, kind="stable")
+        return (vals[order], ss[order], ee[order], rk[order],
+                local[order], uniq)
 
     def _spill_run() -> None:
         nonlocal pending
-        if not all_rid:
+        if not all_vals:
             return
         if spill_dir[0] is None:
             spill_dir[0] = tempfile.mkdtemp(
                 prefix=_os.path.basename(out_path) + ".spill.",
                 dir=_os.path.dirname(_os.path.abspath(out_path)),
             )
-        if all_vals:
-            vals, ss, ee, rid_of = _sorted_quad()
-        else:
-            vals = np.empty(0, np.uint64)
-            ss = ee = rid_of = np.empty(0, np.int64)
+        vals, ss, ee, rk, local, uniq = _sorted_arrays()
         base = _os.path.join(spill_dir[0], f"{run_prefix}{len(runs)}")
+        # ids ride along (VERDICT r2 item 8): blob in rid_key order,
+        # .r holds the blob-local index per record, .rk the global
+        # read-order key the merge sorts by
         np.save(base + ".v.npy", vals)
         np.save(base + ".s.npy", ss)
         np.save(base + ".e.npy", ee)
-        np.save(base + ".r.npy", rid_of)
-        # the run's read ids ride along (VERDICT r2 item 8): id blob +
-        # offsets, decoded lazily per merge chunk (_RunIdStore)
-        blob_parts = [rid.encode() + b"\0" for rid in all_rid]
+        np.save(base + ".r.npy", local)
+        np.save(base + ".rk.npy", rk)
+        blob_parts = [id_map.pop(int(g)).encode() + b"\0" for g in uniq]
         offs = np.zeros(len(blob_parts) + 1, dtype=np.int64)
         np.cumsum([len(bb) for bb in blob_parts], out=offs[1:])
         np.save(
@@ -698,48 +807,63 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
         )
         np.save(base + ".io.npy", offs)
         runs.append(base)
-        all_vals.clear(); all_s.clear(); all_e.clear(); all_ridx.clear()
-        all_rid.clear()
+        all_vals.clear(); all_s.clear(); all_e.clear(); all_rk.clear()
+        arrival_sorted[0] = True
+        last_rk[0] = -1
         pending = 0
 
-    def write_block(payloads: list) -> None:
+    def emit(ridx, rid, rlen, recs):
         nonlocal pending
-        for rid, (v, s, e) in payloads:
-            ridx = len(all_rid)
-            all_rid.append(rid)
-            if len(v):
-                all_vals.append(v)
-                all_s.append(s)
-                all_e.append(e)
-                all_ridx.append(np.full(len(v), ridx, dtype=np.int64))
-                pending += len(v)
+        v, s, e = recs
+        if not len(v):
+            return
+        rk = rid_base + int(ridx)
+        _note_order(rk, rk)
+        id_map[rk] = rid
+        all_vals.append(np.asarray(v, dtype=np.uint64))
+        all_s.append(np.asarray(s, dtype=np.int64))
+        all_e.append(np.asarray(e, dtype=np.int64))
+        all_rk.append(np.full(len(v), rk, dtype=np.int64))
+        pending += len(v)
         if pending >= spill_limit:
             _spill_run()
 
-    emitter = OrderedEmitter(write_block, block=4096)
-
-    def emit(ridx, rid, rlen, recs):
-        emitter.add(ridx, (rid, recs))
+    def emit_slab(rids, ids, lens, offs, vals, starts, ends):
+        nonlocal pending
+        if not len(vals):
+            return
+        counts = np.diff(offs)
+        rk = rids + rid_base
+        _note_order(int(rk[0]), int(rk[-1]))
+        for i in np.flatnonzero(counts):
+            id_map[int(rk[i])] = ids[i]
+        all_vals.append(vals)
+        all_s.append(starts)
+        all_e.append(ends)
+        all_rk.append(np.repeat(rk, counts))
+        pending += len(vals)
+        if pending >= spill_limit:
+            _spill_run()
 
     _minimise_stream(
         in_path, wsize, msize, emit, target_codes, threads=threads,
         shard=mh_ctx.shard_for(in_path) if mh_ctx else None,
+        emit_slab=emit_slab,
     )
-    emitter.finish()
 
     def _merge_runs_to(out, run_bases: list) -> None:
         ids = _RunIdStore()
-        quints = []
+        sextets = []
         for base in run_bases:
-            v, s, e, r = (
+            v, s, e, r, rk = (
                 np.load(f"{base}.{t}.npy", mmap_mode="r")
-                for t in ("v", "s", "e", "r")
+                for t in ("v", "s", "e", "r", "rk")
             )
             blob = np.load(base + ".ib.npy", mmap_mode="r")
             offs = np.load(base + ".io.npy")
-            quints.append((v, s, e, r, ids.add_run(blob, offs)))
+            sextets.append((v, s, e, r, rk, ids.add_run(blob, offs)))
         _merge_sorted_runs(
-            quints,
+            sextets,
             lambda v, s, e, r: _write_group_lines(out, msize, v, s, e, r, ids),
         )
 
@@ -779,7 +903,7 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
         moved = []
         for base in runs:
             dst = _os.path.join(rundir, _os.path.basename(base))
-            for t in ("v", "s", "e", "r", "ib", "io"):
+            for t in ("v", "s", "e", "r", "rk", "ib", "io"):
                 _os.replace(f"{base}.{t}.npy", f"{dst}.{t}.npy")
             moved.append(dst)
         with open(
@@ -816,8 +940,9 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
             if not runs:
                 if not all_vals:
                     return
-                vals, ss, ee, rid_of = _sorted_quad()
-                _write_group_lines(out, msize, vals, ss, ee, rid_of, all_rid)
+                vals, ss, ee, _rk, local, uniq = _sorted_arrays()
+                ids_list = [id_map[int(g)] for g in uniq]
+                _write_group_lines(out, msize, vals, ss, ee, local, ids_list)
                 return
             _spill_run()  # leftover in-RAM segment becomes the last run
             _merge_runs_to(out, runs)
