@@ -13,6 +13,8 @@
 //
 // Build: g++ -O3 -shared -fPIC kthost.cpp -o libkthost.so -lz
 
+#include <fcntl.h>
+#include <unistd.h>
 #include <zlib.h>
 
 #include <algorithm>
@@ -34,11 +36,59 @@
 namespace {
 
 // ---------------------------------------------------------------------------
-// Buffered line reader over gzFile (transparently reads plain files too).
-// Lines come out as zero-copy views into the read buffer (the
-// overwhelmingly common case); a line spanning a buffer refill is
-// assembled in spill storage and the view points there. A view stays
-// valid until the next next_line_v call.
+// Byte source: raw unbuffered read() for plain files (zlib's
+// "transparent" mode costs an extra internal buffer + memcpy per byte,
+// ~15% of the parse wall), gzread only when the magic bytes say gzip,
+// gzdopen for stdin (not seekable; transparent mode handles both).
+// ---------------------------------------------------------------------------
+struct ByteSource {
+  gzFile gz = nullptr;
+  int fd = -1;
+  char pre[2];  // magic bytes already consumed from a plain file
+  int pre_n = 0, pre_pos = 0;
+  ~ByteSource() {
+    if (gz) gzclose(gz);
+    else if (fd >= 0) close(fd);
+  }
+  long read(char *buf, size_t n) {
+    if (gz) return gzread(gz, buf, (unsigned)n);
+    size_t off = 0;
+    while (pre_pos < pre_n && off < n) buf[off++] = pre[pre_pos++];
+    if (off < n) {
+      ssize_t r = ::read(fd, buf + off, n - off);
+      if (r < 0) return off ? (long)off : -1;
+      off += (size_t)r;
+    }
+    return (long)off;
+  }
+};
+
+ByteSource *open_source(const char *path) {
+  ByteSource *s = new ByteSource();
+  if (strcmp(path, "-") == 0) {
+    s->gz = gzdopen(0, "rb");  // stdin
+    if (!s->gz) { delete s; return nullptr; }
+    return s;
+  }
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) { delete s; return nullptr; }
+  ssize_t m = ::read(fd, s->pre, 2);
+  if (m == 2 && s->pre[0] == 0x1f && (unsigned char)s->pre[1] == 0x8b) {
+    close(fd);
+    s->gz = gzopen(path, "rb");
+    if (!s->gz) { delete s; return nullptr; }
+    return s;
+  }
+  s->fd = fd;
+  s->pre_n = m > 0 ? (int)m : 0;
+  return s;
+}
+
+// ---------------------------------------------------------------------------
+// Buffered line reader over a ByteSource. Lines come out as zero-copy
+// views into the read buffer (the overwhelmingly common case); a line
+// spanning a buffer refill is assembled in spill storage and the view
+// points there. A view stays valid until the next next_line_v call.
 // ---------------------------------------------------------------------------
 struct LineView {
   const char *p = nullptr;
@@ -47,10 +97,9 @@ struct LineView {
 
 class LineReader {
  public:
-  explicit LineReader(gzFile f) : f_(f), buf_(1 << 20), pos_(0), end_(0), eof_(false) {}
-  ~LineReader() {
-    if (f_) gzclose(f_);
-  }
+  explicit LineReader(ByteSource *f)
+      : f_(f), buf_(1 << 20), pos_(0), end_(0), eof_(false) {}
+  ~LineReader() { delete f_; }
 
   // Next line (without \n / \r\n) as a view. Returns false at EOF with
   // no bytes read.
@@ -92,7 +141,7 @@ class LineReader {
  private:
   bool refill() {
     if (eof_) return false;
-    int n = gzread(f_, buf_.data(), (unsigned)buf_.size());
+    long n = f_->read(buf_.data(), buf_.size());
     if (n <= 0) {
       eof_ = true;
       return false;
@@ -102,7 +151,7 @@ class LineReader {
     return true;
   }
 
-  gzFile f_;
+  ByteSource *f_;
   std::vector<char> buf_;
   std::string spill_;
   size_t pos_, end_;
@@ -123,19 +172,47 @@ struct Nt4 {
 };
 const Nt4 NT4;
 
-// ASCII -> 2-bit codes (4 = ambiguous). Plain LUT: measured 2.4 GB/s
-// single-thread here, ~3x faster than the branch-free arithmetic form
-// (which g++ fails to vectorise).
+// ASCII -> 2-bit codes (4 = ambiguous). AVX2 path: the 10 valid bytes
+// (ACGTU, both cases) have distinct LOW NIBBLES (A=1 C=3 T=4 U=5 G=7),
+// so two pshufb lookups give (candidate code, expected uppercase char)
+// and one case-folded compare validates — any other byte falls to 4,
+// byte-identical to the scalar LUT for all 256 inputs (pinned by
+// tests/test_native_batcher.py). ~10x the scalar LUT (which measured
+// 2.4 GB/s single-thread; the branch-free arithmetic form g++ fails to
+// vectorise was 3x slower still).
+#ifdef __AVX2__
+#include <immintrin.h>
+inline void translate(const char *src, uint8_t *dst, size_t n) {
+  const __m256i lo_mask = _mm256_set1_epi8(0x0F);
+  // low nibble -> code (4 = ambiguous)
+  const __m256i codetab = _mm256_setr_epi8(
+      4, 0, 4, 1, 3, 3, 4, 2, 4, 4, 4, 4, 4, 4, 4, 4,
+      4, 0, 4, 1, 3, 3, 4, 2, 4, 4, 4, 4, 4, 4, 4, 4);
+  // low nibble -> the (unique) uppercase ASCII char that maps there
+  const __m256i exptab = _mm256_setr_epi8(
+      0, 'A', 0, 'C', 'T', 'U', 0, 'G', 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 'A', 0, 'C', 'T', 'U', 0, 'G', 0, 0, 0, 0, 0, 0, 0, 0);
+  const __m256i fold = _mm256_set1_epi8((char)0xDF);  // clears the case bit
+  const __m256i four = _mm256_set1_epi8(4);
+  size_t i = 0;
+  for (; i + 32 <= n; i += 32) {
+    __m256i c = _mm256_loadu_si256((const __m256i *)(src + i));
+    __m256i lo = _mm256_and_si256(c, lo_mask);
+    __m256i code = _mm256_shuffle_epi8(codetab, lo);
+    __m256i exp = _mm256_shuffle_epi8(exptab, lo);
+    __m256i ok = _mm256_cmpeq_epi8(_mm256_and_si256(c, fold), exp);
+    _mm256_storeu_si256((__m256i *)(dst + i),
+                        _mm256_blendv_epi8(four, code, ok));
+  }
+  for (; i < n; i++) dst[i] = NT4.t[(uint8_t)src[i]];
+}
+#else
 inline void translate(const char *src, uint8_t *dst, size_t n) {
   for (size_t i = 0; i < n; i++) dst[i] = NT4.t[(uint8_t)src[i]];
 }
+#endif
 
-gzFile open_path(const char *path) {
-  if (strcmp(path, "-") == 0) {
-    return gzdopen(0, "rb");  // stdin; gzread is transparent for plain text
-  }
-  return gzopen(path, "rb");
-}
+
 
 // ---------------------------------------------------------------------------
 // FASTX record parser (ktio/src/seq.rs:100-131 semantics).
@@ -159,7 +236,7 @@ class FastxParser {
   // 2 = FASTQ. The hint carries the reference's extension-based
   // detection (ktio/src/seq.rs:30-41) — content sniffing alone
   // misreads a FASTA file with junk pre-header lines.
-  explicit FastxParser(gzFile f, int fmt_hint = 0)
+  explicit FastxParser(ByteSource *f, int fmt_hint = 0)
       : rd_(f),
         fmt_(fmt_hint == 1 ? FMT_FASTA
                            : (fmt_hint == 2 ? FMT_FASTQ : FMT_UNKNOWN)),
@@ -339,7 +416,7 @@ struct Batcher {
   int64_t pending_ridx = 0;
   bool pending_first = false;
 
-  explicit Batcher(gzFile f, int fmt_hint = 0) : parser(f, fmt_hint) {}
+  explicit Batcher(ByteSource *f, int fmt_hint = 0) : parser(f, fmt_hint) {}
 
   Bucket &maxb() { return buckets.back(); }
 
@@ -520,7 +597,7 @@ struct ThreadedBatcher {
   bool out_valid = false;
   bool done = false, quit = false;
 
-  ThreadedBatcher(gzFile f, int fmt_hint) : inner(f, fmt_hint) {}
+  ThreadedBatcher(ByteSource *f, int fmt_hint) : inner(f, fmt_hint) {}
 
   void start() {
     spare.resize(inner.buckets.size());
@@ -605,7 +682,7 @@ int kt_abi_version(void) { return 3; }
 void *kt_batcher_open(const char *path, int64_t overlap,
                       const int64_t *widths, int n_widths,
                       int64_t target_codes, int fmt_hint) {
-  gzFile f = open_path(path);
+  ByteSource *f = open_source(path);
   if (!f) return nullptr;
   ThreadedBatcher *b = new ThreadedBatcher(f, fmt_hint);
   b->inner.overlap = overlap;
@@ -659,7 +736,7 @@ void kt_bucket_data(void *h, int bi, uint8_t **codes, int32_t **lengths,
 // seq_stats pre-pass (ktio/src/seq.rs:69-94). Returns 0 on success.
 int kt_seq_stats(const char *path, int64_t *n_reads, int64_t *n_bases,
                  int fmt_hint) {
-  gzFile f = open_path(path);
+  ByteSource *f = open_source(path);
   if (!f) return 1;
   FastxParser p(f, fmt_hint);
   int64_t reads = 0, bases = 0, len = 0;
@@ -1128,11 +1205,63 @@ int64_t kt_format_oligocgr(const char *prefix_blob, const int32_t *prefix_off,
 // upload (packed, lengths) instead of (packed, validbits) — exactly
 // 2 bits/base on the wire (ops/encode.py:unpack_packed).
 // Returns: -1 on width%8, else the ambiguous-code count (>= 0).
+#ifdef __AVX2__
+// One row, 32 codes per step: valid mask via movemask (bit i = code i,
+// np.packbits little order), 2-bit pack via maddubs(1,4) + madd(1,16)
+// horizontal combines. Returns the row's ambiguous-within-len count.
+static int64_t pack_row_avx2(const uint8_t *c, int64_t width, int64_t len,
+                             uint8_t *p, uint8_t *v) {
+  const __m256i hi_mask = _mm256_set1_epi8((char)0xFC);
+  const __m256i zero = _mm256_setzero_si256();
+  const __m256i three = _mm256_set1_epi8(3);
+  const __m256i mul14 = _mm256_set1_epi16(0x0401);   // bytes (1, 4)
+  const __m256i mul116 = _mm256_set1_epi32(0x00100001);  // i16s (1, 16)
+  // per 128-bit lane: gather dword low bytes 0,4,8,12 into bytes 0..3
+  const __m256i gather = _mm256_setr_epi8(
+      0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+      0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1);
+  int64_t ambig = 0;
+  for (int64_t base = 0; base < width; base += 32) {
+    __m256i x = _mm256_loadu_si256((const __m256i *)(c + base));
+    __m256i ok = _mm256_cmpeq_epi8(_mm256_and_si256(x, hi_mask), zero);
+    uint32_t mask = (uint32_t)_mm256_movemask_epi8(ok);
+    memcpy(v + base / 8, &mask, 4);
+    if (mask != 0xFFFFFFFFu && base < len) {
+      uint32_t inv = ~mask;
+      int64_t in_row = len - base;
+      if (in_row < 32) inv &= (1u << in_row) - 1;
+      ambig += __builtin_popcount(inv);
+    }
+    __m256i m = _mm256_and_si256(x, three);
+    __m256i t16 = _mm256_maddubs_epi16(m, mul14);
+    __m256i t32 = _mm256_madd_epi16(t16, mul116);
+    __m256i by = _mm256_shuffle_epi8(t32, gather);
+    uint32_t lo = (uint32_t)_mm_cvtsi128_si32(_mm256_castsi256_si128(by));
+    uint32_t hi = (uint32_t)_mm_cvtsi128_si32(
+        _mm256_extracti128_si256(by, 1));
+    memcpy(p + base / 4, &lo, 4);
+    memcpy(p + base / 4 + 4, &hi, 4);
+  }
+  return ambig;
+}
+#endif
+
 static int64_t kt_pack_planes_serial(const uint8_t *codes, int64_t rows,
                                      int64_t width, const int32_t *lengths,
                                      uint8_t *packed, uint8_t *validbits) {
   const int64_t wq = width / 4, wb = width / 8;
   int64_t ambig = 0;
+#ifdef __AVX2__
+  if (width % 32 == 0) {
+    for (int64_t r = 0; r < rows; r++) {
+      ambig += pack_row_avx2(
+          codes + r * width, width,
+          lengths ? (int64_t)lengths[r] : width,
+          packed + r * wq, validbits + r * wb);
+    }
+    return ambig;
+  }
+#endif
   for (int64_t r = 0; r < rows; r++) {
     const uint8_t *c = codes + r * width;
     uint8_t *p = packed + r * wq;
@@ -1271,10 +1400,28 @@ int kt_oligo_hist(const uint8_t *packed, const uint8_t *validbits,
             totals[r] = 0;
             continue;
           }
+          // 8 positions per u64 load (j stays a multiple of 8, so the
+          // 8 window shifts are the constants 0,2,...,14 — bits
+          // 2j..2j+14+2k < 2j+64 for k <= 7): one load + 8 L1 lookups
+          // + 8 increments per 8 codes, ~2.5x the one-u32-per-position
+          // form. Safe region: byte j/4 + 7 <= wq - 1.
+          const int64_t fast8 = nk < 4 * wq - 28 ? nk : 4 * wq - 28;
+          int64_t j = 0;
+          for (; j + 8 <= fast8; j += 8) {
+            uint64_t w;
+            memcpy(&w, p + (j >> 2), 8);
+            cnt[lutp[(uint32_t)(w >> 0) & mask]]++;
+            cnt[lutp[(uint32_t)(w >> 2) & mask]]++;
+            cnt[lutp[(uint32_t)(w >> 4) & mask]]++;
+            cnt[lutp[(uint32_t)(w >> 6) & mask]]++;
+            cnt[lutp[(uint32_t)(w >> 8) & mask]]++;
+            cnt[lutp[(uint32_t)(w >> 10) & mask]]++;
+            cnt[lutp[(uint32_t)(w >> 12) & mask]]++;
+            cnt[lutp[(uint32_t)(w >> 14) & mask]]++;
+          }
           // safe region for whole-u32 loads: byte j/4 + 3 <= wq - 1
           const int64_t fast_end =
               nk < 4 * wq - 12 ? nk : 4 * wq - 12;
-          int64_t j = 0;
           for (; j < fast_end; j++) {
             uint32_t w;
             memcpy(&w, p + (j >> 2), 4);
