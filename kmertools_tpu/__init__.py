@@ -66,13 +66,20 @@ def _tune_hugepages() -> None:
 
     numpy madvises THP for every allocation >= 4 MB. On lazily-paged
     VMs (snapshot-restored / ballooned microVMs) each 2 MB huge-page
-    fault can cost ~150 ms — measured here: first touch of a fresh
-    240 MB numpy array 15.5 s with THP vs 0.13 s without, which
-    dominated the counter's drain phase in cold processes. Probe one
-    madvised huge page; if the fault is slow, flip numpy's runtime
-    switch and export NUMPY_MADVISE_HUGEPAGE=0 for child processes.
-    The verdict is cached per boot (the pathology is a property of the
-    host, not the process). KMERTOOLS_HUGEPAGES=1 skips all of this.
+    fault can cost 7-150 ms — measured here: first touch of a fresh
+    240 MB numpy array 1.1-15.5 s with THP vs ~0.12 s without, which
+    dominated the counter's drain phase in cold processes. Probe the
+    madvised fault cost; if slow, flip numpy's runtime switch and
+    export NUMPY_MADVISE_HUGEPAGE=0 for child processes.
+
+    The probe maps FRESH anonymous pages via mmap each time — an
+    allocation-based probe (used until round 3) can read a recycled
+    arena whose pages are already populated and report "fast" on a
+    host whose fresh faults run at 200 MB/s. And the pathology DRIFTS
+    on this host (the same boot measured both 4.5 GB/s and 0.2 GB/s
+    madvised fills hours apart), so the cached verdict carries a TTL
+    instead of living for the whole boot. KMERTOOLS_HUGEPAGES=1 skips
+    all of this.
     """
     if _os.environ.get("KMERTOOLS_HUGEPAGES") == "1":
         return
@@ -100,43 +107,63 @@ def _tune_hugepages() -> None:
             boot_id = f.read().strip()
     except OSError:
         boot_id = ""
+    import time as _time
+
+    ttl = float(_os.environ.get("KMERTOOLS_HUGEPAGE_PROBE_TTL", 600))
     verdict = None
     if boot_id:  # no boot id -> no way to validate a cached verdict
         try:
             with open(probe_file) as f:
-                b, v = f.read().split()
-                if b == boot_id:
+                fields = f.read().split()
+                b, v = fields[0], fields[1]
+                ts = float(fields[2]) if len(fields) > 2 else 0.0
+                if b == boot_id and _time.time() - ts < ttl:
                     verdict = v == "slow"
         except Exception:
             pass
     if verdict is None:
-        import time as _time
+        import mmap as _mmap
 
-        # Probe through numpy itself (mmap-level probes miss the exact
-        # alignment/advice pattern numpy produces): time a fresh-page
-        # fill with the madvise on, then off. 32 MB is big enough that
-        # a warm huge-page pool can't mask a lazily-paged host.
+        # Touch one byte per 4 KB page of a fresh 32 MB anonymous map,
+        # madvised vs not. Fresh mappings can't be masked by a warm
+        # allocator arena; 16 huge-region faults make a sick host
+        # unmistakable (>= 100 ms) while a healthy one pays ~15 ms.
+        # MAP_PRIVATE is load-bearing: python's mmap defaults to
+        # MAP_SHARED = shmem, where MADV_HUGEPAGE is a no-op (shmem THP
+        # has its own sysfs knob, usually off) and the probe would
+        # always read "fast". The slow path being probed is the
+        # kernel's direct compaction attempt per madvised 2 MB fault —
+        # it can fail (fragmented balloon) yet still cost ~7 ms, which
+        # is why AnonHugePages can read 0 while the fill runs 10x slow.
         def _fill(madv: bool) -> float:
-            _set(madv)
-            t0 = _time.perf_counter()
-            a = _np.empty(4 << 20, _np.uint64)  # 32 MB, freshly mapped
-            a[:] = 1
-            return _time.perf_counter() - t0
+            sz = 32 << 20
+            m = _mmap.mmap(
+                -1, sz, flags=_mmap.MAP_PRIVATE | _mmap.MAP_ANONYMOUS
+            )
+            try:
+                if madv:
+                    m.madvise(_mmap.MADV_HUGEPAGE)
+                t0 = _time.perf_counter()
+                for off in range(0, sz, 4096):
+                    m[off] = 1
+                return _time.perf_counter() - t0
+            finally:
+                m.close()
 
         try:
             t_on = _fill(True)
             t_off = _fill(False)
             verdict = t_on > 0.05 and t_on > 5 * t_off
         except Exception:
-            _set(True)
             return
-        finally:
-            _set(True)  # decided below; default state back first
         if boot_id:
             try:
                 _os.makedirs(cache_dir, exist_ok=True)
                 with open(probe_file, "w") as f:
-                    f.write(f"{boot_id} {'slow' if verdict else 'fast'}\n")
+                    f.write(
+                        f"{boot_id} {'slow' if verdict else 'fast'} "
+                        f"{_time.time():.0f}\n"
+                    )
             except OSError:
                 pass
     if not verdict:
