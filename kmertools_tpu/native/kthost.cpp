@@ -1627,6 +1627,18 @@ int64_t kt_ctr_add(void *h, const uint8_t *packed, const uint8_t *validbits,
         }
         const uint32_t two =
             (uint32_t)p[2 * i] | ((uint32_t)p[2 * i + 1] << 8);
+        if (vb == 0xFF) {  // clean octet (the common case): no per-bit
+          for (int j = 0; j < 8; j++) {  // valid branch in the loop
+            const uint64_t b = (two >> (2 * j)) & 3u;
+            fwd = ((fwd << 2) | b) & mask;
+            rc = (rc >> 2) | ((3ull - b) << rcshift);
+            if (++run >= k) {
+              const uint64_t can = fwd < rc ? fwd : rc;
+              buck[(size_t)(can % (uint64_t)S)].push_back(can);
+            }
+          }
+          continue;
+        }
         for (int j = 0; j < 8; j++) {
           if (!((vb >> j) & 1)) {
             run = 0;
@@ -1660,12 +1672,28 @@ int64_t kt_ctr_add(void *h, const uint8_t *packed, const uint8_t *validbits,
     for (auto &x : th) x.join();
   }
 
-  // phase 2: upsert disjoint shard stripes (one owner thread per shard)
+  // phase 2: upsert disjoint shard stripes (one owner thread per shard).
+  // The upserts are DRAM-latency-bound (each probes a random slot of a
+  // table far bigger than L2); prefetching the slot PF items ahead
+  // overlaps ~8 misses. Addresses recompute per item, so a rehash mid-
+  // stream only wastes a few prefetches, never reads stale pointers.
   auto fold = [&](int64_t s0, int64_t s1) {
+    constexpr size_t PF = 8;
     for (int64_t s = s0; s < s1; s++) {
       KtCtrShard &sh = c->shards[(size_t)s];
-      for (int t = 0; t < c->T; t++)
-        for (uint64_t km : c->buckets[(size_t)t][(size_t)s]) sh.upsert(km);
+      for (int t = 0; t < c->T; t++) {
+        const auto &vec = c->buckets[(size_t)t][(size_t)s];
+        const size_t nn = vec.size();
+        for (size_t i = 0; i < nn; i++) {
+          if (i + PF < nn) {
+            const size_t mask = sh.keys.size() - 1;
+            const size_t hp = KtCtrShard::mix(vec[i + PF]) & mask;
+            __builtin_prefetch(&sh.keys[hp], 1, 1);
+            __builtin_prefetch(&sh.vals[hp], 1, 1);
+          }
+          sh.upsert(vec[i]);
+        }
+      }
     }
   };
   {

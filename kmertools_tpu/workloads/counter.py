@@ -784,12 +784,26 @@ class CountComputer:
             ]
         )
 
-    def _effective_target(self) -> int:
+    def _effective_target(self, device: bool = True) -> int:
         """Batch code budget clamped to the corpus size (pow2-bucketed
         so the compile-shape count stays small): a 2-read file must not
-        dispatch multi-million-element padded sorts."""
+        dispatch multi-million-element padded sorts.
+
+        ``device=False`` (native engine counts alone, CPU-only backend):
+        the default _CTR_TARGET_CODES exists to keep the DEVICE
+        accumulator's per-batch merge program at the ~4M-element scale
+        (compile-time cliff, CLAUDE.md) — the native engine has no such
+        constraint and 256k batches halve its throughput on per-batch
+        overhead (thread spawns, bucket clears; measured 17.9 vs
+        32.5 Mcodes/s at 2M). Applied only while target_codes is the
+        construction default: an explicit target (tests forcing many
+        tiny chunks) stays authoritative."""
         need = 1 << max(16, (2 * max(1, self.total_bases) - 1).bit_length())
-        return min(self.target_codes, need)
+        tgt = self.target_codes
+        if not device and tgt == min(iob.DEFAULT_TARGET_CODES,
+                                     _CTR_TARGET_CODES):
+            tgt = max(tgt, 1 << 21)
+        return min(tgt, need)
 
     def _native_engine(self) -> "NativeCounter | None":
         """The host-CPU engine when it should join the count: native
@@ -858,7 +872,7 @@ class CountComputer:
         try:
             for b in iob.stream_path(
                 self.in_path, overlap=self.ksize - 1,
-                target_codes=self._effective_target(),
+                target_codes=self._effective_target(device=acc is not None),
                 shard=self.mh_ctx.shard_for(self.in_path)
                 if self.mh_ctx else None,
             ):
