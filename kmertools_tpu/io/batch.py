@@ -57,20 +57,53 @@ class Batch:
 
     __slots__ = (
         "_codes", "_planes", "lengths", "read_idx", "row_start",
-        "last_row", "ids", "read_lengths",
+        "last_row", "_ids", "_read_lengths", "_ids_raw",
     )
 
-    def __init__(self, lengths, read_idx, row_start, last_row, ids,
-                 read_lengths, codes=None, planes=None):
+    def __init__(self, lengths, read_idx, row_start, last_row, ids=None,
+                 read_lengths=None, codes=None, planes=None, ids_raw=None):
         assert codes is not None or planes is not None
+        assert ids is not None or ids_raw is not None
         self._codes = codes
         self._planes = planes
         self.lengths = lengths  # (R,) int32 valid codes per row
         self.read_idx = read_idx  # (R,) int64 global read index, -1 = pad row
         self.row_start = row_start  # (R,) int64 row's first-base offset
         self.last_row = last_row  # (R,) bool, row is its read's final row
-        self.ids = ids  # read_idx -> id, reads whose first row is here
-        self.read_lengths = read_lengths  # read_idx -> full read length
+        # ids of reads whose FIRST row is in this batch, in one of two
+        # interchangeable forms (dicts built lazily from raw — decoding
+        # half a million id strings per batch into dict entries was 30%
+        # of the minimiser wall on short reads, and the histogram
+        # workloads never look at ids at all):
+        #   _ids/_read_lengths — read_idx -> id str / full read length
+        #   _ids_raw — (blob bytes "id\0id\0...", offs int64 (n+1,),
+        #               ridx int64 (n,), rlens int64 (n,)) in row order
+        self._ids = ids
+        self._read_lengths = read_lengths
+        self._ids_raw = ids_raw
+
+    @property
+    def ids(self) -> dict:
+        if self._ids is None:
+            blob, offs, ridx, _ = self._ids_raw
+            self._ids = {
+                int(r): blob[offs[i]:offs[i + 1] - 1].decode()
+                for i, r in enumerate(ridx)
+            }
+        return self._ids
+
+    @property
+    def read_lengths(self) -> dict:
+        if self._read_lengths is None:
+            _, _, ridx, rlens = self._ids_raw
+            self._read_lengths = {
+                int(r): int(l) for r, l in zip(ridx, rlens)
+            }
+        return self._read_lengths
+
+    def ids_raw(self):
+        """(blob, offs, ridx, rlens) or None (dict-built batches)."""
+        return self._ids_raw
 
     @property
     def codes(self) -> np.ndarray:
@@ -354,24 +387,29 @@ def native_batch_stream(
             row_start = np.ctypeslib.as_array(rstart_p, shape=(R,)).copy()
             last_row = np.ctypeslib.as_array(last_p, shape=(R,)).astype(bool)
             nid = n_ids.value
-            ids: dict = {}
-            read_lengths: dict = {}
             if nid:
                 blob = ctypes.string_at(blob_p, blob_len.value)
-                names = blob.split(b"\0")[:nid]
-                idr = np.ctypeslib.as_array(idr_p, shape=(nid,))
-                idl = np.ctypeslib.as_array(idl_p, shape=(nid,))
-                for name, r, l in zip(names, idr, idl):
-                    ids[int(r)] = name.decode()
-                    read_lengths[int(r)] = int(l)
+                idr = np.ctypeslib.as_array(idr_p, shape=(nid,)).copy()
+                idl = np.ctypeslib.as_array(idl_p, shape=(nid,)).copy()
+                # the blob is already "id\0id\0..." in row order; the
+                # NUL positions delimit ids without materialising one
+                # Python string per read
+                offs = np.empty(nid + 1, dtype=np.int64)
+                offs[0] = 0
+                offs[1:] = (
+                    np.flatnonzero(np.frombuffer(blob, np.uint8) == 0) + 1
+                )
+            else:
+                blob = b""
+                offs = np.zeros(1, dtype=np.int64)
+                idr = idl = np.empty(0, dtype=np.int64)
             yield Batch(
                 planes=(packed, vb, n_ambig),
                 lengths=lengths,
                 read_idx=read_idx,
                 row_start=row_start,
                 last_row=last_row,
-                ids=ids,
-                read_lengths=read_lengths,
+                ids_raw=(blob, offs, idr, idl),
             )
     finally:
         so.kt_batcher_close(h)

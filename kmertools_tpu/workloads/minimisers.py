@@ -122,6 +122,35 @@ def _native_min_scanner(msize: int, wsize: int, threads: int = 0):
     return scan
 
 
+class _BlobIds:
+    """Read-id sequence over a NUL-separated blob (the native batcher's
+    wire format), yielding bytes slices on demand — the slab paths never
+    pay a per-read str decode/encode round trip."""
+
+    __slots__ = ("blob", "offs")
+
+    def __init__(self, blob: bytes, offs: np.ndarray):
+        self.blob = blob
+        self.offs = offs  # int64 (n+1,); id i = blob[offs[i]:offs[i+1]-1]
+
+    def __len__(self) -> int:
+        return len(self.offs) - 1
+
+    def __getitem__(self, i) -> bytes:
+        return self.blob[self.offs[i]:self.offs[i + 1] - 1]
+
+
+def _batch_ids_bytes(b: iob.Batch, rids: np.ndarray, n: int):
+    """ids (as bytes) for rows 0..n-1 of an all-single-row batch."""
+    raw = b.ids_raw()
+    if raw is not None:
+        blob, offs, ridx, _ = raw
+        if len(ridx) == n and np.array_equal(ridx, rids):
+            return _BlobIds(blob, offs)
+    d = b.ids
+    return [d[int(r)].encode() for r in rids]
+
+
 def _compact_ranges(offs: np.ndarray, counts: np.ndarray,
                     arrays: tuple) -> tuple:
     """Gather the used per-read ranges [offs[i], offs[i]+counts[i]) of
@@ -161,7 +190,7 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
     nlo = min(msize, 16)
 
     states: dict[int, _ReadState] = {}
-    meta: dict[int, tuple[str, int]] = {}
+    meta: dict[int, tuple[bytes, int]] = {}
     native_scan = _native_min_scanner(msize, wsize, threads)
 
     # DP-shard every device kernel over the mesh (the all-threads
@@ -199,16 +228,12 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
             lambda c: mops.window_min(c, msize, wsize)
         )
 
-    def handle_batch_fast(b: iob.Batch, lengths, trail, hasbad) -> bool:
+    def handle_batch_fast(b: iob.Batch, lengths, trail, hasbad,
+                          n: int) -> bool:
         """Vectorised path for batches of complete single-row reads (the
         common case): no per-row state machine, one extract_records call
-        over the raveled fixed-width window grid."""
-        real = b.read_idx >= 0
-        if states or not bool((b.last_row | ~real).all()) or bool(
-            (b.row_start[real] != 0).any()
-        ):
-            return False
-        n = int(real.sum())
+        over the raveled fixed-width window grid. ``n`` = fast_rows(b)
+        (>= 0 when eligible)."""
         if n == 0:
             return True
         lengths = lengths[:n]
@@ -302,24 +327,33 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
             emit(ridx, rid, rlen, (vals_f[a:z], st_f[a:z], en_f[a:z]))
         return True
 
+    def fast_rows(b: iob.Batch) -> int:
+        """Number of real rows when EVERY real row is a complete
+        single-row read (and no carried state), else -1."""
+        if states:
+            return -1
+        real = b.read_idx >= 0
+        if not bool((b.last_row | ~real).all()) or bool(
+            (b.row_start[real] != 0).any()
+        ):
+            return -1
+        return int(real.sum())
+
     def handle_batch(b: iob.Batch):
-        meta.update({ridx: (rid, b.read_lengths[ridx]) for ridx, rid in b.ids.items()})
         if native_scan is not None:
             # complete single-row reads (the common case): the native
             # state machine produces every record — window changes,
-            # ambiguity flushes, sentinels — with no codes expansion
-            real = b.read_idx >= 0
-            if (
-                not states
-                and bool((b.last_row | ~real).all())
-                and not bool((b.row_start[real] != 0).any())
-            ):
-                n = int(real.sum())
+            # ambiguity flushes, sentinels — with no codes expansion.
+            # Ids ride as blob slices straight off the batch; the meta
+            # dict (str decode per read) never gets involved.
+            n = fast_rows(b)
+            if n >= 0:
                 if n:
                     offs, counts, vals, sts, ens = native_scan(
                         b.planes(), b.lengths[:n]
                     )
                     rids = b.read_idx[:n]
+                    ids_b = _batch_ids_bytes(b, rids, n)
                     if emit_slab is not None:
                         # compact gather drops the (len+2)-capacity
                         # spacing so the slab pins only real records
@@ -328,21 +362,20 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
                         )
                         emit_slab(
                             rids.astype(np.int64),
-                            [meta.pop(int(r))[0] for r in rids],
+                            ids_b,
                             b.lengths[:n].astype(np.int64),
                             new_offs, v, s, e,
                         )
                         return []
                     for i in range(n):
                         ridx = int(rids[i])
-                        rid, rlen = meta.pop(ridx)
                         o, c = int(offs[i]), int(counts[i])
                         # .copy(): consumers (m2s grouping) hold records
                         # until a spill ceiling measured in RECORDS —
                         # a view would pin the whole (len+2)-capacity
                         # batch arrays (~24 B/base, not ~24 B/record)
                         emit(
-                            ridx, rid, rlen,
+                            ridx, ids_b[i], int(b.lengths[i]),
                             (
                                 vals[o:o + c].copy(),
                                 sts[o:o + c].copy(),
@@ -350,10 +383,17 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
                             ),
                         )
                 return []
+        # slow paths track ids per read; stored as BYTES (the emit
+        # contract) so slab and per-read arrivals mix freely downstream
+        meta.update({
+            ridx: (rid.encode(), b.read_lengths[ridx])
+            for ridx, rid in b.ids.items()
+        })
         lengths = b.lengths.astype(np.int64)
         trail = _row_trail(b.codes, lengths)
         hasbad = _row_has_bad(b.codes, lengths)
-        if handle_batch_fast(b, lengths, trail, hasbad):
+        nf = fast_rows(b)
+        if nf >= 0 and handle_batch_fast(b, lengths, trail, hasbad, nf):
             return []
         if wsize > 0 and b.codes.shape[1] >= wsize:
             h, l, v = dp_win_full(b)
@@ -454,9 +494,12 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
                target_codes=None, shard=None) -> None:
     """S2m mode (minimisers.rs:87-160)."""
 
-    def write_flat(ids: list, offs, vals, starts, ends) -> None:
+    def write_flat(ids, offs, vals, starts, ends) -> None:
         """Format one ordered block of reads from flat record arrays
-        (offs delimits read i's records)."""
+        (offs delimits read i's records). ``ids`` yields BYTES —
+        a _BlobIds over the batcher's NUL-separated blob on the slab
+        fast path (consumed whole, zero per-read work), or a list of
+        bytes."""
         n_reads = len(ids)
         vals = np.ascontiguousarray(vals, dtype=np.uint64)
         starts = np.ascontiguousarray(starts, dtype=np.int64)
@@ -467,15 +510,21 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
 
         so = native.lib()
         if so is not None:
-            blob_parts = []
-            id_off = np.zeros(n_reads, dtype=np.int64)
-            pos = 0
-            for i, rid in enumerate(ids):
-                bb = rid.encode() + b"\0"
-                blob_parts.append(bb)
-                id_off[i] = pos
-                pos += len(bb)
-            blob = b"".join(blob_parts)
+            if isinstance(ids, _BlobIds):
+                # already the emitter's wire format: "id\0id\0..." +
+                # per-read start offsets
+                blob = ids.blob
+                id_off = np.ascontiguousarray(ids.offs[:-1])
+                pos = len(blob)
+            else:
+                blob_parts = []
+                id_off = np.zeros(n_reads, dtype=np.int64)
+                pos = 0
+                for i, rid in enumerate(ids):
+                    blob_parts.append(rid)
+                    id_off[i] = pos
+                    pos += len(rid) + 1
+                blob = b"\0".join(blob_parts) + b"\0" if blob_parts else b""
             cap = int(pos + offs[-1] * (msize + 46) + n_reads * 4 + 64)
             arr, buf = native.out_buf(cap)
             n = so.kt_format_s2m(
@@ -492,8 +541,8 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
                 return
         acgt = codec.numeric_to_kmer_array(vals, msize) if len(vals) else []
         lines = []
-        for i, rid in enumerate(ids):
-            parts = [rid.encode()]
+        for i in range(n_reads):
+            parts = [ids[i]]
             for j in range(offs[i], offs[i + 1]):
                 parts.append(b"%s:%d-%d" % (acgt[j], starts[j], ends[j]))
             parts.append(b"\n")
@@ -545,10 +594,11 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
 
 def _write_group_lines(out, msize: int, vals: np.ndarray, ss: np.ndarray,
                        ee: np.ndarray, rid_of: np.ndarray,
-                       all_rid: list) -> None:
+                       all_rid) -> None:
     """Format+write ``MIN\\t[(id, s, e), ...]`` lines for a val-sorted
     record chunk (every group fully contained in the chunk). Within a
-    group the records must already be in read order."""
+    group the records must already be in read order. ``all_rid``
+    yields BYTES ids (indexable; list or _RunIdStore)."""
     if not len(vals):
         return
     firsts = np.empty(len(vals), dtype=bool)
@@ -570,7 +620,7 @@ def _write_group_lines(out, msize: int, vals: np.ndarray, ss: np.ndarray,
         idlens = np.zeros(len(uniq), dtype=np.int64)
         pos = 0
         for i, g in enumerate(uniq):
-            bb = all_rid[g].encode() + b"\0"
+            bb = all_rid[g] + b"\0"
             blob_parts.append(bb)
             id_off[i] = pos
             idlens[i] = len(bb) - 1
@@ -603,7 +653,7 @@ def _write_group_lines(out, msize: int, vals: np.ndarray, ss: np.ndarray,
     for g in range(len(bounds) - 1):
         a, z = bounds[g], bounds[g + 1]
         body = ", ".join(
-            f'("{all_rid[rid_of[j]]}", {ss[j]}, {ee[j]})'
+            f'("{all_rid[rid_of[j]].decode()}", {ss[j]}, {ee[j]})'
             for j in range(a, z)
         )
         out.write(b'%s\t[%s]\n' % (acgts[g], body.encode()))
@@ -676,7 +726,7 @@ class _RunIdStore:
     def total(self) -> int:
         return self._bases[-1]
 
-    def __getitem__(self, g) -> str:
+    def __getitem__(self, g) -> bytes:
         import bisect
 
         g = int(g)
@@ -685,7 +735,7 @@ class _RunIdStore:
         local = g - self._bases[r]
         return bytes(
             self._blobs[r][int(o[local]):int(o[local + 1]) - 1]
-        ).decode()
+        )
 
 
 # ~24 B/record resident; default ceiling mirrors the reference's 6 GB
@@ -735,7 +785,7 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
     all_s: list[np.ndarray] = []
     all_e: list[np.ndarray] = []
     all_rk: list[np.ndarray] = []  # per-record global read-order key
-    id_map: dict[int, str] = {}    # rid_key -> id (reads WITH records)
+    id_map: dict[int, bytes] = {}  # rid_key -> id (reads WITH records)
     pending = 0
     spill_dir: list = [None]
     runs: list = []
@@ -798,7 +848,7 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
         np.save(base + ".e.npy", ee)
         np.save(base + ".r.npy", local)
         np.save(base + ".rk.npy", rk)
-        blob_parts = [id_map.pop(int(g)).encode() + b"\0" for g in uniq]
+        blob_parts = [id_map.pop(int(g)) + b"\0" for g in uniq]
         offs = np.zeros(len(blob_parts) + 1, dtype=np.int64)
         np.cumsum([len(bb) for bb in blob_parts], out=offs[1:])
         np.save(

@@ -246,7 +246,8 @@ def test_matches_oracle_mixed_batch(tmp_path, seed):
 
     def emit(ridx, rid, rlen, recs):
         vals, starts, ends = recs
-        per_read[rid] = [
+        # the emit contract carries ids as bytes (blob-slice fast path)
+        per_read[rid.decode() if isinstance(rid, bytes) else rid] = [
             (int(v), int(a), int(b)) for v, a, b in zip(vals, starts, ends)
         ]
 
