@@ -67,7 +67,7 @@ def _build() -> bool:
         return os.path.exists(_SO)
 
 
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 
 def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
@@ -94,6 +94,10 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(c_i64_p), ctypes.POINTER(c_i64_p),
         ctypes.POINTER(c_u8_p), ctypes.POINTER(ctypes.c_char_p),
         c_i64_p, ctypes.POINTER(c_i64_p), ctypes.POINTER(c_i64_p), c_i64_p,
+    ]
+    so.kt_radix_argsort_u64.restype = ctypes.c_int
+    so.kt_radix_argsort_u64.argtypes = [
+        c_u64_p, c_i64, ctypes.c_int, c_i64_p,
     ]
     so.kt_seq_stats.restype = ctypes.c_int
     so.kt_seq_stats.argtypes = [

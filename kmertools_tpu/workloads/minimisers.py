@@ -151,6 +151,26 @@ def _batch_ids_bytes(b: iob.Batch, rids: np.ndarray, n: int):
     return [d[int(r)].encode() for r in rids]
 
 
+def _stable_argsort_u64(a: np.ndarray, bits: int) -> np.ndarray:
+    """Stable argsort of u64 values that fit ``bits`` bits: native LSD
+    radix (kthost.cpp:kt_radix_argsort_u64, memory-speed) when
+    available, numpy stable argsort otherwise — identical permutations
+    (both stable)."""
+    from kmertools_tpu import native
+
+    so = native.lib()
+    if so is not None and len(a) >= (1 << 15):
+        a_c = np.ascontiguousarray(a, dtype=np.uint64)
+        out = np.empty(len(a), dtype=np.int64)
+        rc = so.kt_radix_argsort_u64(
+            a_c.ctypes.data_as(native.c_u64_p), len(a), int(bits),
+            out.ctypes.data_as(native.c_i64_p),
+        )
+        if rc == 0:
+            return out
+    return np.argsort(a, kind="stable")
+
+
 def _compact_ranges(offs: np.ndarray, counts: np.ndarray,
                     arrays: tuple) -> tuple:
     """Gather the used per-read ranges [offs[i], offs[i]+counts[i]) of
@@ -594,11 +614,18 @@ def seq_to_min(wsize: int, msize: int, in_path: str, out_path: str, threads: int
 
 def _write_group_lines(out, msize: int, vals: np.ndarray, ss: np.ndarray,
                        ee: np.ndarray, rid_of: np.ndarray,
-                       all_rid) -> None:
+                       all_rid=None, blob3=None) -> None:
     """Format+write ``MIN\\t[(id, s, e), ...]`` lines for a val-sorted
     record chunk (every group fully contained in the chunk). Within a
-    group the records must already be in read order. ``all_rid``
-    yields BYTES ids (indexable; list or _RunIdStore)."""
+    group the records must already be in read order.
+
+    Ids come in one of two forms:
+      * ``blob3 = (blob bytes, offs int64 (n_ids+1,))`` — ``rid_of``
+        indexes slots of the NUL-separated blob directly (the no-spill
+        fast path: zero per-id work here);
+      * ``all_rid`` — indexable yielding BYTES (list or _RunIdStore;
+        the merge path, where a chunk references a sparse subset and
+        compaction pays for itself)."""
     if not len(vals):
         return
     firsts = np.empty(len(vals), dtype=bool)
@@ -613,22 +640,28 @@ def _write_group_lines(out, msize: int, vals: np.ndarray, ss: np.ndarray,
     if so is not None:
         import ctypes
 
-        # only the read ids actually referenced travel into the blob
-        uniq, local = np.unique(rid_of, return_inverse=True)
-        blob_parts = []
-        id_off = np.zeros(len(uniq), dtype=np.int64)
-        idlens = np.zeros(len(uniq), dtype=np.int64)
-        pos = 0
-        for i, g in enumerate(uniq):
-            bb = all_rid[g] + b"\0"
-            blob_parts.append(bb)
-            id_off[i] = pos
-            idlens[i] = len(bb) - 1
-            pos += len(bb)
-        blob = b"".join(blob_parts)
+        if blob3 is not None:
+            blob, o = blob3
+            id_off = np.ascontiguousarray(o[:-1])
+            idlens = np.diff(o) - 1
+            rid64 = np.ascontiguousarray(rid_of, dtype=np.int64)
+        else:
+            # only the read ids actually referenced travel into the blob
+            uniq, local = np.unique(rid_of, return_inverse=True)
+            blob_parts = []
+            id_off = np.zeros(len(uniq), dtype=np.int64)
+            idlens = np.zeros(len(uniq), dtype=np.int64)
+            pos = 0
+            for i, g in enumerate(uniq):
+                bb = all_rid[g] + b"\0"
+                blob_parts.append(bb)
+                id_off[i] = pos
+                idlens[i] = len(bb) - 1
+                pos += len(bb)
+            blob = b"".join(blob_parts)
+            rid64 = np.ascontiguousarray(local, dtype=np.int64)
         ss64 = np.ascontiguousarray(ss, dtype=np.int64)
         ee64 = np.ascontiguousarray(ee, dtype=np.int64)
-        rid64 = np.ascontiguousarray(local, dtype=np.int64)
         n_groups = len(bounds) - 1
         cap = int(
             idlens[rid64].sum() + 56 * len(vals)
@@ -649,6 +682,8 @@ def _write_group_lines(out, msize: int, vals: np.ndarray, ss: np.ndarray,
             out.write(arr[:n].tobytes())
             return
 
+    if all_rid is None:
+        all_rid = _BlobIds(blob3[0], blob3[1])
     acgts = codec.numeric_to_kmer_array(gvals, msize)
     for g in range(len(bounds) - 1):
         a, z = bounds[g], bounds[g + 1]
@@ -785,8 +820,31 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
     all_s: list[np.ndarray] = []
     all_e: list[np.ndarray] = []
     all_rk: list[np.ndarray] = []  # per-record global read-order key
-    id_map: dict[int, bytes] = {}  # rid_key -> id (reads WITH records)
+    all_gs: list[np.ndarray] = []  # per-record id-store slot (below)
+    # id store: NUL-separated blobs exactly as the batcher hands them
+    # over (whole slab blobs, no per-read splitting); a record points
+    # at its read id by GLOBAL SLOT = arrival index. The former
+    # rid->str dict cost two 500k-iteration Python loops per run
+    # (inserts at emit, blob rebuild at write).
+    id_blobs: list[bytes] = []
+    id_offs: list[np.ndarray] = []  # per blob: int64 (n_ids + 1,)
+    id_nslots = [0]
     pending = 0
+
+    def _ids_finalize():
+        """One (blob, offs) over the whole store; slot i = id i."""
+        blob = b"".join(id_blobs)
+        total = id_nslots[0]
+        offs = np.zeros(total + 1, dtype=np.int64)
+        pos = 0
+        slot = 0
+        for b_, o_ in zip(id_blobs, id_offs):
+            k = len(o_) - 1
+            offs[slot:slot + k] = o_[:-1] + pos
+            slot += k
+            pos += len(b_)
+        offs[total] = pos
+        return blob, offs
     spill_dir: list = [None]
     runs: list = []
     rid_base = (mh_ctx.host_id << 40) if mh_ctx is not None else 0
@@ -803,31 +861,29 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
         last_rk[0] = last
 
     def _sorted_arrays():
-        """Records in (val, read order, start) order plus the blob-
-        local id index per record and the ascending unique rid_keys.
+        """Records in (val, read order, start) order plus the id-store
+        slot per record.
 
         Records of one read arrive contiguously in start order, so one
         stable argsort by val over read-ordered arrays realises the
         full (val, rid, start) contract; a prior stable sort by rid_key
-        restores read order first when buckets interleaved. Cheaper
-        than a 3-key lexsort by ~2x (measured: the sort WAS the m2s
-        wall clock at 11M records)."""
+        restores read order first when buckets interleaved. The sorts
+        are the native stable radix argsort where available (numpy's
+        introsort measured 1.6 s on 11M values; the radix ~0.2 s)."""
         vals = np.concatenate(all_vals)
         ss = np.concatenate(all_s)
         ee = np.concatenate(all_e)
         rk = np.concatenate(all_rk)
+        gs = np.concatenate(all_gs)
         if not arrival_sorted[0]:
-            o1 = np.argsort(rk, kind="stable")
-            vals, ss, ee, rk = vals[o1], ss[o1], ee[o1], rk[o1]
-        # rk now nondecreasing: O(n) unique + inverse, no extra sort
-        first = np.empty(len(rk), bool)
-        first[0] = True
-        np.not_equal(rk[1:], rk[:-1], out=first[1:])
-        uniq = rk[first]
-        local = np.cumsum(first) - 1
-        order = np.argsort(vals, kind="stable")
-        return (vals[order], ss[order], ee[order], rk[order],
-                local[order], uniq)
+            o1 = _stable_argsort_u64(
+                rk.view(np.uint64), int(rk.max()).bit_length() or 1
+            )
+            vals, ss, ee, rk, gs = (
+                vals[o1], ss[o1], ee[o1], rk[o1], gs[o1]
+            )
+        order = _stable_argsort_u64(vals, 2 * msize)
+        return vals[order], ss[order], ee[order], rk[order], gs[order]
 
     def _spill_run() -> None:
         nonlocal pending
@@ -838,26 +894,23 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
                 prefix=_os.path.basename(out_path) + ".spill.",
                 dir=_os.path.dirname(_os.path.abspath(out_path)),
             )
-        vals, ss, ee, rk, local, uniq = _sorted_arrays()
+        vals, ss, ee, rk, gs = _sorted_arrays()
         base = _os.path.join(spill_dir[0], f"{run_prefix}{len(runs)}")
-        # ids ride along (VERDICT r2 item 8): blob in rid_key order,
-        # .r holds the blob-local index per record, .rk the global
+        # ids ride along (VERDICT r2 item 8): the store blob spills
+        # whole; .r holds the blob slot per record, .rk the global
         # read-order key the merge sorts by
         np.save(base + ".v.npy", vals)
         np.save(base + ".s.npy", ss)
         np.save(base + ".e.npy", ee)
-        np.save(base + ".r.npy", local)
+        np.save(base + ".r.npy", gs)
         np.save(base + ".rk.npy", rk)
-        blob_parts = [id_map.pop(int(g)) + b"\0" for g in uniq]
-        offs = np.zeros(len(blob_parts) + 1, dtype=np.int64)
-        np.cumsum([len(bb) for bb in blob_parts], out=offs[1:])
-        np.save(
-            base + ".ib.npy",
-            np.frombuffer(b"".join(blob_parts), dtype=np.uint8),
-        )
+        blob, offs = _ids_finalize()
+        np.save(base + ".ib.npy", np.frombuffer(blob, dtype=np.uint8))
         np.save(base + ".io.npy", offs)
         runs.append(base)
         all_vals.clear(); all_s.clear(); all_e.clear(); all_rk.clear()
+        all_gs.clear(); id_blobs.clear(); id_offs.clear()
+        id_nslots[0] = 0
         arrival_sorted[0] = True
         last_rk[0] = -1
         pending = 0
@@ -869,7 +922,11 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
             return
         rk = rid_base + int(ridx)
         _note_order(rk, rk)
-        id_map[rk] = rid
+        gs = id_nslots[0]
+        id_blobs.append(rid + b"\0")
+        id_offs.append(np.array([0, len(rid) + 1], dtype=np.int64))
+        id_nslots[0] = gs + 1
+        all_gs.append(np.full(len(v), gs, dtype=np.int64))
         all_vals.append(np.asarray(v, dtype=np.uint64))
         all_s.append(np.asarray(s, dtype=np.int64))
         all_e.append(np.asarray(e, dtype=np.int64))
@@ -885,8 +942,24 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
         counts = np.diff(offs)
         rk = rids + rid_base
         _note_order(int(rk[0]), int(rk[-1]))
-        for i in np.flatnonzero(counts):
-            id_map[int(rk[i])] = ids[i]
+        # the whole slab blob becomes one id-store part (slots for
+        # recordless reads sit unreferenced — a few bytes each)
+        n = len(rids)
+        gs0 = id_nslots[0]
+        if isinstance(ids, _BlobIds):
+            id_blobs.append(ids.blob)
+            id_offs.append(ids.offs)
+        else:
+            id_blobs.append(
+                b"\0".join(ids) + b"\0" if n else b""
+            )
+            o = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum([len(x) + 1 for x in ids], out=o[1:])
+            id_offs.append(o)
+        id_nslots[0] = gs0 + n
+        all_gs.append(
+            np.repeat(np.arange(gs0, gs0 + n, dtype=np.int64), counts)
+        )
         all_vals.append(vals)
         all_s.append(starts)
         all_e.append(ends)
@@ -990,9 +1063,10 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
             if not runs:
                 if not all_vals:
                     return
-                vals, ss, ee, _rk, local, uniq = _sorted_arrays()
-                ids_list = [id_map[int(g)] for g in uniq]
-                _write_group_lines(out, msize, vals, ss, ee, local, ids_list)
+                vals, ss, ee, _rk, gs = _sorted_arrays()
+                _write_group_lines(
+                    out, msize, vals, ss, ee, gs, blob3=_ids_finalize()
+                )
                 return
             _spill_run()  # leftover in-RAM segment becomes the last run
             _merge_runs_to(out, runs)
