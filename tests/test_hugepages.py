@@ -38,10 +38,14 @@ def _boot_id() -> str:
         return f.read().strip()
 
 
-def _seed(tmp_path, verdict: str) -> None:
+def _seed(tmp_path, verdict: str, age_s: float = 0.0) -> None:
+    import time
+
     d = tmp_path / "kmertools_tpu"
     d.mkdir(parents=True, exist_ok=True)
-    (d / "hugepage_probe").write_text(f"{_boot_id()} {verdict}\n")
+    (d / "hugepage_probe").write_text(
+        f"{_boot_id()} {verdict} {time.time() - age_s:.0f}\n"
+    )
 
 
 def test_cached_slow_verdict_disables_numpy_madvise(tmp_path):
@@ -84,3 +88,35 @@ def test_probe_runs_and_caches_once(tmp_path):
         tmp_path,
     )
     assert out.strip() in ("slow", "fast")
+
+
+def test_expired_verdict_reprobes(tmp_path):
+    """The host pathology DRIFTS within a boot (direct compaction
+    succeeds or fails with balloon fragmentation), so a cached verdict
+    older than the TTL must be re-measured, not trusted."""
+    _seed(tmp_path, "slow", age_s=10_000)
+    out = _run(
+        "import kmertools_tpu, os;"
+        "p = os.path.join(os.environ['XDG_CACHE_HOME'],"
+        " 'kmertools_tpu', 'hugepage_probe');"
+        "f = open(p).read().split();"
+        "import time; print(time.time() - float(f[2]) < 300)",
+        tmp_path,
+    )
+    # the probe file was rewritten with a fresh timestamp
+    assert out.strip() == "True"
+
+
+def test_legacy_two_field_cache_is_stale(tmp_path):
+    """Round-2 cache files (no timestamp) must not satisfy the TTL."""
+    d = tmp_path / "kmertools_tpu"
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "hugepage_probe").write_text(f"{_boot_id()} fast\n")
+    out = _run(
+        "import kmertools_tpu, os;"
+        "p = os.path.join(os.environ['XDG_CACHE_HOME'],"
+        " 'kmertools_tpu', 'hugepage_probe');"
+        "print(len(open(p).read().split()))",
+        tmp_path,
+    )
+    assert out.strip() == "3"  # rewritten in the 3-field form

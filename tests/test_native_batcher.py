@@ -137,3 +137,25 @@ def test_seq_stats_matches_python(tmp_path):
         count += 1
         total += len(rec.seq)
     assert (st.seq_count, st.total_length) == (count, total)
+
+
+def test_radix_argsort_matches_numpy_stable():
+    """kt_radix_argsort_u64 must produce EXACTLY numpy's stable argsort
+    permutation (the m2s output contract relies on stability: records
+    pre-ordered by (read, start) sort by value only)."""
+    from kmertools_tpu import native
+    from kmertools_tpu.workloads.minimisers import _stable_argsort_u64
+
+    so = native.lib()
+    if so is None:
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(3)
+    for n, bits in ((1 << 15, 20), (100_000, 20), (70_000, 62), (1 << 15, 1)):
+        a = rng.integers(0, 1 << min(bits, 62), size=n).astype(np.uint64)
+        # heavy duplication so stability is actually exercised
+        a[: n // 2] = a[0]
+        got = _stable_argsort_u64(a, bits)
+        want = np.argsort(a, kind="stable")
+        assert np.array_equal(got, want), (n, bits)
