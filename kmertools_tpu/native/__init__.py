@@ -95,6 +95,11 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(c_u8_p), ctypes.POINTER(ctypes.c_char_p),
         c_i64_p, ctypes.POINTER(c_i64_p), ctypes.POINTER(c_i64_p), c_i64_p,
     ]
+    so.kt_merge_sorted_kv.restype = ctypes.c_int
+    so.kt_merge_sorted_kv.argtypes = [
+        ctypes.POINTER(c_u64_p), ctypes.POINTER(c_u64_p), c_i64_p, c_i64,
+        c_u64_p, c_u64_p,
+    ]
     so.kt_radix_argsort_u64.restype = ctypes.c_int
     so.kt_radix_argsort_u64.argtypes = [
         c_u64_p, c_i64, ctypes.c_int, c_i64_p,

@@ -2050,6 +2050,37 @@ static void kt_radix_sort_kv(std::vector<std::pair<uint64_t, uint32_t>> &a,
   }
 }
 
+// P-way merge of ascending-sorted (keys, counts) u64 arrays into one
+// sorted pair (keys across parts are disjoint — counter partitions by
+// `kmer % n_parts` — so no equal-key handling is needed). Linear head
+// scan per output: P is the partition count (~threads), so P compares
+// per element beat a heap's branchy log P for the sizes in play.
+int kt_merge_sorted_kv(const uint64_t **keys, const uint64_t **cnts,
+                       const int64_t *lens, int64_t nparts,
+                       uint64_t *okeys, uint64_t *ocnts) {
+  if (nparts < 1) return 0;
+  std::vector<int64_t> pos((size_t)nparts, 0);
+  int64_t total = 0;
+  for (int64_t p = 0; p < nparts; p++) total += lens[p];
+  for (int64_t i = 0; i < total; i++) {
+    int best = -1;
+    uint64_t bk = ~0ull;
+    for (int64_t p = 0; p < nparts; p++) {
+      if (pos[(size_t)p] < lens[p]) {
+        const uint64_t k = keys[p][pos[(size_t)p]];
+        if (best < 0 || k < bk) {
+          bk = k;
+          best = (int)p;
+        }
+      }
+    }
+    okeys[i] = bk;
+    ocnts[i] = cnts[best][pos[(size_t)best]];
+    pos[(size_t)best]++;
+  }
+  return 0;
+}
+
 // Stable LSD-radix argsort of u64 keys whose values fit `bits` bits
 // (11-bit digits). numpy's introsort argsort on 11M minimiser values
 // measured 1.6 s; this runs at memory speed (~0.2 s) and is stable,

@@ -990,15 +990,12 @@ class CountComputer:
                 table_k.append(k)
                 table_c.append(c)
         # in-memory handoff for composing workloads (coverage): saves
-        # re-parsing the TSV we just wrote
-        if table_k:
-            self.last_table = (
-                np.concatenate(table_k), np.concatenate(table_c)
-            )
-        else:
-            self.last_table = (
-                np.empty(0, np.uint64), np.empty(0, np.uint64)
-            )
+        # re-parsing the TSV we just wrote. Kept as PER-PARTITION
+        # (keys, counts) pairs, each sorted ascending — the consumer
+        # k-way merges at memory speed instead of re-sorting 15M keys
+        # (partitions interleave by `kmer % n_parts`, so a global sort
+        # from scratch costs ~10x the merge).
+        self.last_table_parts = list(zip(table_k, table_c))
         self._write_manifest()
 
     def _count_and_merge_multihost(self, delete: bool) -> None:

@@ -36,6 +36,47 @@ from kmertools_tpu.workloads.common import (
 from kmertools_tpu.workloads.counter import CountComputer
 
 
+def _merge_table_parts(parts: list):
+    """K-way merge of per-partition sorted (keys, counts) pairs into
+    one globally sorted pair (keys disjoint across partitions). Native
+    single pass when available; argsort of the concatenation otherwise
+    (identical output — keys are unique)."""
+    import ctypes
+
+    from kmertools_tpu import native
+
+    parts = [(k, c) for k, c in parts if len(k)]
+    if not parts:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    if len(parts) == 1:
+        return parts[0]
+    so = native.lib()
+    if so is not None:
+        ks = [np.ascontiguousarray(k, dtype=np.uint64) for k, _ in parts]
+        cs = [np.ascontiguousarray(c, dtype=np.uint64) for _, c in parts]
+        lens = np.array([len(k) for k in ks], dtype=np.int64)
+        kp = (native.c_u64_p * len(ks))(
+            *[k.ctypes.data_as(native.c_u64_p) for k in ks]
+        )
+        cp = (native.c_u64_p * len(cs))(
+            *[c.ctypes.data_as(native.c_u64_p) for c in cs]
+        )
+        total = int(lens.sum())
+        ok = np.empty(total, np.uint64)
+        oc = np.empty(total, np.uint64)
+        rc = so.kt_merge_sorted_kv(
+            kp, cp, lens.ctypes.data_as(native.c_i64_p), len(ks),
+            ok.ctypes.data_as(native.c_u64_p),
+            oc.ctypes.data_as(native.c_u64_p),
+        )
+        if rc == 0:
+            return ok, oc
+    kmers = np.concatenate([k for k, _ in parts])
+    counts = np.concatenate([c for _, c in parts])
+    order = np.argsort(kmers)
+    return kmers[order], counts[order]
+
+
 class CovComputer:
     """coverage/src/lib.rs:14-184 equivalent."""
 
@@ -92,24 +133,25 @@ class CovComputer:
             ctr.set_multihost(self.mh_ctx)
         ctr.count_and_merge(True)
         # single-chunk single-host counts hand the table over in memory
-        # (coverage/src/lib.rs:82-91 re-reads the file; we skip that)
-        self._table = getattr(ctr, "last_table", None)
+        # (coverage/src/lib.rs:82-91 re-reads the file; we skip that):
+        # per-partition (keys, counts) pairs, each sorted ascending
+        self._table_parts = getattr(ctr, "last_table_parts", None)
 
     def _load_table(self):
         """kmers.counts -> sorted host (keys u64, counts i32); device
         uploads split the keys into (hi, lo) u32 pairs."""
-        table = getattr(self, "_table", None)
-        if table is not None and len(table[0]):
-            kmers, counts = table
+        parts = getattr(self, "_table_parts", None)
+        if parts is not None:
+            kmers, counts = _merge_table_parts(parts)
         else:
             from kmertools_tpu.workloads.counter import _read_tsv
 
             kmers, counts = _read_tsv(
                 os.path.join(self.out_dir, "kmers.counts")
             )
+            order = np.argsort(kmers)
+            kmers, counts = kmers[order], counts[order]
         counts = counts.astype(np.int64)
-        order = np.argsort(kmers)
-        kmers, counts = kmers[order], counts[order]
         tc = np.minimum(counts, np.int64(2**31 - 1)).astype(np.int32)
         return np.ascontiguousarray(kmers), np.ascontiguousarray(tc)
 
