@@ -29,7 +29,7 @@ run python -c "import jax; d=jax.devices(); print([str(x) for x in d], d[0].plat
 check oligo_fa timeout 1500 python -m kmertools_tpu comp oligo -i $TD/reads.fa -o fa.kmers -k 4
 check oligo_fa_cmp cmp fa.kmers $TD/expected_fa.kmers
 check oligo_gz timeout 900 python -m kmertools_tpu comp oligo -i $TD/reads.fq.gz -o gz.kmers -k 4
-check oligo_gz_cmp cmp gz.kmers $TD/expected_fq.kmers
+check oligo_gz_cmp cmp gz.kmers $TD/expected_fa.kmers
 check oligo_stdin timeout 900 bash -c "cat $TD/reads.fq | python -m kmertools_tpu comp oligo -i - -o sin.kmers -k 4"
 check min_s2m timeout 1500 python -m kmertools_tpu min -i $TD/reads.fq -o seq_min -m 7 -w 31 -p s2m
 check min_s2m_cmp bash -c "diff <(sed 's/[[:space:]]*\$//' seq_min | sort) <(sed 's/[[:space:]]*\$//' $TD/expected_seq_minimisers | sort)"
