@@ -72,6 +72,15 @@ ByteSource *open_source(const char *path) {
   }
   int fd = open(path, O_RDONLY);
   if (fd < 0) { delete s; return nullptr; }
+  if (lseek(fd, 0, SEEK_CUR) < 0) {
+    // not seekable (FIFO / process substitution): magic bytes can't be
+    // un-read and gzopen(path) would block on a second writer — hand
+    // the fd to zlib's transparent reader, which handles both gzip and
+    // plain bytes (the pre-round-3 behavior for every input)
+    s->gz = gzdopen(fd, "rb");
+    if (!s->gz) { close(fd); delete s; return nullptr; }
+    return s;
+  }
   ssize_t m = ::read(fd, s->pre, 2);
   if (m == 2 && s->pre[0] == 0x1f && (unsigned char)s->pre[1] == 0x8b) {
     close(fd);

@@ -165,6 +165,9 @@ def _pow2_at_least(n: int, floor: int = 1 << 10) -> int:
 # batch by the same 8x factor), so the smaller default costs only more
 # per-batch host round trips — negligible next to the compile cliff.
 _CTR_TARGET_CODES = int(os.environ.get("KMERTOOLS_CTR_TARGET", 1 << 18))
+# an env-set target is an explicit user choice: the host-path batch
+# floor must not override it (only the construction default)
+_CTR_TARGET_EXPLICIT = "KMERTOOLS_CTR_TARGET" in os.environ
 
 _DRAIN_PIECE_FLOOR = 1 << 16
 
@@ -800,8 +803,11 @@ class CountComputer:
         tiny chunks) stays authoritative."""
         need = 1 << max(16, (2 * max(1, self.total_bases) - 1).bit_length())
         tgt = self.target_codes
-        if not device and tgt == min(iob.DEFAULT_TARGET_CODES,
-                                     _CTR_TARGET_CODES):
+        if (
+            not device
+            and not _CTR_TARGET_EXPLICIT
+            and tgt == min(iob.DEFAULT_TARGET_CODES, _CTR_TARGET_CODES)
+        ):
             tgt = max(tgt, 1 << 21)
         return min(tgt, need)
 

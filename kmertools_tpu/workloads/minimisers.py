@@ -249,13 +249,13 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
         )
 
     def handle_batch_fast(b: iob.Batch, lengths, trail, hasbad,
-                          n: int) -> bool:
+                          n: int) -> None:
         """Vectorised path for batches of complete single-row reads (the
         common case): no per-row state machine, one extract_records call
         over the raveled fixed-width window grid. ``n`` = fast_rows(b)
         (>= 0 when eligible)."""
         if n == 0:
-            return True
+            return
         lengths = lengths[:n]
         trail = trail[:n]
         hasbad = hasbad[:n]
@@ -339,13 +339,12 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
                 lengths,
                 offs, vals_f, st_f, en_f,
             )
-            return True
+            return
         for i in range(n):
             ridx = int(rids[i])
             rid, rlen = meta.pop(ridx)
             a, z = offs[i], offs[i + 1]
             emit(ridx, rid, rlen, (vals_f[a:z], st_f[a:z], en_f[a:z]))
-        return True
 
     def fast_rows(b: iob.Batch) -> int:
         """Number of real rows when EVERY real row is a complete
@@ -360,13 +359,13 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
         return int(real.sum())
 
     def handle_batch(b: iob.Batch):
+        n = fast_rows(b)  # >= 0: every real row is a complete read
         if native_scan is not None:
             # complete single-row reads (the common case): the native
             # state machine produces every record — window changes,
             # ambiguity flushes, sentinels — with no codes expansion.
             # Ids ride as blob slices straight off the batch; the meta
             # dict (str decode per read) never gets involved.
-            n = fast_rows(b)
             if n >= 0:
                 if n:
                     offs, counts, vals, sts, ens = native_scan(
@@ -412,8 +411,8 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
         lengths = b.lengths.astype(np.int64)
         trail = _row_trail(b.codes, lengths)
         hasbad = _row_has_bad(b.codes, lengths)
-        nf = fast_rows(b)
-        if nf >= 0 and handle_batch_fast(b, lengths, trail, hasbad, nf):
+        if n >= 0:
+            handle_batch_fast(b, lengths, trail, hasbad, n)
             return []
         if wsize > 0 and b.codes.shape[1] >= wsize:
             h, l, v = dp_win_full(b)
@@ -773,9 +772,13 @@ class _RunIdStore:
         )
 
 
-# ~24 B/record resident; default ceiling mirrors the reference's 6 GB
-# default memory budget (kmertools/src/args.rs:163-165)
-_M2S_DEFAULT_SPILL_RECORDS = (6 << 30) // 24
+# Resident cost per record: vals+starts+ends+rk+gs = 40 B; the native
+# radix argsort transiently adds 32 B/record ((key, idx) pairs, double-
+# buffered) at each run sort -> peak ~72 B/record. Default ceiling
+# mirrors the reference's 6 GB default memory budget
+# (kmertools/src/args.rs:163-165) against that PEAK, not the resident
+# floor.
+_M2S_DEFAULT_SPILL_RECORDS = (6 << 30) // 72
 
 
 def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,

@@ -8,11 +8,14 @@ yield identical Batch streams on every input shape — these corpora pin
 the parser's edge cases (ktio/src/seq.rs:100-131 semantics).
 """
 
+import os
+
 import numpy as np
 import pytest
 
 from kmertools_tpu import native
 from kmertools_tpu.io import fastx
+from kmertools_tpu.io import batch
 from kmertools_tpu.io.batch import batch_stream, native_batch_stream
 
 pytestmark = pytest.mark.skipif(
@@ -159,3 +162,97 @@ def test_radix_argsort_matches_numpy_stable():
         got = _stable_argsort_u64(a, bits)
         want = np.argsort(a, kind="stable")
         assert np.array_equal(got, want), (n, bits)
+
+
+def test_translate_all_bytes_parity(tmp_path):
+    """The AVX2 pshufb translate must match the Python NT4 table for
+    every byte value that can appear on a sequence line (byte parity is
+    the project's top invariant and the SIMD path only runs on AVX2
+    hosts — this pins it wherever it runs)."""
+    from kmertools_tpu.utils.codec import SEQ_NT4_TABLE
+
+    payload = bytes(
+        b for b in range(1, 256) if b not in (10, 13, ord(">"), ord("@"))
+    )
+    seq = payload * 9 + b"ACGTUacgtu" * 13  # >2 SIMD blocks + remainder
+    p = tmp_path / "bytes.fa"
+    p.write_bytes(b">r1\n" + seq + b"\n")
+    exp = SEQ_NT4_TABLE[np.frombuffer(seq, np.uint8)]
+    for b in batch.stream_path(str(p), overlap=0):
+        got = b.codes[0][: len(seq)]
+        assert np.array_equal(got, exp), np.flatnonzero(got != exp)[:5]
+
+
+def test_pack_planes_matches_numpy_fuzz():
+    """Native (AVX2 + scalar-tail) pack_planes vs the numpy reference
+    computation: packed planes, valid bits, and the within-length
+    ambiguity count."""
+    from kmertools_tpu import native
+
+    if native.lib() is None:
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(11)
+    for R, W in [(8, 128), (5, 256), (64, 8192), (3, 8), (7, 40)]:
+        codes = np.minimum(rng.integers(0, 6, size=(R, W)), 4).astype(np.uint8)
+        lens = rng.integers(0, W + 1, size=R).astype(np.int32)
+        p1, v1, a1 = batch.pack_planes(codes, lens)
+        valid = codes < 4
+        c = np.where(valid, codes, 0).astype(np.uint8)
+        p2 = (
+            c[:, 0::4] | (c[:, 1::4] << 2) | (c[:, 2::4] << 4)
+            | (c[:, 3::4] << 6)
+        )
+        v2 = np.packbits(valid, axis=1, bitorder="little")
+        in_len = np.arange(W)[None, :] < lens[:, None]
+        a2 = int(np.count_nonzero(~valid & in_len))
+        assert np.array_equal(p1, p2) and np.array_equal(v1, v2), (R, W)
+        assert a1 == a2, (R, W)
+
+
+def test_fifo_gzip_input(tmp_path, test_data):
+    """gzip arriving on a FIFO (process substitution): the native
+    ByteSource's magic-byte sniff must not close-and-reopen the pipe
+    (that blocks forever waiting for a second writer) — non-seekable
+    fds hand straight to zlib's transparent reader. Regression test for
+    the round-3 raw-fd fast path."""
+    import threading
+
+    def stream_ids_codes(path):
+        out = []
+        for b in batch.stream_path(path, overlap=0):
+            for i in range(len(b.read_idx)):
+                r = int(b.read_idx[i])
+                if r < 0:
+                    continue
+                out.append(
+                    (r, b.ids.get(r), b.codes[i, : b.lengths[i]].tobytes())
+                )
+        return sorted(out)
+
+    def feed(fifo, payload):
+        def writer():
+            with open(fifo, "wb") as f:
+                f.write(payload)
+
+        t = threading.Thread(target=writer, daemon=True)
+        t.start()
+        return t
+
+    # gz bytes over a FIFO (named .fq.gz so the format hint matches the
+    # reference's extension detection; zlib's magic check decompresses)
+    fifo = str(tmp_path / "p.fq.gz")
+    os.mkfifo(fifo)
+    t = feed(fifo, (test_data / "reads.fq.gz").read_bytes())
+    got = stream_ids_codes(fifo)
+    t.join(timeout=10)
+    assert got == stream_ids_codes(str(test_data / "reads.fq"))
+
+    # plain bytes over a FIFO keep working too
+    fifo2 = str(tmp_path / "q.fa")
+    os.mkfifo(fifo2)
+    t2 = feed(fifo2, (test_data / "reads.fa").read_bytes())
+    got2 = stream_ids_codes(fifo2)
+    t2.join(timeout=10)
+    assert got2 == stream_ids_codes(str(test_data / "reads.fa"))
