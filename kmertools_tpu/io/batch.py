@@ -322,8 +322,13 @@ def native_batch_stream(
     overlap: int,
     row_widths: tuple[int, ...] = DEFAULT_ROW_WIDTHS,
     target_codes: int = DEFAULT_TARGET_CODES,
+    byte_range: tuple[int, int] | None = None,
 ) -> Iterator[Batch]:
-    """batch_stream via the C++ host runtime (kmertools_tpu.native)."""
+    """batch_stream via the C++ host runtime (kmertools_tpu.native).
+
+    ``byte_range=(start, end)`` restricts the stream to a record-
+    aligned byte range of a PLAIN file (a multi-host shard); read
+    numbering is range-local."""
     import ctypes
 
     from kmertools_tpu import native
@@ -331,14 +336,26 @@ def native_batch_stream(
     so = native.lib()
     assert so is not None
     widths = np.array(sorted(row_widths), dtype=np.int64)
-    h = so.kt_batcher_open(
-        path.encode(),
-        overlap,
-        widths.ctypes.data_as(native.c_i64_p),
-        len(widths),
-        target_codes,
-        _fmt_hint(path),
-    )
+    if byte_range is not None:
+        h = so.kt_batcher_open_range(
+            path.encode(),
+            overlap,
+            widths.ctypes.data_as(native.c_i64_p),
+            len(widths),
+            target_codes,
+            _fmt_hint(path),
+            byte_range[0],
+            byte_range[1],
+        )
+    else:
+        h = so.kt_batcher_open(
+            path.encode(),
+            overlap,
+            widths.ctypes.data_as(native.c_i64_p),
+            len(widths),
+            target_codes,
+            _fmt_hint(path),
+        )
     if not h:
         raise FileNotFoundError(path)
     try:
@@ -430,15 +447,25 @@ def stream_path(
     host's record-aligned byte range for multi-host runs; read
     numbering is shard-local so per-host outputs concatenate in shard
     order."""
+    from kmertools_tpu import native
+
     if shard is not None:
+        # shards only exist for plain (non-gz, non-stdin) files
+        # (parallel/dataflow.split_file rejects the rest), so the
+        # native batcher reads the byte range directly — without this
+        # every multi-host run lost the whole native parse path
+        # (measured 3x on 2-host oligo)
+        if native.lib() is not None:
+            return native_batch_stream(
+                path, overlap, row_widths, target_codes,
+                byte_range=(shard.start, shard.end),
+            )
         from kmertools_tpu.parallel import dataflow
 
         return batch_stream(
             dataflow.shard_sequences(path, shard), overlap, row_widths,
             target_codes,
         )
-    from kmertools_tpu import native
-
     if native.lib() is not None:
         return native_batch_stream(path, overlap, row_widths, target_codes)
     from kmertools_tpu.io import fastx

@@ -67,7 +67,7 @@ def _build() -> bool:
         return os.path.exists(_SO)
 
 
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 
 
 def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
@@ -81,6 +81,11 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
     so.kt_batcher_open.restype = ctypes.c_void_p
     so.kt_batcher_open.argtypes = [
         ctypes.c_char_p, c_i64, c_i64_p, ctypes.c_int, c_i64, ctypes.c_int,
+    ]
+    so.kt_batcher_open_range.restype = ctypes.c_void_p
+    so.kt_batcher_open_range.argtypes = [
+        ctypes.c_char_p, c_i64, c_i64_p, ctypes.c_int, c_i64, ctypes.c_int,
+        c_i64, c_i64,
     ]
     so.kt_batcher_close.argtypes = [ctypes.c_void_p]
     so.kt_batcher_next.restype = ctypes.c_int

@@ -46,12 +46,15 @@ struct ByteSource {
   int fd = -1;
   char pre[2];  // magic bytes already consumed from a plain file
   int pre_n = 0, pre_pos = 0;
+  int64_t limit = -1;  // bytes remaining of a [start, end) range; -1 = all
   ~ByteSource() {
     if (gz) gzclose(gz);
     else if (fd >= 0) close(fd);
   }
   long read(char *buf, size_t n) {
     if (gz) return gzread(gz, buf, (unsigned)n);
+    if (limit >= 0 && (int64_t)n > limit) n = (size_t)limit;
+    if (n == 0) return 0;
     size_t off = 0;
     while (pre_pos < pre_n && off < n) buf[off++] = pre[pre_pos++];
     if (off < n) {
@@ -59,9 +62,25 @@ struct ByteSource {
       if (r < 0) return off ? (long)off : -1;
       off += (size_t)r;
     }
+    if (limit >= 0) limit -= (int64_t)off;
     return (long)off;
   }
 };
+
+// [start, end) byte-range source over a PLAIN file (multi-host shards:
+// boundaries are record starts by construction, parallel/dataflow.py
+// split_file — gzip is never byte-splittable, so no magic sniff here).
+ByteSource *open_source_range(const char *path, int64_t start, int64_t end) {
+  ByteSource *s = new ByteSource();
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) { delete s; return nullptr; }
+  if (start > 0 && lseek(fd, start, SEEK_SET) < 0) {
+    close(fd); delete s; return nullptr;
+  }
+  s->fd = fd;
+  s->limit = end > start ? end - start : 0;
+  return s;
+}
 
 ByteSource *open_source(const char *path) {
   ByteSource *s = new ByteSource();
@@ -684,15 +703,13 @@ extern "C" {
 // ABI version probe: bound by the ctypes loader so a stale wheel-shipped
 // .so (missing the symbol, or older signatures) is rejected instead of
 // called with a mismatched argument list.
-int kt_abi_version(void) { return 4; }
+int kt_abi_version(void) { return 5; }
 
 // fmt_hint: 0 = sniff from the first line, 1 = FASTA, 2 = FASTQ
 // (extension-based detection lives in Python, ktio/src/seq.rs:30-41).
-void *kt_batcher_open(const char *path, int64_t overlap,
-                      const int64_t *widths, int n_widths,
-                      int64_t target_codes, int fmt_hint) {
-  ByteSource *f = open_source(path);
-  if (!f) return nullptr;
+static void *batcher_from_source(ByteSource *f, int64_t overlap,
+                                 const int64_t *widths, int n_widths,
+                                 int64_t target_codes, int fmt_hint) {
   ThreadedBatcher *b = new ThreadedBatcher(f, fmt_hint);
   b->inner.overlap = overlap;
   b->inner.buckets.resize((size_t)n_widths);
@@ -706,6 +723,27 @@ void *kt_batcher_open(const char *path, int64_t overlap,
   }
   b->start();
   return b;
+}
+
+void *kt_batcher_open(const char *path, int64_t overlap,
+                      const int64_t *widths, int n_widths,
+                      int64_t target_codes, int fmt_hint) {
+  ByteSource *f = open_source(path);
+  if (!f) return nullptr;
+  return batcher_from_source(f, overlap, widths, n_widths, target_codes,
+                             fmt_hint);
+}
+
+// Byte-range variant for multi-host shards (plain files only; read
+// numbering is range-local, matching parallel/dataflow.shard_sequences).
+void *kt_batcher_open_range(const char *path, int64_t overlap,
+                            const int64_t *widths, int n_widths,
+                            int64_t target_codes, int fmt_hint,
+                            int64_t start, int64_t end) {
+  ByteSource *f = open_source_range(path, start, end);
+  if (!f) return nullptr;
+  return batcher_from_source(f, overlap, widths, n_widths, target_codes,
+                             fmt_hint);
 }
 
 void kt_batcher_close(void *h) { delete (ThreadedBatcher *)h; }
