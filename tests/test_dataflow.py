@@ -97,3 +97,48 @@ def test_sharded_oligo_concat_equals_whole(tmp_path):
         OligoComputer(str(sub), str(out), 4, True).vectorise()
         parts.append(out.read_bytes())
     assert b"".join(parts) == whole.read_bytes()
+
+
+def test_native_range_batcher_matches_python_shards(tmp_path):
+    """kt_batcher_open_range over each shard's byte range must yield
+    exactly the records the Python shard reader yields (ids, codes,
+    shard-local numbering) — multihost byte parity rides on this."""
+    import numpy as np
+
+    from kmertools_tpu import native
+    from kmertools_tpu.io import batch as iob
+    from kmertools_tpu.parallel import dataflow
+
+    if native.lib() is None:
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(5)
+    p = tmp_path / "mix.fa"
+    with open(p, "wb") as f:
+        for i in range(300):
+            L = int(rng.integers(1, 400))
+            seq = rng.choice(list(b"ACGTN"), size=L).astype(np.uint8)
+            f.write(b">r%d\n%s\n" % (i, seq.tobytes()))
+
+    def collect(stream):
+        out = []
+        for b in stream:
+            for i in range(len(b.read_idx)):
+                r = int(b.read_idx[i])
+                if r < 0:
+                    continue
+                out.append((
+                    r, int(b.row_start[i]), b.ids.get(r),
+                    b.codes[i, : b.lengths[i]].tobytes(),
+                ))
+        return sorted(out)
+
+    for shard in dataflow.split_file(str(p), 3):
+        want = collect(iob.batch_stream(
+            dataflow.shard_sequences(str(p), shard), overlap=4,
+        ))
+        got = collect(iob.native_batch_stream(
+            str(p), overlap=4, byte_range=(shard.start, shard.end),
+        ))
+        assert got == want, shard
