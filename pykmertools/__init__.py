@@ -275,7 +275,43 @@ class CgrComputer:
         return out
 
     def vectorise_batch(self, seqs):
-        return [self.vectorise_one(s) for s in seqs]
+        """Batch CGR (pybindings/src/cgr.rs vectorise_batch: rayon over
+        seqs). Vectorised as a numpy column walk — sequential over
+        positions, vectorised over reads; x=(x+cx)/2 is elementwise, so
+        every point is IEEE-identical to vectorise_one's scalar loop
+        (padding past a read's length cannot affect its prefix)."""
+        if len(seqs) < 8:  # tiny batches: the scalar loop wins
+            return [self.vectorise_one(s) for s in seqs]
+        bs = [s.encode() if isinstance(s, str) else s for s in seqs]
+        lens = np.array([len(b) for b in bs], dtype=np.int64)
+        W = int(lens.max())
+        R = len(bs)
+        codes = np.full((R, W), 0, np.uint8)
+        bad = False
+        for i, b in enumerate(bs):
+            c = encode_bases(b)
+            if (c >= 4).any():
+                bad = True
+                break
+            codes[i, : len(b)] = c
+        if bad:
+            raise ValueError("Bad nucleotide, unable to proceed")
+        half = self._vecsize / 2.0
+        xs = np.empty((R, W))
+        ys = np.empty((R, W))
+        x = np.full(R, half)
+        y = np.full(R, half)
+        cx, cy = self._cx, self._cy
+        for j in range(W):
+            col = codes[:, j]
+            x = (x + cx[col]) / 2.0
+            y = (y + cy[col]) / 2.0
+            xs[:, j] = x
+            ys[:, j] = y
+        return [
+            list(zip(xs[i, : lens[i]].tolist(), ys[i, : lens[i]].tolist()))
+            for i in range(R)
+        ]
 
 
 def run_cli(argv=None) -> int:
