@@ -90,6 +90,12 @@ def _native_min_scanner(msize: int, wsize: int, threads: int = 0):
         return None
     nthreads = threads or (_os.cpu_count() or 1)
 
+    # grow-only output buffers, reused across batches: fresh np.empty
+    # per batch meant ~58 MB of new pages faulting per 2M-code batch
+    # (measured ~0.9 s of the short-read s2m wall); consumers either
+    # gather (_compact_ranges) or .copy() slices, never retain views
+    buf: dict = {"cap": -1, "n": -1}
+
     def scan(planes, lens: np.ndarray):
         packed, vb, _ = planes
         n = len(lens)
@@ -99,10 +105,18 @@ def _native_min_scanner(msize: int, wsize: int, threads: int = 0):
         offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens32.astype(np.int64) + 2, out=offs[1:])
         N = int(offs[-1])
-        vals = np.empty(N, np.uint64)
-        starts = np.empty(N, np.int64)
-        ends = np.empty(N, np.int64)
-        counts = np.empty(n, np.int64)
+        if buf["cap"] < N:
+            buf["vals"] = np.empty(N, np.uint64)
+            buf["starts"] = np.empty(N, np.int64)
+            buf["ends"] = np.empty(N, np.int64)
+            buf["cap"] = N
+        if buf["n"] < n:
+            buf["counts"] = np.empty(n, np.int64)
+            buf["n"] = n
+        vals = buf["vals"]
+        starts = buf["starts"]
+        ends = buf["ends"]
+        counts = buf["counts"][:n]
         rc = so.kt_min_batch(
             packed.ctypes.data_as(_nat.c_u8_p),
             vb.ctypes.data_as(_nat.c_u8_p),
