@@ -67,7 +67,7 @@ def _build() -> bool:
         return os.path.exists(_SO)
 
 
-_ABI_VERSION = 5
+_ABI_VERSION = 6
 
 
 def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
@@ -165,7 +165,7 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
     so.kt_oligo_hist.argtypes = [
         c_u8_p, c_u8_p, c_i64, c_i64, ctypes.c_int32,
         c_i32_p, ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_int16), c_i32_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int16), c_i32_p, ctypes.c_int32, c_i64,
     ]
     so.kt_cov_hist.restype = ctypes.c_int
     so.kt_cov_hist.argtypes = [
@@ -180,7 +180,7 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
         c_u64_p, c_i32_p, c_i64,
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_int16), c_i32_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int16), c_i32_p, ctypes.c_int32, c_i64,
     ]
     so.kt_min_batch.restype = ctypes.c_int
     so.kt_min_batch.argtypes = [

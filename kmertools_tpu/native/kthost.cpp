@@ -703,7 +703,7 @@ extern "C" {
 // ABI version probe: bound by the ctypes loader so a stale wheel-shipped
 // .so (missing the symbol, or older signatures) is rejected instead of
 // called with a mismatched argument list.
-int kt_abi_version(void) { return 5; }
+int kt_abi_version(void) { return 6; }
 
 // fmt_hint: 0 = sniff from the first line, 1 = FASTA, 2 = FASTQ
 // (extension-based detection lives in Python, ktio/src/seq.rs:30-41).
@@ -1391,7 +1391,12 @@ int64_t kt_pack_planes(const uint8_t *codes, int64_t rows, int64_t width,
 int kt_oligo_hist(const uint8_t *packed, const uint8_t *validbits,
                   int64_t rows, int64_t width, int32_t k,
                   const int32_t *slot_table, int32_t nbins,
-                  int16_t *counts, int32_t *totals, int32_t nthreads) {
+                  int16_t *counts, int32_t *totals, int32_t nthreads,
+                  int64_t cnt_stride) {
+  // cnt_stride: elements between row starts of `counts` (>= nbins) —
+  // callers pass nbins + 1 to write counts straight into the fused
+  // [counts | total] layout and skip a ~4.5 MB copy per batch
+  if (cnt_stride < nbins) cnt_stride = nbins;
   if (width % 8 || k < 1 || k > 15) return -1;
   const int64_t wq = width / 4, wb = width / 8;
   const uint32_t mask = (1u << (2 * k)) - 1;
@@ -1423,7 +1428,7 @@ int kt_oligo_hist(const uint8_t *packed, const uint8_t *validbits,
     for (int64_t r = r0; r < r1; r++) {
       const uint8_t *p = packed + r * wq;
       const uint8_t *v = validbits + r * wb;
-      int16_t *cnt = counts + r * nbins;
+      int16_t *cnt = counts + r * cnt_stride;
       memset(cnt, 0, (size_t)nbins * sizeof(int16_t));
       if (lutp) {
         // ambiguity-free row? (valid plane = contiguous low-bit run)
@@ -1777,7 +1782,9 @@ static int kt_cov_hist_impl(
     const uint64_t *tkeys, const int32_t *tcnts, int64_t nt,
     const uint32_t *bo, int bb,
     int32_t bin_size, int32_t bin_count,
-    int16_t *counts, int32_t *totals, int32_t nthreads) {
+    int16_t *counts, int32_t *totals, int32_t nthreads,
+    int64_t cnt_stride) {
+  if (cnt_stride < bin_count) cnt_stride = bin_count;
   if (width % 8 || k < 1 || k > 31 || bin_size < 1 || bin_count < 1)
     return -1;
   const int64_t wq = width / 4, wb = width / 8;
@@ -1795,7 +1802,7 @@ static int kt_cov_hist_impl(
     for (int64_t r = r0; r < r1; r++) {
       const uint8_t *p = packed + r * wq;
       const uint8_t *v = validbits + r * wb;
-      int16_t *cnt = counts + r * bin_count;
+      int16_t *cnt = counts + r * cnt_stride;
       memset(cnt, 0, (size_t)bin_count * sizeof(int16_t));
       if ((int64_t)kbuf.size() < width) kbuf.resize((size_t)width);
       uint64_t fwd = 0, rc = 0;
@@ -1892,7 +1899,8 @@ int kt_cov_hist(const uint8_t *packed, const uint8_t *validbits,
   }
   return kt_cov_hist_impl(packed, validbits, rows, width, k, tkeys, tcnts,
                           nt, boff.empty() ? nullptr : boff.data(), bb,
-                          bin_size, bin_count, counts, totals, nthreads);
+                          bin_size, bin_count, counts, totals, nthreads,
+                          bin_count);
 }
 
 // Caller-built index variant: `boff` has 2^bb + 1 entries, boff[b] =
@@ -1904,11 +1912,12 @@ int kt_cov_hist_idx(const uint8_t *packed, const uint8_t *validbits,
                     const uint64_t *tkeys, const int32_t *tcnts, int64_t nt,
                     const uint32_t *boff, int32_t bb,
                     int32_t bin_size, int32_t bin_count,
-                    int16_t *counts, int32_t *totals, int32_t nthreads) {
+                    int16_t *counts, int32_t *totals, int32_t nthreads,
+                    int64_t cnt_stride) {
   if (k < 1 || k > 31 || bb < 0 || bb > 2 * k) return -1;
   return kt_cov_hist_impl(packed, validbits, rows, width, k, tkeys, tcnts,
                           nt, boff, (int)bb, bin_size, bin_count, counts,
-                          totals, nthreads);
+                          totals, nthreads, cnt_stride);
 }
 
 // ---- native minimiser scanner (heterogeneous min sink) --------------------

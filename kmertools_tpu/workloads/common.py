@@ -379,20 +379,24 @@ def oligo_hist_native_sink(ksize: int, nbins: int, count_min: bool,
 
     def kernel(packed, vb):
         R = packed.shape[0]
-        counts = np.empty((R, nbins), np.int16)
+        # the kernel writes counts straight into the fused
+        # [counts | total] layout (cnt_stride = nbins + 1): no per-batch
+        # concatenate copy, half the fresh-page faults
+        fused = np.empty((R, nbins + 1), np.int16)
         totals = np.empty((R,), np.int32)
         rc = so.kt_oligo_hist(
             packed.ctypes.data_as(native.c_u8_p),
             vb.ctypes.data_as(native.c_u8_p),
             R, packed.shape[1] * 4, ksize,
             table_p, nbins,
-            counts.ctypes.data_as(i16_p),
+            fused.ctypes.data_as(i16_p),
             totals.ctypes.data_as(native.c_i32_p),
-            nthreads,
+            nthreads, nbins + 1,
         )
         if rc != 0:
             raise RuntimeError("kt_oligo_hist failed")
-        return counts, totals
+        fused[:, nbins] = totals  # row width <= 8192: fits int16
+        return fused
 
     return native_hist_sink(kernel)
 
@@ -444,12 +448,13 @@ def plan_hetero_sinks(make_dispatch, native_sink, key_prefix: str,
 
 def native_hist_sink(kernel):
     """Host-sink wrapper shared by the native fused-histogram kernels
-    (kt_oligo_hist, kt_cov_hist): dispatch returns a lazy handle whose
-    ``__array__`` runs ``kernel(packed, validbits) -> (counts int16
-    (R, nb), totals int32 (R,))`` on the batch's planes and fuses them
-    into the device programs' int16 ``[counts | total]`` layout. The
-    sink's drain thread triggers the compute via ``np.asarray``, so the
-    kernel runs off the producer thread exactly like a device fetch."""
+    (kt_oligo_hist, kt_cov_hist_idx): dispatch returns a lazy handle
+    whose ``__array__`` runs ``kernel(packed, validbits) -> fused int16
+    (R, nb + 1)`` (the device programs' ``[counts | total]`` layout,
+    written in place by the kernel via its cnt_stride) on the batch's
+    planes. The sink's drain thread triggers the compute via
+    ``np.asarray``, so the kernel runs off the producer thread exactly
+    like a device fetch."""
 
     class _H:
         __slots__ = ("b",)
@@ -459,10 +464,7 @@ def native_hist_sink(kernel):
 
         def __array__(self, dtype=None, copy=None):
             packed, vb, _ = self.b.planes()
-            counts, totals = kernel(packed, vb)
-            return np.concatenate(
-                [counts, totals.astype(np.int16)[:, None]], axis=1
-            )
+            return kernel(packed, vb)
 
     return lambda b: _H(b)
 

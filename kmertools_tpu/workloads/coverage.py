@@ -255,7 +255,9 @@ class CovComputer:
 
                 def kernel(packed, vb):
                     R = packed.shape[0]
-                    counts = np.empty((R, nb_), np.int16)
+                    # fused [counts | total] written in place
+                    # (cnt_stride = nb + 1; common.native_hist_sink)
+                    fused = np.empty((R, nb_ + 1), np.int16)
                     totals = np.empty((R,), np.int32)
                     rc = so.kt_cov_hist_idx(
                         packed.ctypes.data_as(native.c_u8_p),
@@ -264,13 +266,14 @@ class CovComputer:
                         tk_p, tc_p, nt,
                         boff_p, bb,
                         bin_size, nb_,
-                        counts.ctypes.data_as(i16_p),
+                        fused.ctypes.data_as(i16_p),
                         totals.ctypes.data_as(native.c_i32_p),
-                        nthreads,
+                        nthreads, nb_ + 1,
                     )
                     if rc != 0:
                         raise RuntimeError("kt_cov_hist_idx failed")
-                    return counts, totals
+                    fused[:, nb_] = totals
+                    return fused
 
                 return native_hist_sink(kernel)
 

@@ -36,7 +36,7 @@ def _native_hist(codes, k, canonical):
         nbins,
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         totals.ctypes.data_as(native.c_i32_p),
-        3,
+        3, nbins,
     )
     assert rc == 0
     return counts, totals
