@@ -227,7 +227,7 @@ class OligoComputer:
             nbins,
             counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             totals.ctypes.data_as(native.c_i32_p),
-            os.cpu_count() or 1,
+            os.cpu_count() or 1, nbins,
         )
         if rc != 0:
             return None
