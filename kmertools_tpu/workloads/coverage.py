@@ -158,18 +158,28 @@ class CovComputer:
     def compute_coverages(self) -> None:
         tkeys, tcnts = self._load_table()
         nlo = min(self.ksize, 16)
-        th_np = (tkeys >> np.uint64(2 * nlo)).astype(np.uint32)
-        tl_np = (tkeys & np.uint64((1 << (2 * nlo)) - 1)).astype(np.uint32)
         # bucket index shared by the device join and the native sink:
         # lower bound of every bb-bit key prefix (ops/count.py:
         # bucket_offsets); the device join probes (n, 2) key rows
         bb = min(2 * self.ksize, 18)
         boff_np, join_steps = cops.bucket_offsets(tkeys, self.ksize, bb)
-        tkl = jnp.asarray(
-            np.ascontiguousarray(np.stack([th_np, tl_np], axis=1))
-        )
-        boff_d = jnp.asarray(boff_np)
-        tc = jnp.asarray(tcnts)
+        # device-side table state, built on FIRST XLA dispatch: the
+        # (hi, lo) split + uploads move ~180 MB at 13M keys — pure
+        # waste when the native sink runs alone (CPU-only backends)
+        _dev: dict = {}
+
+        def dev_tables():
+            if not _dev:
+                th_np = (tkeys >> np.uint64(2 * nlo)).astype(np.uint32)
+                tl_np = (
+                    tkeys & np.uint64((1 << (2 * nlo)) - 1)
+                ).astype(np.uint32)
+                _dev["tkl"] = jnp.asarray(
+                    np.ascontiguousarray(np.stack([th_np, tl_np], axis=1))
+                )
+                _dev["boff"] = jnp.asarray(boff_np)
+                _dev["tc"] = jnp.asarray(tcnts)
+            return _dev["tkl"], _dev["tc"], _dev["boff"]
         final_path = os.path.join(self.out_dir, "kmers.vectors")
         vec_path = (
             self.mh_ctx.part_path(final_path) if self.mh_ctx else final_path
@@ -202,8 +212,11 @@ class CovComputer:
             # the narrow wire on remote-attached chips); results return
             # as ONE fused int16 [counts | total] array per batch
             def _step(codes):
+                # _dev is populated eagerly in dispatch() — inside a
+                # trace these are concrete arrays (jit consts), never
+                # freshly-created tracers
                 return _coverage_batch(
-                    codes, tkl, tc, boff_d,
+                    codes, _dev["tkl"], _dev["tc"], _dev["boff"],
                     self.ksize, self.bin_size, self.bin_count,
                     bb, join_steps,
                 )
@@ -216,6 +229,7 @@ class CovComputer:
             )
 
             def dispatch(b):
+                dev_tables()  # materialise OUTSIDE any trace
                 packed, vb, n_ambig = b.planes()
                 if n_ambig == 0:
                     return step_clean(packed, b.lengths)
