@@ -786,13 +786,14 @@ class _RunIdStore:
         )
 
 
-# Resident cost per record: vals+starts+ends+rk+gs = 40 B; the native
-# radix argsort transiently adds 32 B/record ((key, idx) pairs, double-
-# buffered) at each run sort -> peak ~72 B/record. Default ceiling
-# mirrors the reference's 6 GB default memory budget
-# (kmertools/src/args.rs:163-165) against that PEAK, not the resident
-# floor.
-_M2S_DEFAULT_SPILL_RECORDS = (6 << 30) // 72
+# Peak cost per record at the run sort (_sorted_arrays consumes the
+# accumulation lists as it concatenates): 40 B resident columns
+# (vals+starts+ends+rk+gs), +32 B radix-argsort (key, idx) double
+# buffer, then +40 B for the gathered copies while the pre-sort arrays
+# are still live -> ~88 B/record peak (worst stage, not a sum). The
+# default ceiling mirrors the reference's 6 GB default memory budget
+# (kmertools/src/args.rs:163-165) against that PEAK.
+_M2S_DEFAULT_SPILL_RECORDS = (6 << 30) // 88
 
 
 def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
@@ -886,12 +887,21 @@ def bin_sequences(wsize: int, msize: int, in_path: str, out_path: str,
         full (val, rid, start) contract; a prior stable sort by rid_key
         restores read order first when buckets interleaved. The sorts
         are the native stable radix argsort where available (numpy's
-        introsort measured 1.6 s on 11M values; the radix ~0.2 s)."""
+        introsort measured 1.6 s on 11M values; the radix ~0.2 s).
+
+        CONSUMES the accumulation lists: each clears as soon as its
+        concatenation exists, so peak memory holds one extra column
+        (+8 B/record), never a second copy of all five."""
         vals = np.concatenate(all_vals)
+        all_vals.clear()
         ss = np.concatenate(all_s)
+        all_s.clear()
         ee = np.concatenate(all_e)
+        all_e.clear()
         rk = np.concatenate(all_rk)
+        all_rk.clear()
         gs = np.concatenate(all_gs)
+        all_gs.clear()
         if not arrival_sorted[0]:
             o1 = _stable_argsort_u64(
                 rk.view(np.uint64), int(rk.max()).bit_length() or 1

@@ -274,44 +274,66 @@ class CgrComputer:
             out.append((x, y))
         return out
 
+    # padded-area cap per column-walk chunk (elements of one f64 work
+    # array, ~512 MB x3): one long contig among short reads must not
+    # inflate the whole batch's padding
+    _WALK_AREA = 1 << 26
+
     def vectorise_batch(self, seqs):
         """Batch CGR (pybindings/src/cgr.rs vectorise_batch: rayon over
         seqs). Vectorised as a numpy column walk — sequential over
         positions, vectorised over reads; x=(x+cx)/2 is elementwise, so
         every point is IEEE-identical to vectorise_one's scalar loop
-        (padding past a read's length cannot affect its prefix)."""
+        (padding past a read's length cannot affect its prefix).
+        Sequences process in length-sorted chunks of bounded padded
+        area, so mixed corpora (contigs + short reads) never allocate
+        R x max_len work arrays."""
         if len(seqs) < 8:  # tiny batches: the scalar loop wins
             return [self.vectorise_one(s) for s in seqs]
         bs = [s.encode() if isinstance(s, str) else s for s in seqs]
         lens = np.array([len(b) for b in bs], dtype=np.int64)
-        W = int(lens.max())
         R = len(bs)
-        codes = np.full((R, W), 0, np.uint8)
-        bad = False
-        for i, b in enumerate(bs):
-            c = encode_bases(b)
-            if (c >= 4).any():
-                bad = True
-                break
-            codes[i, : len(b)] = c
-        if bad:
-            raise ValueError("Bad nucleotide, unable to proceed")
+        order = np.argsort(lens, kind="stable")
+        results: list = [None] * R
         half = self._vecsize / 2.0
-        xs = np.empty((R, W))
-        ys = np.empty((R, W))
-        x = np.full(R, half)
-        y = np.full(R, half)
         cx, cy = self._cx, self._cy
-        for j in range(W):
-            col = codes[:, j]
-            x = (x + cx[col]) / 2.0
-            y = (y + cy[col]) / 2.0
-            xs[:, j] = x
-            ys[:, j] = y
-        return [
-            list(zip(xs[i, : lens[i]].tolist(), ys[i, : lens[i]].tolist()))
-            for i in range(R)
-        ]
+        i = 0
+        while i < R:
+            # grow the chunk while its padded area stays bounded
+            j = i + 1
+            wmax = int(lens[order[i]])
+            while j < R:
+                w2 = max(wmax, int(lens[order[j]]))
+                if (j - i + 1) * w2 > self._WALK_AREA:
+                    break
+                wmax = w2
+                j += 1
+            idx = order[i:j]
+            n = len(idx)
+            W = max(wmax, 1)
+            codes = np.zeros((n, W), np.uint8)
+            for t, g in enumerate(idx):
+                c = encode_bases(bs[g])
+                if (c >= 4).any():
+                    raise ValueError("Bad nucleotide, unable to proceed")
+                codes[t, : len(c)] = c
+            xs = np.empty((n, W))
+            ys = np.empty((n, W))
+            x = np.full(n, half)
+            y = np.full(n, half)
+            for col_j in range(W):
+                col = codes[:, col_j]
+                x = (x + cx[col]) / 2.0
+                y = (y + cy[col]) / 2.0
+                xs[:, col_j] = x
+                ys[:, col_j] = y
+            for t, g in enumerate(idx):
+                L = int(lens[g])
+                results[g] = list(
+                    zip(xs[t, :L].tolist(), ys[t, :L].tolist())
+                )
+            i = j
+        return results
 
 
 def run_cli(argv=None) -> int:
