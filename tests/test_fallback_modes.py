@@ -105,3 +105,46 @@ def test_cgr_cli_enables_x64_and_runs_device_kernel(tmp_path, test_data):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert out.read_bytes() == (test_data / "expected_reads.cgr").read_bytes()
+
+
+def test_min_modes_agree_on_random_mixed_corpus(tmp_path):
+    """Randomised cross-mode equality: the native engine path, the
+    pure-Python/XLA fallback, and the hetero-disabled device path must
+    produce byte-identical s2m AND m2s output on a corpus with
+    ambiguous bases, empty reads, and lengths spanning the split-row
+    threshold — the minimiser emission semantics are the hardest
+    contract in the framework and the golden corpus is only 2 reads."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    fa = tmp_path / "mix.fa"
+    with open(fa, "wb") as f:
+        for i in range(60):
+            if i % 17 == 0:
+                L = 0
+            elif i % 5 == 0:
+                L = int(rng.integers(9000, 11000))  # split rows
+            else:
+                L = int(rng.integers(1, 400))
+            seq = rng.choice(
+                list(b"ACGTN"), size=L, p=[0.245, 0.245, 0.245, 0.245, 0.02]
+            ).astype(np.uint8)
+            f.write(b">r%d\n%s\n" % (i, seq.tobytes()))
+    outs: dict = {}
+    for name, env in (
+        ("default", {}),
+        ("no-native", {"KMERTOOLS_NO_NATIVE": "1"}),
+        ("no-hetero", {"KMERTOOLS_NO_HETERO": "1"}),
+    ):
+        for p in ("s2m", "m2s"):
+            out = tmp_path / f"{name}.{p}"
+            r = _run_cli(
+                ["min", "-i", str(fa), "-o", str(out), "-m", "10",
+                 "-w", "31", "-p", p],
+                env, str(tmp_path),
+            )
+            assert r.returncode == 0, (name, p, r.stderr[-400:])
+            outs[(name, p)] = out.read_bytes()
+    for p in ("s2m", "m2s"):
+        assert outs[("no-native", p)] == outs[("default", p)], p
+        assert outs[("no-hetero", p)] == outs[("default", p)], p
