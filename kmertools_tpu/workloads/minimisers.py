@@ -19,10 +19,8 @@ minimisers.rs:44-48).
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from kmertools_tpu.io import batch as iob
-from kmertools_tpu.io import fastx
 from kmertools_tpu.ops import minimiser as mops
 from kmertools_tpu.utils import codec
 from kmertools_tpu.workloads.common import OrderedEmitter
