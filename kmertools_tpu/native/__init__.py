@@ -67,7 +67,7 @@ def _build() -> bool:
         return os.path.exists(_SO)
 
 
-_ABI_VERSION = 6
+_ABI_VERSION = 7
 
 
 def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
@@ -99,6 +99,11 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(c_i64_p), ctypes.POINTER(c_i64_p),
         ctypes.POINTER(c_u8_p), ctypes.POINTER(ctypes.c_char_p),
         c_i64_p, ctypes.POINTER(c_i64_p), ctypes.POINTER(c_i64_p), c_i64_p,
+    ]
+    so.kt_merge_sum_kv.restype = c_i64
+    so.kt_merge_sum_kv.argtypes = [
+        ctypes.POINTER(c_u64_p), ctypes.POINTER(c_u64_p), c_i64_p, c_i64,
+        c_u64_p, c_u64_p,
     ]
     so.kt_merge_sorted_kv.restype = ctypes.c_int
     so.kt_merge_sorted_kv.argtypes = [

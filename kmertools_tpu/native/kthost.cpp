@@ -703,7 +703,7 @@ extern "C" {
 // ABI version probe: bound by the ctypes loader so a stale wheel-shipped
 // .so (missing the symbol, or older signatures) is rejected instead of
 // called with a mismatched argument list.
-int kt_abi_version(void) { return 6; }
+int kt_abi_version(void) { return 7; }
 
 // fmt_hint: 0 = sniff from the first line, 1 = FASTA, 2 = FASTQ
 // (extension-based detection lives in Python, ktio/src/seq.rs:30-41).
@@ -2135,6 +2135,44 @@ int kt_merge_sorted_kv(const uint64_t **keys, const uint64_t **cnts,
     pos[(size_t)best]++;
   }
   return 0;
+}
+
+// P-way merge of ascending-sorted (keys, counts) u64 arrays with
+// DUPLICATE-KEY SUMMING (the counter merge phase: one partition's
+// chunk spills all carry the same key space). Streaming single pass:
+// peak memory = inputs + output, vs the concatenate+argsort fallback's
+// ~4x (measured: a 2.4 Gbase merge OOM-killed a 128 GB host before
+// this). Returns entries written to okeys/ocnts (caller caps at
+// sum(lens)).
+int64_t kt_merge_sum_kv(const uint64_t **keys, const uint64_t **cnts,
+                        const int64_t *lens, int64_t nparts,
+                        uint64_t *okeys, uint64_t *ocnts) {
+  if (nparts < 1) return 0;
+  std::vector<int64_t> pos((size_t)nparts, 0);
+  int64_t w = -1;
+  for (;;) {
+    int best = -1;
+    uint64_t bk = ~0ull;
+    for (int64_t p = 0; p < nparts; p++) {
+      if (pos[(size_t)p] < lens[p]) {
+        const uint64_t k = keys[p][pos[(size_t)p]];
+        if (best < 0 || k < bk) {
+          bk = k;
+          best = (int)p;
+        }
+      }
+    }
+    if (best < 0) return w + 1;
+    const uint64_t c = cnts[best][pos[(size_t)best]];
+    pos[(size_t)best]++;
+    if (w >= 0 && okeys[w] == bk) {
+      ocnts[w] += c;
+    } else {
+      w++;
+      okeys[w] = bk;
+      ocnts[w] = c;
+    }
+  }
 }
 
 // Stable LSD-radix argsort of u64 keys whose values fit `bits` bits

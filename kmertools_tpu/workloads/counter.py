@@ -59,6 +59,64 @@ def _aggregate(kmers: np.ndarray, counts: np.ndarray):
     return k[starts], csum[ends] - csum[starts]
 
 
+def _merge_chunk_tables(cur: list):
+    """One partition's chunk tables -> sorted unique (keys, counts).
+
+    CONSUMES ``cur``. Fast path: every chunk sorted ascending (all of
+    this framework's spills are) -> native streaming k-way sum-merge
+    (kthost.cpp:kt_merge_sum_kv), peak = inputs + output. Foreign
+    spills (the reference writes map-scan order; its merge-only golden
+    fixture is unsorted) fall back to concatenate + sort-aggregate,
+    consuming the list as it concatenates. Measured before the fast
+    path: a 2.4 Gbase merge (415M rows/partition) transiently held ~4x
+    the partition and OOM-killed a 128 GB host."""
+    from kmertools_tpu import native
+
+    so = native.lib()
+    if so is not None and all(
+        len(k) == 0 or bool(np.all(k[1:] >= k[:-1])) for k, _ in cur
+    ):
+        parts = [(k, c) for k, c in cur if len(k)]
+        cur.clear()
+        if not parts:
+            return np.empty(0, np.uint64), np.empty(0, np.uint64)
+        ks = [np.ascontiguousarray(k, dtype=np.uint64) for k, _ in parts]
+        cs = [np.ascontiguousarray(c, dtype=np.uint64) for _, c in parts]
+        del parts
+        lens = np.array([len(k) for k in ks], dtype=np.int64)
+        kp = (native.c_u64_p * len(ks))(
+            *[k.ctypes.data_as(native.c_u64_p) for k in ks]
+        )
+        cp = (native.c_u64_p * len(cs))(
+            *[c.ctypes.data_as(native.c_u64_p) for c in cs]
+        )
+        total = int(lens.sum())
+        ok = np.empty(total, np.uint64)
+        oc = np.empty(total, np.uint64)
+        n = so.kt_merge_sum_kv(
+            kp, cp, lens.ctypes.data_as(native.c_i64_p), len(ks),
+            ok.ctypes.data_as(native.c_u64_p),
+            oc.ctypes.data_as(native.c_u64_p),
+        )
+        if n >= 0:
+            if n < total // 2:  # heavy dedup: don't pin the full cap
+                return ok[:n].copy(), oc[:n].copy()
+            return ok[:n], oc[:n]
+    # fallback: consume the list while concatenating
+    keys_parts = [k for k, _ in cur]
+    cnts_parts = [c for _, c in cur]
+    cur.clear()
+    kmers = np.concatenate(keys_parts) if keys_parts else np.empty(
+        0, np.uint64
+    )
+    keys_parts.clear()
+    counts = np.concatenate(cnts_parts) if cnts_parts else np.empty(
+        0, np.uint64
+    )
+    cnts_parts.clear()
+    return _aggregate(kmers, counts)
+
+
 _CHUNK_LINES = 1 << 20  # streaming format chunk: buffer stays cache-warm
 
 
@@ -1095,10 +1153,7 @@ class CountComputer:
                 pbar.update(len(chunk_ids))
                 if not cur:
                     continue
-                kmers, counts = _aggregate(
-                    np.concatenate([k for k, _ in cur]),
-                    np.concatenate([v for _, v in cur]),
-                )
+                kmers, counts = _merge_chunk_tables(cur)
                 if not len(kmers):
                     continue
                 _write_tsv_stream(
