@@ -2150,29 +2150,57 @@ int64_t kt_merge_sum_kv(const uint64_t **keys, const uint64_t **cnts,
   if (nparts < 1) return 0;
   std::vector<int64_t> pos((size_t)nparts, 0);
   int64_t w = -1;
-  for (;;) {
-    int best = -1;
-    uint64_t bk = ~0ull;
-    for (int64_t p = 0; p < nparts; p++) {
-      if (pos[(size_t)p] < lens[p]) {
-        const uint64_t k = keys[p][pos[(size_t)p]];
-        if (best < 0 || k < bk) {
-          bk = k;
-          best = (int)p;
-        }
-      }
-    }
-    if (best < 0) return w + 1;
-    const uint64_t c = cnts[best][pos[(size_t)best]];
-    pos[(size_t)best]++;
-    if (w >= 0 && okeys[w] == bk) {
+  auto put = [&](uint64_t k, uint64_t c) {
+    if (w >= 0 && okeys[w] == k) {
       ocnts[w] += c;
     } else {
       w++;
-      okeys[w] = bk;
+      okeys[w] = k;
       ocnts[w] = c;
     }
+  };
+  if (nparts <= 8) {
+    // few inputs: a branchy linear head scan beats heap bookkeeping
+    for (;;) {
+      int best = -1;
+      uint64_t bk = ~0ull;
+      for (int64_t p = 0; p < nparts; p++) {
+        if (pos[(size_t)p] < lens[p]) {
+          const uint64_t k = keys[p][pos[(size_t)p]];
+          if (best < 0 || k < bk) {
+            bk = k;
+            best = (int)p;
+          }
+        }
+      }
+      if (best < 0) return w + 1;
+      put(bk, cnts[best][pos[(size_t)best]]);
+      pos[(size_t)best]++;
+    }
   }
+  // many inputs (chunk counts scale with corpus size): binary min-heap
+  // of (key, part) -> log P per row instead of P. Sum order over equal
+  // keys doesn't matter (commutative), output identical either way.
+  std::vector<std::pair<uint64_t, int>> heap;
+  heap.reserve((size_t)nparts);
+  auto cmp = [](const std::pair<uint64_t, int> &a,
+                const std::pair<uint64_t, int> &b) {
+    return a.first > b.first;  // min-heap
+  };
+  for (int64_t p = 0; p < nparts; p++)
+    if (lens[p] > 0) heap.emplace_back(keys[p][0], (int)p);
+  std::make_heap(heap.begin(), heap.end(), cmp);
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end(), cmp);
+    auto [k, p] = heap.back();
+    heap.pop_back();
+    put(k, cnts[p][pos[(size_t)p]]);
+    if (++pos[(size_t)p] < lens[p]) {
+      heap.emplace_back(keys[p][pos[(size_t)p]], p);
+      std::push_heap(heap.begin(), heap.end(), cmp);
+    }
+  }
+  return w + 1;
 }
 
 // Stable LSD-radix argsort of u64 keys whose values fit `bits` bits
