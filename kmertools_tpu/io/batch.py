@@ -57,7 +57,7 @@ class Batch:
 
     __slots__ = (
         "_codes", "_planes", "lengths", "read_idx", "row_start",
-        "last_row", "_ids", "_read_lengths", "_ids_raw",
+        "last_row", "_ids", "_read_lengths", "_ids_raw", "range_id",
     )
 
     def __init__(self, lengths, read_idx, row_start, last_row, ids=None,
@@ -66,6 +66,10 @@ class Batch:
         assert ids is not None or ids_raw is not None
         self._codes = codes
         self._planes = planes
+        # input-range tag for multi-producer streams (multi_range_stream):
+        # read_idx numbering is local to this range and per-range outputs
+        # concatenate in range order. Single-producer streams leave it 0.
+        self.range_id = 0
         self.lengths = lengths  # (R,) int32 valid codes per row
         self.read_idx = read_idx  # (R,) int64 global read index, -1 = pad row
         self.row_start = row_start  # (R,) int64 row's first-base offset
@@ -430,6 +434,89 @@ def native_batch_stream(
             )
     finally:
         so.kt_batcher_close(h)
+
+
+def multi_range_stream(
+    path: str,
+    overlap: int,
+    row_widths: tuple[int, ...] = DEFAULT_ROW_WIDTHS,
+    target_codes: int = DEFAULT_TARGET_CODES,
+    nproducers: int = 2,
+) -> Iterator[Batch]:
+    """Merge ``nproducers`` range-restricted native batch streams.
+
+    The file splits into record-aligned byte ranges
+    (parallel.dataflow.split_file); each range runs its own native
+    batcher — and therefore its own C++ parse-ahead thread — so host
+    parsing scales across cores instead of serialising on one stream.
+    This is the single-node analog of the reference's N rayon threads
+    all parsing from the shared iterator (composition/src/oligo.rs:
+    192-226): there the parse work spreads across the pool implicitly;
+    here each producer owns a disjoint slice of the file.
+
+    Batches are tagged with ``range_id``; read numbering is range-local,
+    so consumers keep one ordered emitter per range and concatenate
+    per-range outputs in range order (exactly the multi-host part
+    scheme, parallel/multihost.py, applied in-process).
+    """
+    import queue as _queue
+    import threading
+
+    from kmertools_tpu.parallel import dataflow
+
+    shards = dataflow.split_file(path, nproducers)
+    out_q: _queue.Queue = _queue.Queue(maxsize=2 * len(shards))
+    errs: list[BaseException] = []
+    stop: list[int] = []
+
+    def run(sh) -> None:
+        try:
+            for b in native_batch_stream(
+                path, overlap, row_widths, target_codes,
+                byte_range=(sh.start, sh.end),
+            ):
+                b.range_id = sh.index
+                while not stop:
+                    try:
+                        out_q.put(b, timeout=0.25)
+                        break
+                    except _queue.Full:
+                        continue
+                if stop:
+                    return
+        except BaseException as e:  # re-raised on the consumer side
+            errs.append(e)
+        finally:
+            # sentinel put must not deadlock when the consumer abandoned
+            # the stream with the queue full
+            while True:
+                try:
+                    out_q.put(None, timeout=0.25)
+                    break
+                except _queue.Full:
+                    if stop:
+                        break
+
+    threads = [
+        threading.Thread(target=run, args=(sh,), daemon=True)
+        for sh in shards
+    ]
+    for t in threads:
+        t.start()
+    done = 0
+    try:
+        while done < len(threads):
+            item = out_q.get()
+            if item is None:
+                done += 1
+                continue
+            yield item
+    finally:
+        stop.append(1)
+        for t in threads:
+            t.join()
+    if errs:
+        raise errs[0]
 
 
 def stream_path(

@@ -469,6 +469,91 @@ def native_hist_sink(kernel):
     return lambda b: _H(b)
 
 
+def plan_producers(path: str, shard=None) -> int:
+    """How many input-range producers to run (io.batch.
+    multi_range_stream). Each producer owns a record-aligned byte range
+    of the input and its own native parse-ahead thread, so host parsing
+    scales across cores — the single-node analog of every rayon thread
+    parsing from the reference's shared iterator
+    (composition/src/oligo.rs:192-226).
+
+    Policy: explicit KMERTOOLS_PRODUCERS wins (still clamped to 1
+    without the native runtime — range streams are native-only). Auto:
+    2 producers for a plain splittable file big enough for the split to
+    matter (>=64 MB) on a host with >=4 cores; 1 otherwise. Multi-host
+    shards keep a single producer (the host's range is already a
+    split), as do stdin/gzip (not byte-splittable)."""
+    from kmertools_tpu import native
+
+    if shard is not None or path == "-" or path.endswith(".gz"):
+        return 1
+    if native.lib() is None:
+        return 1
+    env = os.environ.get("KMERTOOLS_PRODUCERS")
+    if env:
+        return max(1, int(env))
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return 1
+    if size < (64 << 20) or (os.cpu_count() or 1) < 6:
+        # measured on the 4-core dev box: the native histogram sink
+        # already saturates every core, so extra parse threads only
+        # thrash (1380 -> 1024 Mb/s at p=2). The single parse-ahead
+        # thread tops out at ~2.1 GB/s; it becomes the wall — and this
+        # split pays — once >=3 sink threads outrun it (6+ core hosts).
+        return 1
+    return 2
+
+
+class PartedOutput:
+    """Per-range output destinations for multi-producer runs.
+
+    Range 0 writes straight into the final file (after any header the
+    caller put there); ranges >0 write ``{out}.range_{r}`` part files
+    that append in range order at close — the multi-host part/concat
+    scheme (parallel/multihost.py:_concat_parts) applied in-process.
+    ``writers[r]`` is the AsyncWriter for range ``r``. With one range
+    this degenerates to a single AsyncWriter and no parts."""
+
+    def __init__(self, raw, out_path: str, nparts: int):
+        self._raw = raw
+        self._out_path = out_path
+        self._parts = [
+            open(f"{out_path}.range_{r}", "wb") for r in range(1, nparts)
+        ]
+        self.writers = [AsyncWriter(raw)] + [
+            AsyncWriter(f) for f in self._parts
+        ]
+
+    def close(self, success: bool) -> None:
+        """Drain writers; on success append the parts to the final
+        file. Part files are removed either way."""
+        try:
+            errs: list[BaseException] = []
+            for w in self.writers:
+                try:
+                    w.close()
+                except BaseException as e:
+                    errs.append(e)
+            for f in self._parts:
+                f.close()
+            if errs:
+                raise errs[0]
+            if success and self._parts:
+                from kmertools_tpu.parallel.multihost import _append_file
+
+                for r in range(1, len(self._parts) + 1):
+                    with open(f"{self._out_path}.range_{r}", "rb") as f:
+                        _append_file(self._raw, f)
+        finally:
+            for r in range(1, len(self._parts) + 1):
+                try:
+                    os.unlink(f"{self._out_path}.range_{r}")
+                except OSError:
+                    pass
+
+
 class AsyncWriter:
     """Write-behind wrapper for a binary file: ``write`` enqueues the
     chunk and returns; a drain thread performs the actual writes.

@@ -23,11 +23,12 @@ from kmertools_tpu.utils import codec
 from kmertools_tpu.utils.fmt import emit_count_slab, emit_norm_slab
 from kmertools_tpu.workloads.common import (
     ArrayAggregator,
-    AsyncWriter,
     OrderedArrayEmitter,
+    PartedOutput,
     data_parallel_step,
     oligo_hist_native_sink,
     plan_hetero_sinks,
+    plan_producers,
     run_pipelined_hetero,
 )
 
@@ -166,29 +167,44 @@ class OligoComputer:
         def step_clean_i16(packed, lengths):
             return _fuse_i16(*_hist(encode.unpack_packed(packed, lengths)))
 
+        # multi-producer input: the file splits into record-aligned
+        # byte ranges, each parsed by its own native batcher thread
+        # (io.batch.multi_range_stream); per-range ordered emitters
+        # write per-range parts that concatenate at close
+        nprod = plan_producers(self.in_path, self.input_shard)
+
         with open(self.out_path, "wb") as raw:
             # third pipeline stage: disk writes happen behind the
             # fetch/format thread so writeback stalls never idle the
-            # device (common.AsyncWriter)
-            out = AsyncWriter(raw)
+            # device (common.AsyncWriter, one per range part)
+            parted = PartedOutput(raw, self.out_path, nprod)
             if self.header:
-                out.write((self.delim.join(self.get_header()) + "\n").encode())
+                parted.writers[0].write(
+                    (self.delim.join(self.get_header()) + "\n").encode()
+                )
 
-            if self.norm:
-                def write_slab(vecs: np.ndarray, tots: np.ndarray) -> None:
-                    out.write(emit_norm_slab(vecs, tots, self.delim))
-            else:
-                def write_slab(vecs: np.ndarray, tots: np.ndarray) -> None:
-                    out.write(emit_count_slab(vecs, self.delim))
+            def make_write_slab(w):
+                if self.norm:
+                    return lambda vecs, tots: w.write(
+                        emit_norm_slab(vecs, tots, self.delim)
+                    )
+                return lambda vecs, tots: w.write(
+                    emit_count_slab(vecs, self.delim)
+                )
 
-            emitter = OrderedArrayEmitter(write_slab)
-            agg = ArrayAggregator(nbins)
+            emitters = [
+                OrderedArrayEmitter(make_write_slab(w))
+                for w in parted.writers
+            ]
+            aggs = [ArrayAggregator(nbins) for _ in range(nprod)]
 
             # lazily DP-wrapped exact programs for the rare u8-overflow
             # re-dispatch (a row with some count > 255)
             exact: dict[str, object] = {}
 
             def consume(meta, fused) -> None:
+                agg = aggs[meta.range_id]
+                emitter = emitters[meta.range_id]
                 arr = np.asarray(fused)
                 if arr.dtype == np.int16:
                     # exact fused [counts | total] (native CPU sink)
@@ -265,20 +281,33 @@ class OligoComputer:
                 f"oligo{self.ksize}",
                 self.target_codes,
             )
+            if nprod > 1:
+                batches = iob.multi_range_stream(
+                    self.in_path,
+                    overlap=self.ksize - 1,
+                    target_codes=stream_target,
+                    nproducers=nprod,
+                )
+            else:
+                batches = iob.stream_path(
+                    self.in_path,
+                    overlap=self.ksize - 1,
+                    target_codes=stream_target,
+                    shard=self.input_shard,
+                )
+            ok = False
             try:
                 run_pipelined_hetero(
-                    iob.stream_path(
-                        self.in_path,
-                        overlap=self.ksize - 1,
-                        target_codes=stream_target,
-                        shard=self.input_shard,
-                    ),
+                    batches,
                     dispatches,
                     consume,
                     weight=lambda b: int(b.lengths.sum()),
                     keys=keys,
                 )
-                agg.finish()
-                emitter.finish()
+                for agg in aggs:
+                    agg.finish()
+                for emitter in emitters:
+                    emitter.finish()
+                ok = True
             finally:
-                out.close()
+                parted.close(success=ok)

@@ -149,3 +149,62 @@ def test_oligo_u8_overflow_exact(tmp_path):
     # normal read untouched by the overflow batch re-dispatch
     vals = np.array(rows[1].split(), dtype=float)
     assert vals.sum() == 9  # 12bp -> 9 k-mers
+
+
+def test_oligo_multi_producer_parity(tmp_path, monkeypatch):
+    """Range-sharded multi-producer input (io.batch.multi_range_stream,
+    KMERTOOLS_PRODUCERS) must be byte-identical to the single-producer
+    stream: record-aligned ranges cover the file exactly once and the
+    per-range parts concatenate in range order (the in-process analog
+    of the multi-host part scheme)."""
+    import numpy as np
+    import pytest
+
+    from kmertools_tpu import native
+    from kmertools_tpu.workloads.oligo import OligoComputer
+
+    if native.lib() is None:
+        pytest.skip("native runtime required for range streams")
+    rng = np.random.default_rng(23)
+    src = tmp_path / "mix.fa"
+    with open(src, "wb") as f:
+        for i in range(600):
+            L = int(rng.integers(40, 12_000))
+            s = rng.choice(list(b"ACGT"), size=L).astype(np.uint8)
+            s[rng.random(L) < 0.003] = ord("N")  # ambiguity resets
+            f.write(b">r%d\n%s\n" % (i, s.tobytes()))
+
+    def run(nprod: int, tag: str) -> bytes:
+        monkeypatch.setenv("KMERTOOLS_PRODUCERS", str(nprod))
+        out = tmp_path / f"{tag}.kmers"
+        c = OligoComputer(str(src), str(out), 4, True)
+        c.set_header(True)
+        c.vectorise()
+        return out.read_bytes()
+
+    ref = run(1, "p1")
+    for p in (2, 3):
+        assert run(p, f"p{p}") == ref, f"{p}-producer output differs"
+    # part files must not survive
+    assert not list(tmp_path.glob("*.range_*"))
+
+
+def test_plan_producers_policy(tmp_path, monkeypatch):
+    """Auto policy: never split gz/stdin/shards or tiny files; explicit
+    KMERTOOLS_PRODUCERS wins but clamps to 1 without the native lib."""
+    from kmertools_tpu import native
+    from kmertools_tpu.parallel.dataflow import Shard
+    from kmertools_tpu.workloads.common import plan_producers
+
+    small = tmp_path / "small.fa"
+    small.write_text(">a\nACGT\n")
+    assert plan_producers(str(small)) == 1  # below size threshold
+    assert plan_producers("-") == 1
+    assert plan_producers("x.fa.gz") == 1
+    assert plan_producers(str(small), shard=Shard(0, 0, 4)) == 1
+    monkeypatch.setenv("KMERTOOLS_PRODUCERS", "3")
+    if native.lib() is not None:
+        assert plan_producers(str(small)) == 3
+        assert plan_producers(str(small), shard=Shard(0, 0, 4)) == 1
+    monkeypatch.setenv("KMERTOOLS_NO_NATIVE", "1")
+    assert plan_producers(str(small)) == 1  # native-only feature
