@@ -1424,7 +1424,15 @@ int kt_oligo_hist(const uint8_t *packed, const uint8_t *validbits,
   }
   const int16_t *lutp = lut.empty() ? nullptr : lut.data();
 
+  // Striped accumulators (see the fast8 loop): 4 independent count
+  // arrays break the load-inc-store dependency chain when nearby
+  // windows hit the same bin (repetitive sequence is the worst case:
+  // a homopolymer serialises every increment through one address).
+  // Only worth it when the row is long enough to amortise the
+  // zero+merge (4*nbins halfwords) and the stripes stay L1-resident.
+  const bool use_stripes = lutp && nbins <= 2048;
   auto work = [&](int64_t r0, int64_t r1) {
+    std::vector<int16_t> stripe_buf(use_stripes ? 4 * (size_t)nbins : 0);
     for (int64_t r = r0; r < r1; r++) {
       const uint8_t *p = packed + r * wq;
       const uint8_t *v = validbits + r * wb;
@@ -1459,6 +1467,25 @@ int kt_oligo_hist(const uint8_t *packed, const uint8_t *validbits,
           // form. Safe region: byte j/4 + 7 <= wq - 1.
           const int64_t fast8 = nk < 4 * wq - 28 ? nk : 4 * wq - 28;
           int64_t j = 0;
+          if (use_stripes && nk >= 8 * (int64_t)nbins) {
+            int16_t *s0 = stripe_buf.data(), *s1 = s0 + nbins,
+                    *s2 = s1 + nbins, *s3 = s2 + nbins;
+            memset(s0, 0, 4 * (size_t)nbins * sizeof(int16_t));
+            for (; j + 8 <= fast8; j += 8) {
+              uint64_t w;
+              memcpy(&w, p + (j >> 2), 8);
+              s0[lutp[(uint32_t)(w >> 0) & mask]]++;
+              s1[lutp[(uint32_t)(w >> 2) & mask]]++;
+              s2[lutp[(uint32_t)(w >> 4) & mask]]++;
+              s3[lutp[(uint32_t)(w >> 6) & mask]]++;
+              s0[lutp[(uint32_t)(w >> 8) & mask]]++;
+              s1[lutp[(uint32_t)(w >> 10) & mask]]++;
+              s2[lutp[(uint32_t)(w >> 12) & mask]]++;
+              s3[lutp[(uint32_t)(w >> 14) & mask]]++;
+            }
+            for (int32_t b = 0; b < nbins; b++)
+              cnt[b] = (int16_t)(s0[b] + s1[b] + s2[b] + s3[b]);
+          }
           for (; j + 8 <= fast8; j += 8) {
             uint64_t w;
             memcpy(&w, p + (j >> 2), 8);
