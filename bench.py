@@ -348,6 +348,10 @@ def main() -> None:
                         "batches": s["batches"],
                         "weight": s["weight"],
                         "Mcodes_s": round(s["rate"] / 1e6, 1),
+                        # coalescing group size + dispatched groups
+                        # (VERDICT r4 item 1 observability)
+                        "n_coal": s.get("n_coal", 1),
+                        "groups": s.get("groups", 0),
                     }
                     for s in sinks
                 },

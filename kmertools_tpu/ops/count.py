@@ -286,6 +286,130 @@ def lookup_counts_bucketed(qh, ql, tkl, tc, boff, k, bucket_bits, steps):
     return jnp.where(found, jnp.take(tc, pos), 0)
 
 
+def block_table(tkeys, tcnts, k: int, S: int = 128, p_cap: int = 22):
+    """Host-side build of the aligned-block join layout
+    (lookup_counts_blocks). Returns (blocks3, boff, p_bits) or None
+    when no prefix resolution keeps every bucket span <= S (the caller
+    falls back to the binary-search join).
+
+    Layout: the sorted table as (n_blocks + 1, S, 3) uint32 rows of
+    [key_hi, key_lo, count], padded with sentinel rows (count 0), plus
+    `boff` — the lower bound of every p_bits-bit key prefix. A bucket
+    whose span is <= S lies entirely inside the two aligned S-blocks
+    that cover [boff[b], boff[b] + S), so a query resolves with TWO
+    contiguous row gathers and a vector compare instead of log2(span)
+    scalar probes. Canonical k-mer keys skew low (canonical = min(fwd,
+    rc)), so bucket spans vary smoothly up to ~2x the mean — p_bits is
+    raised until the max span fits."""
+    import numpy as np
+
+    n = len(tkeys)
+    if n == 0:
+        return None
+    two_k = 2 * k
+    p = max(1, int(np.ceil(np.log2(max(1.0, 4.0 * n / S)))))
+    # hard bound regardless of caller: boff (and the arange of bucket
+    # bounds used to build it) is 2^p entries — past ~26 bits the
+    # index itself dwarfs the table
+    p_hi = min(two_k, p_cap, 26)
+    p = min(p, p_hi)
+    while True:
+        bounds = np.arange((1 << p) + 1, dtype=np.uint64) << np.uint64(
+            two_k - p
+        )
+        boff = np.searchsorted(tkeys, bounds).astype(np.uint32)
+        max_gap = int(
+            (boff[1:].astype(np.int64) - boff[:-1]).max()
+        )
+        if max_gap <= S:
+            break
+        if p >= p_hi:
+            return None
+        p += 1
+    nlo = min(k, 16)
+    nb = -(-n // S)
+    t3 = np.empty(((nb + 1) * S, 3), dtype=np.uint32)
+    t3[n:, 0] = 0xFFFFFFFF
+    t3[n:, 1] = 0xFFFFFFFF
+    t3[n:, 2] = 0
+    t3[:n, 0] = (tkeys >> np.uint64(2 * nlo)).astype(np.uint32)
+    t3[:n, 1] = (tkeys & np.uint64((1 << (2 * nlo)) - 1)).astype(np.uint32)
+    t3[:n, 2] = np.asarray(tcnts, np.int64).astype(np.uint32)
+    return t3.reshape(nb + 1, S, 3), boff, p
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "p_bits", "S", "chunk")
+)
+def lookup_counts_blocks(qh, ql, blocks3, boff, k, p_bits, S, chunk=16384):
+    """Aligned-block join: per-query count from the block_table layout,
+    0 when absent.
+
+    The binary-search joins are issue-bound on TPU scalar/row gathers
+    (~1.5e8 row probes/s — lookup_counts_bucketed measured 12.2
+    Mlookups/s at ~12 probes per query, PERF.md). Here each query
+    issues THREE gathers total (its bucket's lower bound from `boff`,
+    then the two aligned (S, 3) blocks covering the bucket) and the
+    membership test becomes a full-width VPU compare over the gathered
+    rows — the TPU-native shape for a hash-join probe. Queries process
+    in fixed `chunk` slices inside a fori_loop so the gathered
+    (chunk, S, 3) staging stays ~25 MB regardless of batch size (and
+    the program compiles small). Replaces the HashMap lookup hot loop
+    of the reference (coverage/src/lib.rs:169-178)."""
+    shape = qh.shape
+    qhf = qh.reshape(-1)
+    qlf = ql.reshape(-1)
+    Q = qhf.shape[0]
+    n_chunks = max(1, -(-Q // chunk))
+    Qp = n_chunks * chunk
+    if Qp != Q:
+        pad = Qp - Q
+        qhf = jnp.concatenate([qhf, jnp.full((pad,), _SENT, jnp.uint32)])
+        qlf = jnp.concatenate([qlf, jnp.full((pad,), _SENT, jnp.uint32)])
+    nlo = min(k, 16)
+    lo_bits = 2 * nlo
+    hi_bits = 2 * k - lo_bits
+    if p_bits <= hi_bits:
+        b = (qhf >> (hi_bits - p_bits)).astype(jnp.int32)
+    else:
+        up = p_bits - hi_bits
+        b = ((qhf.astype(jnp.uint32) << up) | (qlf >> (lo_bits - up))).astype(
+            jnp.int32
+        )
+    # sentinel queries map to clipped buckets; they match only sentinel
+    # pad rows, whose count is 0 — "absent" falls out for free. All
+    # takes clip explicitly: jnp.take's default "fill" mode would turn
+    # an out-of-range index into rows of dtype-max, i.e. a fake match
+    # with count 0xFFFFFFFF
+    start = jnp.take(boff, b, mode="clip")
+    blk = (start // S).astype(jnp.int32)
+    # derive the carry from the queries so it carries the same
+    # manual-sharding axes as the loop body's outputs under shard_map
+    out = (qhf * jnp.uint32(0)).astype(jnp.int32)
+
+    def body(i, out):
+        off = i * chunk
+        cb = lax.dynamic_slice(blk, (off,), (chunk,))
+        ch = lax.dynamic_slice(qhf, (off,), (chunk,))
+        cl = lax.dynamic_slice(qlf, (off,), (chunk,))
+
+        def hitsum(g):
+            eq = (g[:, :, 0] == ch[:, None]) & (g[:, :, 1] == cl[:, None])
+            return jnp.sum(
+                jnp.where(eq, g[:, :, 2], jnp.uint32(0)),
+                axis=1,
+                dtype=jnp.uint32,
+            )
+
+        c = hitsum(jnp.take(blocks3, cb, axis=0, mode="clip")) + hitsum(
+            jnp.take(blocks3, cb + 1, axis=0, mode="clip")
+        )
+        return lax.dynamic_update_slice(out, c.astype(jnp.int32), (off,))
+
+    out = lax.fori_loop(0, n_chunks, body, out)
+    return out[:Q].reshape(shape)
+
+
 def bucket_offsets(tkeys, k: int, bucket_bits: int):
     """Host-side lower bounds of each `bucket_bits`-bit key prefix over
     the sorted u64 table, plus the static step count the bucketed join

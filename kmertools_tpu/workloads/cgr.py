@@ -534,7 +534,7 @@ class OligoCgrComputer:
 
             # kt_oligo_hist canonical-table sink (oligocgr has no raw
             # mode) + the standard sink policy, shared with oligo.py
-            dispatches, keys, stream_target = plan_hetero_sinks(
+            dispatches, keys, stream_target, coalesce = plan_hetero_sinks(
                 make_dispatch,
                 oligo_hist_native_sink(self.ksize, nbins, True, self.threads),
                 f"oligocgr{self.ksize}",
@@ -552,6 +552,7 @@ class OligoCgrComputer:
                     consume,
                     weight=lambda b: int(b.lengths.sum()),
                     keys=keys,
+                    coalesce=coalesce,
                 )
                 agg.finish()
                 emitter.finish()

@@ -165,11 +165,27 @@ class CovComputer:
         boff_np, join_steps = cops.bucket_offsets(tkeys, self.ksize, bb)
         # device-side table state, built on FIRST XLA dispatch: the
         # (hi, lo) split + uploads move ~180 MB at 13M keys — pure
-        # waste when the native sink runs alone (CPU-only backends)
+        # waste when the native sink runs alone (CPU-only backends).
+        # Preferred join layout: aligned blocks (ops/count.py:
+        # lookup_counts_blocks — 3 gathers/query instead of ~12); the
+        # binary-search layout remains the fallback for pathological
+        # prefix skew or KMERTOOLS_NO_BLOCKJOIN=1.
         _dev: dict = {}
+        use_blocks = os.environ.get("KMERTOOLS_NO_BLOCKJOIN") != "1"
 
         def dev_tables():
             if not _dev:
+                blk = (
+                    cops.block_table(tkeys, tcnts, self.ksize)
+                    if use_blocks else None
+                )
+                if blk is not None:
+                    blocks3, bboff, p_bits = blk
+                    _dev["blocks"] = jnp.asarray(blocks3)
+                    _dev["bboff"] = jnp.asarray(bboff)
+                    _dev["p_bits"] = p_bits
+                    _dev["S"] = blocks3.shape[1]
+                    return
                 th_np = (tkeys >> np.uint64(2 * nlo)).astype(np.uint32)
                 tl_np = (
                     tkeys & np.uint64((1 << (2 * nlo)) - 1)
@@ -179,7 +195,6 @@ class CovComputer:
                 )
                 _dev["boff"] = jnp.asarray(boff_np)
                 _dev["tc"] = jnp.asarray(tcnts)
-            return _dev["tkl"], _dev["tc"], _dev["boff"]
         final_path = os.path.join(self.out_dir, "kmers.vectors")
         vec_path = (
             self.mh_ctx.part_path(final_path) if self.mh_ctx else final_path
@@ -215,6 +230,12 @@ class CovComputer:
                 # _dev is populated eagerly in dispatch() — inside a
                 # trace these are concrete arrays (jit consts), never
                 # freshly-created tracers
+                if "blocks" in _dev:
+                    return _coverage_batch_blocks(
+                        codes, _dev["blocks"], _dev["bboff"],
+                        self.ksize, self.bin_size, self.bin_count,
+                        _dev["p_bits"], _dev["S"],
+                    )
                 return _coverage_batch(
                     codes, _dev["tkl"], _dev["tc"], _dev["boff"],
                     self.ksize, self.bin_size, self.bin_count,
@@ -300,15 +321,21 @@ class CovComputer:
             nd = native_dispatch()
             backend_cpu = jax.local_devices()[0].platform == "cpu"
             xla_key = f"cov{self.ksize}:xla:" + jax.local_devices()[0].platform
+            from kmertools_tpu.workloads.common import coalesce_for
+
+            xla_coal = coalesce_for(jax.local_devices())
             if nd is not None and backend_cpu:
                 dispatches = [nd]
                 keys = [f"cov{self.ksize}:native"]
+                coalesce = [1]
             elif nd is not None:
                 dispatches = [dispatch, nd]
                 keys = [xla_key, f"cov{self.ksize}:native"]
+                coalesce = [xla_coal, 1]
             else:
                 dispatches = [dispatch]
                 keys = [xla_key]
+                coalesce = [xla_coal]
             try:
                 run_pipelined_hetero(
                     iob.stream_path(
@@ -324,6 +351,7 @@ class CovComputer:
                     consume,
                     weight=lambda b: int(b.lengths.sum()),
                     keys=keys,
+                    coalesce=coalesce,
                 )
                 agg.finish()
                 emitter.finish()
@@ -339,19 +367,12 @@ import functools
 import jax
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "bin_size", "bin_count", "bucket_bits", "steps"),
-)
-def _coverage_batch(codes, tkl, tc, boff, k, bin_size, bin_count,
-                    bucket_bits, steps):
-    """ONE fused int16 [counts | total] array per batch: a single
-    device->host fetch (the narrow wire on remote-attached chips);
-    counts and totals both fit int16 (row width <= 8192)."""
-    qh, ql, valid = encode.canonical_ids_pair(codes, k)
-    cnt = cops.lookup_counts_bucketed(
-        qh, ql, tkl, tc, boff, k, bucket_bits, steps
-    )
+def _bin_and_fuse(cnt, valid, bin_size, bin_count):
+    """Abundance binning (bin = min(count / bin_size, bins - 1),
+    coverage/src/lib.rs:172-173) + per-read histogram, fused into ONE
+    int16 [counts | total] result array: a single device->host fetch
+    (the narrow wire on remote-attached chips); counts and totals both
+    fit int16 (row width <= 8192)."""
     bins = jnp.minimum(cnt // bin_size, bin_count - 1).astype(jnp.int32)
     if pallas_histogram.use_pallas():
         bin_values = jnp.arange(bin_count, dtype=jnp.int32)
@@ -368,3 +389,30 @@ def _coverage_batch(codes, tkl, tc, boff, k, bin_size, bin_count,
         [counts.astype(jnp.int16), totals.astype(jnp.int16)[:, None]],
         axis=1,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "bin_size", "bin_count", "bucket_bits", "steps"),
+)
+def _coverage_batch(codes, tkl, tc, boff, k, bin_size, bin_count,
+                    bucket_bits, steps):
+    """Binary-search join variant (fallback layout)."""
+    qh, ql, valid = encode.canonical_ids_pair(codes, k)
+    cnt = cops.lookup_counts_bucketed(
+        qh, ql, tkl, tc, boff, k, bucket_bits, steps
+    )
+    return _bin_and_fuse(cnt, valid, bin_size, bin_count)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "bin_size", "bin_count", "p_bits", "S"),
+)
+def _coverage_batch_blocks(codes, blocks3, boff, k, bin_size, bin_count,
+                           p_bits, S):
+    """Aligned-block join variant (the fast path: 3 gathers per query,
+    ops/count.py:lookup_counts_blocks)."""
+    qh, ql, valid = encode.canonical_ids_pair(codes, k)
+    cnt = cops.lookup_counts_blocks(qh, ql, blocks3, boff, k, p_bits, S)
+    return _bin_and_fuse(cnt, valid, bin_size, bin_count)

@@ -273,7 +273,7 @@ class OligoComputer:
 
                 return dispatch
 
-            dispatches, keys, stream_target = plan_hetero_sinks(
+            dispatches, keys, stream_target, coalesce = plan_hetero_sinks(
                 make_dispatch,
                 oligo_hist_native_sink(
                     self.ksize, nbins, self.count_min, self.threads
@@ -303,6 +303,7 @@ class OligoComputer:
                     consume,
                     weight=lambda b: int(b.lengths.sum()),
                     keys=keys,
+                    coalesce=coalesce,
                 )
                 for agg in aggs:
                     agg.finish()
