@@ -178,6 +178,18 @@ def merge_sorted_batch(ah, al, ac, bh, bl):
     return h, l, c, n_runs
 
 
+def merge_sorted_dispatch(ah, al, ac, sh, sl):
+    """merge_sorted_batch via the Pallas merge-path kernel on real TPU
+    backends (static program size — no compile cliff at large C), the
+    XLA bitonic network elsewhere. Trace-time choice (env + backend),
+    identical (oh, ol, oc, n_runs) semantics either way."""
+    from kmertools_tpu.ops import pallas_merge
+
+    if pallas_merge.use_pallas_merge():
+        return pallas_merge.merge_sorted_pallas(ah, al, ac, sh, sl)
+    return merge_sorted_batch(ah, al, ac, sh, sl)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k",), donate_argnums=(0, 1, 2)
 )
@@ -207,7 +219,7 @@ def accum_merge(ah, al, ac, codes, k):
     fl = lo.reshape(-1)
     sh, sl = lax.sort((fh, fl), num_keys=2)
     C = ah.shape[0]
-    uh, ul, uc, n_runs = merge_sorted_batch(ah, al, ac, sh, sl)
+    uh, ul, uc, n_runs = merge_sorted_dispatch(ah, al, ac, sh, sl)
     return uh[:C], ul[:C], uc[:C], n_runs
 
 

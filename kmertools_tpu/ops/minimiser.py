@@ -97,6 +97,56 @@ def whole_read_min(codes: jnp.ndarray, m: int):
     return min_hi, min_lo
 
 
+def _shift_right(x: jnp.ndarray, fill) -> jnp.ndarray:
+    """x[:, i] <- x[:, i-1], column 0 filled."""
+    pad = jnp.full((x.shape[0], 1), fill, dtype=x.dtype)
+    return jnp.concatenate([pad, x[:, :-1]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "wsize"))
+def window_records(codes: jnp.ndarray, lengths: jnp.ndarray, m: int,
+                   wsize: int):
+    """Device-side record extraction for complete single-row reads:
+    window minima AND the run/boundary analysis of extract_records in
+    one jitted program, so the host only gathers marked positions
+    (np.nonzero + fancy index) instead of re-deriving runs in numpy
+    (VERDICT r4 item 5).
+
+    Returns row-aligned (R, J) arrays (J = W - wsize + 1):
+      keep:  record starts (the reference's emission boundaries incl.
+             the final-window drop rule, kmer/src/minimiser.rs:114-171)
+      hi/lo: canonical window minima (the record value at kept cols)
+      lastw: the run's final window column (record end = lastw + wsize)
+
+    Everything is an axis-1 (row-local) scan/shift, so the program
+    row-shards over the mesh unchanged (data_parallel_rows)."""
+    hi, lo, wv = window_min(codes, m, wsize)
+    R, J = hi.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, J), 1)
+    j_row = jnp.maximum(0, lengths.astype(jnp.int32) - wsize + 1)
+    v = wv & (col < j_row[:, None])
+    pv = _shift_right(v, False)
+    ph = _shift_right(hi, 0)
+    pl_ = _shift_right(lo, 0)
+    diff = (hi != ph) | (lo != pl_)
+    boundary = v & (~pv | diff)
+    change = v & pv & diff
+    big = jnp.int32(J)
+    inv_pos = jnp.where(~v, col, big)
+    seg_last = (
+        jax.lax.associative_scan(jnp.minimum, inv_pos, reverse=True, axis=1)
+        - 1
+    )
+    bpos = jnp.where(boundary, col, big)
+    nb_incl = jax.lax.associative_scan(jnp.minimum, bpos, reverse=True, axis=1)
+    nb = _shift_left(nb_incl, 1, big)  # next boundary strictly after j
+    lastw = jnp.minimum(nb - 1, seg_last)
+    final_j = (j_row - 1)[:, None]
+    drop = boundary & change & (col == final_j) & (lastw == col)
+    keep = boundary & ~drop
+    return keep, hi, lo, lastw
+
+
 def extract_records(wmin_hi, wmin_lo, wvalid, lengths, wsize: int, m: int,
                     span: int | None = None):
     """Host-side run extraction over a flat batch.

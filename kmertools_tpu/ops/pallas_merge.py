@@ -1,0 +1,351 @@
+"""Pallas TPU kernel: streaming merge of a sorted batch into the
+sorted-unique counter accumulator (merge + duplicate-combine + compact).
+
+Why this kernel exists. The counter's per-batch accumulator update is
+``merge two sorted key streams, sum duplicate counts, compact`` — the
+TPU-native replacement for the reference's concurrent hash upsert
+(counter/src/lib.rs:123-132). The pure-XLA implementation
+(ops/count.py:merge_sorted_batch) is a bitonic merge network of
+log2(C+M) full-array reshape/select stages whose TPU compile time
+grows superlinearly with the array: the 16.7M-element program took
+>50 min of remote compile, the 4.2M one ~20 min (PERF.md), which
+capped the production batch size at KMERTOOLS_CTR_TARGET = 1<<18 and
+throttled the flagship device-counting path with tiny batches
+(VERDICT r3 weak#3). This kernel's program size is static in C and M:
+a merge-path grid of fixed-size tiles, each processed with vector ops
+on (1, 2T) registers — compile cost is O(tile), runtime is O(N) with
+a handful of HBM passes.
+
+Algorithm (merge path + sequential-grid carry):
+
+ 1. XLA precomputes, for every output-tile diagonal d = t*T, the split
+    (a_t, b_t) with A[:a_t] ++ B[:b_t] = first d elements of the merge
+    (vectorised binary search, log2(C) gather steps — the same
+    compile-friendly fori pattern as ops/count.py:lookup_counts).
+ 2. Grid step t DMA-stages A[a_t : a_t+T] and B[b_t : b_t+T] into
+    VMEM. Their concatenation (ascending ++ descending-reversed-B) is
+    bitonic, so a log2(2T)-stage bitonic merge of circular-roll
+    compare-exchanges sorts it; the first T elements are exactly
+    merged[d : d+T] as a multiset (the counts attached to equal keys
+    may locally permute, which run-summing erases).
+ 3. Runs of equal keys are combined with an in-tile segmented scan;
+    runs crossing tile boundaries chain through an SMEM carry
+    (key, running sum). A tile's run-boundary flags are only complete
+    once the NEXT tile's first key is known, so emission runs one tile
+    behind: step t compacts tile t-1's finished runs (bit-shift
+    routing network, log2(T) stages) and appends them to the output at
+    a carried offset. One trailing all-sentinel tile finalises the
+    last real run.
+
+Keys travel as order-preserving int32 (uint32 XOR 0x80000000): Mosaic's
+vector compares are int32-native and the sentinel 0xFFFFFFFF maps to
+INT32_MAX, keeping sentinel-last ordering.
+
+Semantics are pinned equal to merge_sorted_batch by
+tests/test_pallas_merge.py (interpret mode) and by the on-chip golden
+byte-compares (the verify skill).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import numpy as _np
+
+_FLIP = _np.uint32(0x80000000)
+_IMAX = _np.int32(0x7FFFFFFF)
+
+
+def use_pallas_merge(platform: str | None = None) -> bool:
+    """The Pallas merge is the default on real TPU backends; XLA's
+    bitonic network remains the fallback (KMERTOOLS_NO_PALLAS_MERGE=1
+    isolates it without disabling the other Pallas kernels)."""
+    from kmertools_tpu.ops.pallas_histogram import use_pallas
+
+    if os.environ.get("KMERTOOLS_NO_PALLAS_MERGE"):
+        return False
+    return use_pallas(platform)
+
+
+def _flip(x):
+    """uint32 -> order-preserving int32."""
+    return lax.bitcast_convert_type(x ^ _FLIP, jnp.int32)
+
+
+def _merge_path_offsets(fah, fal, fbh, fbl, C: int, M: int, T: int, G: int):
+    """Split points (a_t, b_t) for diagonals d_t = min(t*T, C+M):
+    smallest a with A[a] >= B[d-a-1] (A-first ties). Vectorised binary
+    search over all G boundaries; inputs are the flipped-int32 PADDED
+    arrays (A[C..] and B[M..] are INT32_MAX sentinels)."""
+    d = jnp.minimum(jnp.arange(G, dtype=jnp.int32) * T, C + M)
+    lo0 = jnp.maximum(0, d - M)
+    hi0 = jnp.minimum(d, C)
+    steps = int(C + 1).bit_length() + 1
+
+    def body(_, st):
+        lo, hi = st
+        a = (lo + hi) // 2
+        b = d - a
+        ah = jnp.take(fah, a, mode="clip")
+        al = jnp.take(fal, a, mode="clip")
+        bi = jnp.maximum(b - 1, 0)
+        bh = jnp.take(fbh, bi, mode="clip")
+        bl = jnp.take(fbl, bi, mode="clip")
+        a_lt_b = (ah < bh) | ((ah == bh) & (al < bl))
+        cond = (b >= 1) & a_lt_b & (lo < hi)
+        nlo = jnp.where(cond, a + 1, lo)
+        nhi = jnp.where(cond, hi, jnp.where(lo < hi, a, hi))
+        return nlo, nhi
+
+    lo, _ = lax.fori_loop(0, steps, body, (lo0, hi0))
+    return lo, d - lo
+
+
+def _make_kernel(T: int, G: int):
+    T2 = 2 * T
+    log2t = T.bit_length() - 1
+
+    def _rt(x, s):
+        """circular right shift on the lane axis: out[i] = x[i-s]."""
+        return pltpu.roll(x, s, axis=1)
+
+    def _lt_(x, s):
+        """circular left shift: out[i] = x[i+s]."""
+        return pltpu.roll(x, x.shape[1] - s, axis=1)
+
+    def kernel(aoff, boff,  # scalar prefetch (G,) int32
+               ah, al, ac, brh, brl,  # ANY (1, C+T) / (1, M+T)
+               oh, ol, oc, nruns,  # ANY (1, L_out) x3, SMEM (1, 1)
+               a_h, a_l, a_c, b_h, b_l,
+               pv_h, pv_l, pv_s, pv_f,
+               e_h, e_l, e_c,
+               carry, sems):
+        t = pl.program_id(0)
+        a0 = aoff[t]
+        b0 = boff[t]
+        Mp = brh.shape[1]
+        cps = [
+            pltpu.make_async_copy(ah.at[:, pl.ds(a0, T)], a_h, sems.at[0]),
+            pltpu.make_async_copy(al.at[:, pl.ds(a0, T)], a_l, sems.at[1]),
+            pltpu.make_async_copy(ac.at[:, pl.ds(a0, T)], a_c, sems.at[2]),
+            # brh/brl hold B REVERSED, so this slice is B[b0:b0+T]
+            # descending — ascending A ++ descending B is bitonic
+            pltpu.make_async_copy(
+                brh.at[:, pl.ds(Mp - b0 - T, T)], b_h, sems.at[3]
+            ),
+            pltpu.make_async_copy(
+                brl.at[:, pl.ds(Mp - b0 - T, T)], b_l, sems.at[4]
+            ),
+        ]
+        for c in cps:
+            c.start()
+
+        @pl.when(t == 0)
+        def _init():
+            carry[0] = 0  # output write offset (emitted runs so far)
+            carry[1] = _IMAX  # carried run key (impossible: sentinel)
+            carry[2] = _IMAX
+            carry[3] = 0  # carried run count
+
+        for c in cps:
+            c.wait()
+
+        h = jnp.concatenate([a_h[:], b_h[:]], axis=1)
+        l = jnp.concatenate([a_l[:], b_l[:]], axis=1)
+        # batch elements carry count 1 (every occurrence counts once;
+        # sentinel tails are masked at emission)
+        c_ = jnp.concatenate(
+            [a_c[:], jnp.ones((1, T), jnp.int32)], axis=1
+        )
+        iota2 = lax.broadcasted_iota(jnp.int32, (1, T2), 1)
+        # source rank: a total-order tiebreak matching the merge-path
+        # split's tie rule (B copies of a key before A's — the search
+        # predicate A[a] >= B[d-a-1] consumes batch duplicates first).
+        # Without it the first-T selection could pick the accumulator's
+        # copy of a tied key in SEVERAL tiles (its window reloads while
+        # `a` stands still), double-counting its run total. Window lane
+        # i holds A[a0+i] (rank T+i) or, reversed, B[b0 + 2T-1-i]
+        # (rank 2T-1-i < T)
+        r = jnp.where(iota2 < T, T + iota2, 2 * T - 1 - iota2)
+        s = T
+        while s >= 1:
+            m = (iota2 & s) == 0  # lower lane of each exchange pair
+            ph = jnp.where(m, _lt_(h, s), _rt(h, s))
+            pll = jnp.where(m, _lt_(l, s), _rt(l, s))
+            pc = jnp.where(m, _lt_(c_, s), _rt(c_, s))
+            pr = jnp.where(m, _lt_(r, s), _rt(r, s))
+            p_lt = (ph < h) | (
+                (ph == h) & ((pll < l) | ((pll == l) & (pr < r)))
+            )
+            # ranks are distinct, so the order is total: the upper lane
+            # takes the partner exactly when the lower doesn't
+            take = jnp.where(m, p_lt, ~p_lt)
+            h = jnp.where(take, ph, h)
+            l = jnp.where(take, pll, l)
+            c_ = jnp.where(take, pc, c_)
+            r = jnp.where(take, pr, r)
+            s //= 2
+        h = h[:, :T]
+        l = l[:, :T]
+        c_ = c_[:, :T]
+
+        ti = lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        # run-boundary flags vs the previous element (lane 0 vs carry)
+        ph0 = jnp.where(ti == 0, carry[1], _rt(h, 1))
+        pl0 = jnp.where(ti == 0, carry[2], _rt(l, 1))
+        first = ((h != ph0) | (l != pl0)).astype(jnp.int32)
+        # a run continuing across the tile boundary inherits the
+        # carried sum
+        c_ = c_ + jnp.where((ti == 0) & (first == 0), carry[3], 0)
+        # segmented inclusive sum scan (Hillis-Steele)
+        f = first
+        s_ = c_
+        d = 1
+        while d < T:
+            sd = jnp.where(ti >= d, _rt(s_, d), 0)
+            fd = jnp.where(ti >= d, _rt(f, d), 1)
+            s_ = s_ + jnp.where(f != 0, 0, sd)
+            f = f | fd
+            d *= 2
+        sums = s_
+        cur_first0 = first[0, 0]
+
+        @pl.when(t > 0)
+        def _emit():
+            # finalise the PREVIOUS tile: its last-of-run flags are
+            # complete now that the current tile's first key is known
+            eh = pv_h[:]
+            el = pv_l[:]
+            es = pv_s[:]
+            ef = pv_f[:]
+            lastp = jnp.where(ti == T - 1, cur_first0, _lt_(ef, 1))
+            sent = (eh == _IMAX) & (el == _IMAX)
+            emit = (lastp != 0) & ~sent
+            dead = (~emit).astype(jnp.int32)
+            # exclusive dead-predecessor count -> leftward move distance
+            ex = dead
+            dd = 1
+            while dd < T:
+                ex = ex + jnp.where(ti >= dd, _rt(ex, dd), 0)
+                dd *= 2
+            ex = ex - dead  # inclusive -> exclusive
+            rem = jnp.where(dead != 0, 0, ex)
+            # bit-shift routing network: compact live runs to the prefix
+            for b in range(log2t):
+                step = 1 << b
+                bit = jnp.where(
+                    ti < T - step, (_lt_(rem, step) >> b) & 1, 0
+                )
+                cond = bit == 1
+                eh = jnp.where(cond, _lt_(eh, step), eh)
+                el = jnp.where(cond, _lt_(el, step), el)
+                es = jnp.where(cond, _lt_(es, step), es)
+                rem = jnp.where(cond, _lt_(rem, step), rem)
+            n_emit = jnp.sum(emit.astype(jnp.int32))
+            e_h[:] = eh
+            e_l[:] = el
+            e_c[:] = es
+            off = carry[0]
+            ops = [
+                pltpu.make_async_copy(e_h, oh.at[:, pl.ds(off, T)], sems.at[5]),
+                pltpu.make_async_copy(e_l, ol.at[:, pl.ds(off, T)], sems.at[6]),
+                pltpu.make_async_copy(e_c, oc.at[:, pl.ds(off, T)], sems.at[7]),
+            ]
+            for o in ops:
+                o.start()
+            for o in ops:
+                o.wait()
+            carry[0] = off + n_emit
+
+        @pl.when(t == G - 1)
+        def _fin():
+            nruns[0, 0] = carry[0]
+
+        # current tile becomes the deferred one
+        pv_h[:] = h
+        pv_l[:] = l
+        pv_s[:] = sums
+        pv_f[:] = first
+        carry[1] = h[0, T - 1]
+        carry[2] = l[0, T - 1]
+        carry[3] = sums[0, T - 1]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def merge_sorted_pallas(ah, al, ac, bh, bl, tile: int = 4096,
+                        interpret: bool = False):
+    """Drop-in for ops.count.merge_sorted_batch: merge a SORTED batch
+    (bh, bl) of unit-count canonical pairs (sentinels last) into the
+    sorted-unique sentinel-tailed accumulator (ah, al, ac). Returns
+    (oh, ol, oc, n_runs), runs compacted to the prefix, sentinel/zero
+    tail, output length >= C + M."""
+    C = ah.shape[0]
+    M = bh.shape[0]
+    T = tile
+    N = C + M
+    n_tiles = max(1, -(-N // T))
+    G = n_tiles + 1  # one trailing sentinel tile finalises the last run
+    L_out = n_tiles * T + T
+
+    fah = _flip(ah)
+    fal = _flip(al)
+    fac = lax.bitcast_convert_type(ac, jnp.int32)
+    fbh = _flip(bh)
+    fbl = _flip(bl)
+    imax = jnp.full((T,), _IMAX, jnp.int32)
+    fah = jnp.concatenate([fah, imax])
+    fal = jnp.concatenate([fal, imax])
+    fac = jnp.concatenate([fac, jnp.zeros((T,), jnp.int32)])
+    fbh = jnp.concatenate([fbh, imax])
+    fbl = jnp.concatenate([fbl, imax])
+    aoff, boff = _merge_path_offsets(fah, fal, fbh, fbl, C, M, T, G)
+    brh = fbh[::-1]
+    brl = fbl[::-1]
+
+    def as2(x):
+        return x.reshape(1, -1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=(
+            [pl.BlockSpec(memory_space=pl.ANY)] * 3
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((1, T), jnp.int32) for _ in range(12)]
+            + [pltpu.SMEM((8,), jnp.int32), pltpu.SemaphoreType.DMA((8,))]
+        ),
+    )
+    oh, ol, oc, nr = pl.pallas_call(
+        _make_kernel(T, G),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, L_out), jnp.int32),
+            jax.ShapeDtypeStruct((1, L_out), jnp.int32),
+            jax.ShapeDtypeStruct((1, L_out), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(aoff, boff, as2(fah), as2(fal), as2(fac), as2(brh), as2(brl))
+    n_runs = nr[0, 0]
+    # positions past the final write offset hold stale DMA bytes (or
+    # were never written): mask to the sentinel/zero tail contract
+    idx = jnp.arange(L_out, dtype=jnp.int32)
+    live = idx < n_runs
+    sent = jnp.uint32(0xFFFFFFFF)
+    to_u32 = lambda x: lax.bitcast_convert_type(x, jnp.uint32)  # noqa: E731
+    oh_u = jnp.where(live, to_u32(oh[0]) ^ _FLIP, sent)
+    ol_u = jnp.where(live, to_u32(ol[0]) ^ _FLIP, sent)
+    oc_u = jnp.where(live, to_u32(oc[0]), jnp.uint32(0))
+    return oh_u, ol_u, oc_u, n_runs

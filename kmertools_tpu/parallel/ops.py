@@ -144,7 +144,7 @@ def sharded_accum_count(mesh, k: int, C_dev: int, cap: int,
     bytes matter, and unpacking fuses into the same XLA program.
     """
     ndev = mesh.devices.size
-    from kmertools_tpu.ops.count import merge_sorted_batch
+    from kmertools_tpu.ops.count import merge_sorted_dispatch
 
     def step(ah, al, ac, *data):
         ah, al, ac = ah[0], al[0], ac[0]
@@ -169,7 +169,7 @@ def sharded_accum_count(mesh, k: int, C_dev: int, cap: int,
         rh, rl = lax.sort(
             (xh.reshape(-1), xl.reshape(-1)), num_keys=2
         )
-        uh, ul, uc, n_runs = merge_sorted_batch(ah, al, ac, rh, rl)
+        uh, ul, uc, n_runs = merge_sorted_dispatch(ah, al, ac, rh, rl)
         C = ah.shape[0]
         live_old = jnp.sum(ac > 0, dtype=jnp.int32)
         nah = jnp.where(ovf, ah, uh[:C])

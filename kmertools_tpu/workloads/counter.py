@@ -213,19 +213,30 @@ def _pow2_at_least(n: int, floor: int = 1 << 10) -> int:
     return max(floor, 1 << max(0, (n - 1).bit_length()))
 
 
-# Counter batches are capped well below the global streaming target:
-# the accumulator's capacity scales with the batch (C ~= 8x growth so
-# the spill mark stays useful), and the per-batch merge program's TPU
-# compile time grows superlinearly with C + batch — measured round 3:
-# the 1<<20 target's 16.7M-element merge took >50 min of remote
-# compile, the 1<<18 target's 4.2M ~20 min (one-time, cached). The
-# merge RUNTIME per code is ~independent of the target (C tracks the
-# batch by the same 8x factor), so the smaller default costs only more
-# per-batch host round trips — negligible next to the compile cliff.
-_CTR_TARGET_CODES = int(os.environ.get("KMERTOOLS_CTR_TARGET", 1 << 18))
+# Counter batch code budget. Two regimes:
+#   * XLA bitonic-network merge (CPU / KMERTOOLS_NO_PALLAS_MERGE): the
+#     per-batch merge program's TPU compile time grows superlinearly
+#     with C + batch (round 3: the 1<<20 target's 16.7M-element merge
+#     took >50 min of remote compile, the 1<<18 target's 4.2M ~20 min)
+#     — the default stays 1<<18 to keep networks at the ~4M scale.
+#   * Pallas merge-path kernel (real TPU, ops/pallas_merge.py): the
+#     program is static in C + batch, so the cliff is gone and the
+#     default rises to 1<<21 (8x fewer host round trips per drain
+#     cycle; the remaining compile-sensitive op is the batch-sized
+#     lax.sort).
+# KMERTOOLS_CTR_TARGET overrides both.
+_CTR_TARGET_CODES = int(os.environ.get("KMERTOOLS_CTR_TARGET", 0)) or None
 # an env-set target is an explicit user choice: the host-path batch
 # floor must not override it (only the construction default)
 _CTR_TARGET_EXPLICIT = "KMERTOOLS_CTR_TARGET" in os.environ
+
+
+def _default_ctr_target() -> int:
+    if _CTR_TARGET_CODES is not None:
+        return _CTR_TARGET_CODES
+    from kmertools_tpu.ops.pallas_merge import use_pallas_merge
+
+    return (1 << 21) if use_pallas_merge() else (1 << 18)
 
 _DRAIN_PIECE_FLOOR = 1 << 16
 
@@ -258,6 +269,29 @@ def _slice_fn(size: int, to_u16: bool):
     def f(arr, off):
         s = jlax.dynamic_slice(arr, (off,), (size,))
         return s.astype(jnp.uint16) if to_u16 else s
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _max_fn():
+    import jax
+
+    return jax.jit(lambda a: jnp.max(a))
+
+
+@functools.lru_cache(maxsize=None)
+def _hi_bounds_fn(nh: int):
+    """Positions where the sorted accumulator's hi plane first reaches
+    each value v in [0, nh]: the hi halves are monotone (live prefix
+    sorted, sentinel tail = max), so `nh+1` boundaries reconstruct the
+    whole plane — the drain ships ~4(nh+1) bytes instead of 2 bytes per
+    unique (compact drain wire, VERDICT r4 item 4)."""
+    import jax
+
+    def f(ah):
+        v = jnp.arange(nh + 1, dtype=ah.dtype)
+        return jnp.searchsorted(ah, v, method="scan").astype(jnp.int32)
 
     return jax.jit(f)
 
@@ -487,8 +521,19 @@ class DeviceAccumulator:
         """Fetch (keys u64, counts u64) sorted ascending; reset state.
 
         Transfer is a power-of-two bucketed prefix of the accumulator
-        (few distinct shapes -> few compiles), ~bytes proportional to
-        unique k-mers; hi halves travel as u16 for k <= 23."""
+        (few distinct shapes -> few compiles), with a compact wire
+        format proportional to unique k-mers (the device->host path is
+        ~25 MB/s through the tunnel, PERF.md):
+
+          * k <= 16: the hi plane is identically zero — not fetched;
+          * 16 < k <= 23: the hi plane is monotone over the sorted
+            prefix, so only its 4^(k-16)+1 value boundaries travel
+            (searchsorted on device) and the plane rebuilds on host;
+          * counts travel as u16 whenever the accumulator's max count
+            fits (one scalar max-fetch decides; exact either way).
+
+        Net: 6 bytes per unique for the flagship k=21 all-distinct
+        case, down from 10."""
         while self._pending:
             entry = self._pending.pop(0)
             if self.used_mesh or not self._pending:
@@ -510,29 +555,50 @@ class DeviceAccumulator:
             # ~n entries (not pow2(n), up to 2x) and each piece size is
             # one tiny cached dynamic_slice program
             n_need = int(n_per_dev.max())
+            no_hi = self.k <= 16
+            bounded_hi = 16 < self.k <= 23
+            small_ct = int(np.asarray(_max_fn()(ac))) < (1 << 16)
+            hib = (
+                _hi_bounds_fn(1 << (2 * (self.k - 16)))(ah)
+                if bounded_hi else None
+            )
             ph, plo, pct = [], [], []
             for off, size in _prefix_pieces(n_need, self.C_dev):
                 o = np.int32(off)
-                ph.append(_slice_fn(size, small_hi)(ah, o))
+                if not (no_hi or bounded_hi):
+                    ph.append(_slice_fn(size, small_hi)(ah, o))
                 plo.append(_slice_fn(size, False)(al, o))
-                pct.append(_slice_fn(size, False)(ac, o))
+                pct.append(_slice_fn(size, small_ct)(ac, o))
             # start every device->host copy before blocking on any:
             # piece fetches overlap instead of paying one round trip
             # each in sequence
-            for r in (*ph, *plo, *pct):
+            pends = [*ph, *plo, *pct] + ([hib] if hib is not None else [])
+            for r in pends:
                 cast = getattr(r, "copy_to_host_async", None)
                 if cast is not None:
                     try:
                         cast()
                     except Exception:
                         pass
-            ph = [np.asarray(r) for r in ph]
             plo = [np.asarray(r) for r in plo]
             pct = [np.asarray(r) for r in pct]
-            hdt = np.uint16 if small_hi else np.uint32
-            hi = np.concatenate(ph) if ph else np.empty(0, hdt)
             lo = np.concatenate(plo) if plo else np.empty(0, np.uint32)
             ct = np.concatenate(pct) if pct else np.empty(0, np.uint32)
+            m = len(lo)
+            if no_hi:
+                hi = np.zeros(m, np.uint16)
+            elif bounded_hi:
+                # rebuild the hi plane from its value boundaries
+                b = np.minimum(np.asarray(hib).astype(np.int64), m)
+                hi = np.repeat(
+                    np.arange(len(b) - 1, dtype=np.uint16), np.diff(b)
+                )
+                hi = np.concatenate(
+                    [hi, np.full(m - len(hi), 0xFFFF, np.uint16)]
+                )
+            else:
+                ph = [np.asarray(r) for r in ph]
+                hi = np.concatenate(ph) if ph else np.empty(0, np.uint32)
             hi, lo, ct = hi[None], lo[None], ct[None]
         else:
             L = min(int(_pow2_at_least(int(n_per_dev.max()))), self.C_dev)
@@ -736,7 +802,10 @@ class CountComputer:
         self.mh_ctx = None  # parallel.multihost.HostContext
         self.chunk_ids: list[int] = []
         self._cid_lock = threading.Lock()
-        self.target_codes = min(iob.DEFAULT_TARGET_CODES, _CTR_TARGET_CODES)
+        # None = resolve lazily (_resolved_target): the default depends
+        # on the backend (Pallas merge gate), which must not initialise
+        # here — multihost runs need jax.distributed up first
+        self.target_codes: int | None = None
 
     def set_threads(self, threads: int) -> None:
         if threads > 0:
@@ -851,23 +920,28 @@ class CountComputer:
         dispatch multi-million-element padded sorts.
 
         ``device=False`` (native engine counts alone, CPU-only backend):
-        the default _CTR_TARGET_CODES exists to keep the DEVICE
-        accumulator's per-batch merge program at the ~4M-element scale
-        (compile-time cliff, CLAUDE.md) — the native engine has no such
-        constraint and 256k batches halve its throughput on per-batch
-        overhead (thread spawns, bucket clears; measured 17.9 vs
-        32.5 Mcodes/s at 2M). Applied only while target_codes is the
+        the small device-path default exists to bound the DEVICE
+        accumulator's per-batch merge program (compile-time cliff on
+        the XLA-network path, CLAUDE.md) — the native engine has no
+        such constraint and 256k batches halve its throughput on
+        per-batch overhead (thread spawns, bucket clears; measured 17.9
+        vs 32.5 Mcodes/s at 2M). Applied only while target_codes is the
         construction default: an explicit target (tests forcing many
         tiny chunks) stays authoritative."""
         need = 1 << max(16, (2 * max(1, self.total_bases) - 1).bit_length())
-        tgt = self.target_codes
+        tgt = self._resolved_target()
         if (
             not device
             and not _CTR_TARGET_EXPLICIT
-            and tgt == min(iob.DEFAULT_TARGET_CODES, _CTR_TARGET_CODES)
+            and self.target_codes is None
         ):
             tgt = max(tgt, 1 << 21)
         return min(tgt, need)
+
+    def _resolved_target(self) -> int:
+        if self.target_codes is not None:
+            return self.target_codes
+        return min(iob.DEFAULT_TARGET_CODES, _default_ctr_target())
 
     def _native_engine(self) -> "NativeCounter | None":
         """The host-CPU engine when it should join the count: native

@@ -128,7 +128,10 @@ class CovComputer:
         if self.threads:
             ctr.set_threads(self.threads)
         ctr.set_max_memory(self.memory_ceil_gb)
-        ctr.target_codes = self.target_codes
+        if self.target_codes != iob.DEFAULT_TARGET_CODES:
+            # explicit caller override; otherwise the counter resolves
+            # its own backend-dependent default (_resolved_target)
+            ctr.target_codes = self.target_codes
         if self.mh_ctx:
             ctr.set_multihost(self.mh_ctx)
         ctr.count_and_merge(True)

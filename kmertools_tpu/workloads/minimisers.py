@@ -259,6 +259,40 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
         dp_win_full = _packed_pair(
             lambda c: mops.window_min(c, msize, wsize)
         )
+        # device-side record extraction (ops/minimiser.py:window_records):
+        # run/boundary analysis rides in the jitted program and the host
+        # only gathers marked positions. Default where fetches are memcpy
+        # (CPU backends); on remote-attached chips the extra planes cost
+        # more wire than the host analysis saves, so the fused u32 plane
+        # + host extract_records stays the default there.
+        import os as _os
+
+        _backend_cpu = bool(_jax.local_devices()) and (
+            _jax.local_devices()[0].platform == "cpu"
+        )
+        use_devext = (
+            _os.environ.get("KMERTOOLS_NO_DEVEXTRACT") != "1"
+            and (_backend_cpu or _os.environ.get("KMERTOOLS_DEVEXTRACT") == "1")
+        )
+        if use_devext:
+            _recs_planes = data_parallel_rows(_jax.jit(
+                lambda p, v, ln: mops.window_records(
+                    _enc.unpack_planes(p, v), ln, msize, wsize
+                )
+            ))
+            _recs_clean = data_parallel_rows(_jax.jit(
+                lambda p, ln: mops.window_records(
+                    _enc.unpack_packed(p, ln), ln, msize, wsize
+                )
+            ))
+
+            def dp_win_recs(b: iob.Batch):
+                packed, vb, n_ambig = b.planes()
+                if n_ambig == 0:
+                    return _recs_clean(packed, b.lengths)
+                return _recs_planes(packed, vb, b.lengths)
+    else:
+        use_devext = False
 
     def handle_batch_fast(b: iob.Batch, lengths, trail, hasbad,
                           n: int) -> None:
@@ -285,7 +319,24 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
             e = lengths[rof]
             sent_mask = hasbad & (trail >= msize)
         else:
-            if b.codes.shape[1] >= wsize:
+            if b.codes.shape[1] < wsize:
+                rof = np.empty(0, np.int64)
+                val = np.empty(0, np.uint64)
+                s = e = np.empty(0, np.int64)
+            elif use_devext:
+                keep, hh, ll, lastw = dp_win_recs(b)
+                keep = np.asarray(keep)[:n]
+                hh = np.asarray(hh)[:n]
+                ll = np.asarray(ll)[:n]
+                lastw = np.asarray(lastw)[:n]
+                rr, cc = np.nonzero(keep)
+                rof = rr.astype(np.int64)
+                val = (
+                    hh[rr, cc].astype(np.uint64) << np.uint64(2 * nlo)
+                ) | ll[rr, cc].astype(np.uint64)
+                s = cc.astype(np.int64)
+                e = (lastw[rr, cc] + wsize).astype(np.int64)
+            else:
                 J_row = np.maximum(0, lengths - wsize + 1)
                 if msize <= 15:
                     lw = dp_win_fused(b)
@@ -315,10 +366,6 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
                 rof, val, s, e = mops.extract_records(
                     fh, fl, fv, lengths, wsize, msize, span=Jm + 1
                 )
-            else:
-                rof = np.empty(0, np.int64)
-                val = np.empty(0, np.uint64)
-                s = e = np.empty(0, np.int64)
             sent_mask = (trail >= msize) & (trail < wsize)
 
         # merge extract records + sentinel rows into one flat layout

@@ -573,3 +573,53 @@ def test_merge_resumes_from_manifest(tmp_path):
     c3 = CountComputer(str(fa), str(out), 21)
     with pytest.raises(ValueError, match="manifest ksize"):
         c3.load_manifest()
+
+
+def test_drain_wire_formats_exact(monkeypatch):
+    """The compact drain wire (counter.py:DeviceAccumulator.drain) must
+    be exact across its format decisions: no hi plane (k<=16), hi
+    rebuilt from value boundaries (16<k<=23), full hi plane (k>23), and
+    u16 counts promoted to u32 when any count reaches 65536."""
+    from kmertools_tpu.utils import codec
+    from kmertools_tpu.workloads.counter import DeviceAccumulator
+
+    monkeypatch.setenv("KMERTOOLS_NO_HETERO", "1")
+    rng = np.random.default_rng(7)
+
+    def oracle(rows, k):
+        want: dict[int, int] = {}
+        for row in rows:
+            run = 0
+            for i, c in enumerate(row):
+                run = run + 1 if c < 4 else 0
+                if run >= k:
+                    s = "".join("ACGT"[x] for x in row[i - k + 1 : i + 1])
+                    f, r = codec.kmer_to_numeric(s)
+                    key = min(f, r)
+                    want[key] = want.get(key, 0) + 1
+        return want
+
+    for k in (11, 15, 21, 27):
+        codes = rng.integers(0, 5, size=(24, 96)).astype(np.uint8)
+        lengths = np.full(24, 96, np.int32)
+        acc = DeviceAccumulator(k, target_codes=1 << 13, n_devices=1)
+        acc.add(codes_np=codes, lengths_np=lengths)
+        keys, cnts = acc.drain()
+        want = oracle(codes.tolist(), k)
+        got = dict(zip(keys.tolist(), cnts.tolist()))
+        assert got == want, f"k={k} drain mismatch"
+
+    # count overflow past u16: one k-mer repeated > 65535 times
+    # (poly-A rows: 82 occurrences of key 0 per row x 840 rows = 68880)
+    k = 15
+    rows = np.zeros((840, 96), np.uint8)
+    acc = DeviceAccumulator(k, target_codes=1 << 13, n_devices=1)
+    for s in range(0, len(rows), 128):
+        chunk = rows[s : s + 128]
+        acc.add(
+            codes_np=chunk,
+            lengths_np=np.full(len(chunk), 96, np.int32),
+        )
+    keys, cnts = acc.drain()
+    assert int(cnts.max()) > 0xFFFF  # the u32 fallback actually engaged
+    assert keys.tolist() == [0] and cnts.tolist() == [82 * 840]

@@ -290,3 +290,57 @@ def test_m2s_spill_mode_synthetic_many_runs(tmp_path, monkeypatch):
     out = tmp_path / "spill"
     wmin.bin_sequences(25, 9, str(fa), str(out))
     assert out.read_bytes() == ref.read_bytes()
+
+
+def test_window_records_matches_extract_records():
+    """Device-side record extraction (ops/minimiser.py:window_records)
+    == the host analysis (extract_records) over random single-row
+    batches with ambiguity flushes, ties, short reads, and final-window
+    drops."""
+    import jax.numpy as jnp
+
+    from kmertools_tpu.ops import minimiser as mops
+
+    rng = np.random.default_rng(13)
+    for m, wsize in ((3, 5), (7, 31), (17, 31)):
+        W = 96
+        codes = rng.integers(0, 5, size=(24, W)).astype(np.uint8)
+        lengths = rng.integers(1, W + 1, size=24).astype(np.int32)
+        col_mask = np.arange(W)[None, :] >= lengths[:, None]
+        codes[col_mask] = 4
+        keep, hh, ll, lastw = mops.window_records(
+            jnp.asarray(codes), jnp.asarray(lengths), m, wsize
+        )
+        keep = np.asarray(keep)
+        hh = np.asarray(hh)
+        ll = np.asarray(ll)
+        lastw = np.asarray(lastw)
+        rr, cc = np.nonzero(keep)
+        nlo = min(m, 16)
+        got = list(zip(
+            rr.tolist(),
+            ((hh[rr, cc].astype(np.uint64) << np.uint64(2 * nlo))
+             | ll[rr, cc]).tolist(),
+            cc.tolist(),
+            (lastw[rr, cc] + wsize).tolist(),
+        ))
+
+        # host oracle: the fused-plane + extract_records path
+        h, l, v = mops.window_min(jnp.asarray(codes), m, wsize)
+        h = np.asarray(h)
+        l = np.asarray(l)
+        v = np.asarray(v)
+        n, Jm = h.shape
+        J_row = np.maximum(0, lengths.astype(np.int64) - wsize + 1)
+        colv = np.arange(Jm, dtype=np.int64)
+        v2 = v & (colv[None, :] < J_row[:, None])
+        zu = np.zeros((n, 1), dtype=h.dtype)
+        zb = np.zeros((n, 1), dtype=bool)
+        fh = np.concatenate([h, zu], axis=1).ravel()
+        fl = np.concatenate([l, zu], axis=1).ravel()
+        fv = np.concatenate([v2, zb], axis=1).ravel()
+        rof, val, s, e = mops.extract_records(
+            fh, fl, fv, lengths.astype(np.int64), wsize, m, span=Jm + 1
+        )
+        want = list(zip(rof.tolist(), val.tolist(), s.tolist(), e.tolist()))
+        assert got == want, f"m={m} w={wsize}"
