@@ -87,57 +87,128 @@ def build_parser() -> argparse.ArgumentParser:
         "-H", "--header", action="store_true",
         help="Include header (with k-mer in ACGT format)",
     )
-    oligo.add_argument("-t", "--threads", type=int, default=0)
+    oligo.add_argument(
+        "-t", "--threads", type=int, default=0,
+        help="Thread count for computations 0=auto",
+    )
 
     cgr = compsub.add_parser(
         "cgr", help="Generates Chaos Game Representations", parents=[mh]
     )
-    cgr.add_argument("-i", "--input", required=True)
-    cgr.add_argument("-o", "--output", required=True)
-    cgr.add_argument("-c", "--counts", action="store_true")
-    cgr.add_argument("-k", "--k-size", type=_ranged_int(3, 7, "k_size"), default=None)
-    cgr.add_argument("-v", "--vec-size", type=int, default=None)
-    cgr.add_argument("-t", "--threads", type=int, default=0)
+    cgr.add_argument("-i", "--input", required=True, help="Input file path")
+    cgr.add_argument(
+        "-o", "--output", required=True, help="Output vectors path"
+    )
+    cgr.add_argument(
+        "-c", "--counts", action="store_true",
+        help="Disable normalisation and output raw counts "
+             "(only with k-mer mode)",
+    )
+    cgr.add_argument(
+        "-k", "--k-size", type=_ranged_int(3, 7, "k_size"), default=None,
+        help="Set k-mer size or default to full sequence CGR",
+    )
+    cgr.add_argument(
+        "-v", "--vec-size", type=int, default=None,
+        help="Set vector size (output will be a square matrix with "
+             "N=vecsize)",
+    )
+    cgr.add_argument(
+        "-t", "--threads", type=int, default=0,
+        help="Thread count for computations 0=auto",
+    )
 
     cov = sub.add_parser(
         "cov", help="Generates coverage histogram based on the reads",
         parents=[mh],
     )
-    cov.add_argument("-i", "--input", required=True)
-    cov.add_argument("-a", "--alt-input", default=None)
-    cov.add_argument("-o", "--output", required=True)
-    cov.add_argument("-k", "--k-size", type=_ranged_int(7, 31, "k_size"), default=15)
-    cov.add_argument("-p", "--preset", choices=list(_DELIMS), default="spc")
+    cov.add_argument("-i", "--input", required=True, help="Input file path")
     cov.add_argument(
-        "-s", "--bin-size", type=_ranged_int(5, None, "bin_size"), default=16
+        "-a", "--alt-input", default=None,
+        help="Input file path, for k-mer counting",
     )
     cov.add_argument(
-        "-c", "--bin-count", type=_ranged_int(5, None, "bin_count"), default=16
+        "-o", "--output", required=True, help="Output directory path"
+    )
+    cov.add_argument(
+        "-k", "--k-size", type=_ranged_int(7, 31, "k_size"), default=15,
+        help="K size for the coverage histogram",
+    )
+    cov.add_argument(
+        "-p", "--preset", choices=list(_DELIMS), default="spc",
+        help="Output type to write",
+    )
+    cov.add_argument(
+        "-s", "--bin-size", type=_ranged_int(5, None, "bin_size"), default=16,
+        help="Bin size for the coverage histogram",
+    )
+    cov.add_argument(
+        "-c", "--bin-count", type=_ranged_int(5, None, "bin_count"), default=16,
+        help="Number of bins for the coverage histogram",
     )
     cov.add_argument(
         "-m", "--memory", type=_ranged_int(6, 128, "memory"), default=6,
         help="Max memory in GB",
     )
-    cov.add_argument("--counts", action="store_true")
-    cov.add_argument("-t", "--threads", type=int, default=0)
+    cov.add_argument(
+        "--counts", action="store_true",
+        help="Disable normalisation and output raw counts",
+    )
+    cov.add_argument(
+        "-t", "--threads", type=int, default=0,
+        help="Thread count for computations 0=auto",
+    )
 
     mn = sub.add_parser("min", help="Bin reads using minimisers", parents=[mh])
-    mn.add_argument("-i", "--input", required=True)
-    mn.add_argument("-o", "--output", required=True)
-    mn.add_argument("-m", "--m-size", type=_ranged_int(7, 28, "m_size"), default=10)
-    mn.add_argument("-w", "--w-size", type=_ranged_int(0, None, "w_size"), default=0)
-    mn.add_argument("-p", "--preset", choices=["s2m", "m2s"], default="s2m")
-    mn.add_argument("-t", "--threads", type=int, default=0)
+    mn.add_argument("-i", "--input", required=True, help="Input file path")
+    mn.add_argument(
+        "-o", "--output", required=True, help="Output vectors path"
+    )
+    mn.add_argument(
+        "-m", "--m-size", type=_ranged_int(7, 28, "m_size"), default=10,
+        help="Minimiser size",
+    )
+    mn.add_argument(
+        "-w", "--w-size", type=_ranged_int(0, None, "w_size"), default=0,
+        help="Window size\n"
+             "\n"
+             "0 - emits one minimiser per sequence (useful for sequencing "
+             "reads)\n"
+             "w_size must be longer than m_size",
+    )
+    mn.add_argument(
+        "-p", "--preset", choices=["s2m", "m2s"], default="s2m",
+        help="Output type to write",
+    )
+    mn.add_argument(
+        "-t", "--threads", type=int, default=0,
+        help="Thread count for computations 0=auto",
+    )
 
     ctr = sub.add_parser("ctr", help="Count k-mers", parents=[mh])
-    ctr.add_argument("-i", "--input", required=True)
-    ctr.add_argument("-o", "--output", required=True)
-    ctr.add_argument("-k", "--k-size", type=_ranged_int(10, 31, "k_size"), required=True)
+    ctr.add_argument("-i", "--input", required=True, help="Input file path")
     ctr.add_argument(
-        "-m", "--memory", type=_ranged_int(6, 128, "memory"), default=6
+        "-o", "--output", required=True, help="Output directory path"
     )
-    ctr.add_argument("-a", "--acgt", action="store_true")
-    ctr.add_argument("-t", "--threads", type=int, default=0)
+    ctr.add_argument(
+        "-k", "--k-size", type=_ranged_int(10, 31, "k_size"), required=True,
+        help="k size for counting",
+    )
+    ctr.add_argument(
+        "-m", "--memory", type=_ranged_int(6, 128, "memory"), default=6,
+        help="Max memory in GB",
+    )
+    ctr.add_argument(
+        "-a", "--acgt", action="store_true",
+        help="Output ACGT instead of numeric values\n"
+             "\n"
+             "This requires a larger space for the final result\n"
+             "compared to the compact numeric representation",
+    )
+    ctr.add_argument(
+        "-t", "--threads", type=int, default=0,
+        help="Thread count for computations 0=auto",
+    )
 
     return p
 

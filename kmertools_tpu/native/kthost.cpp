@@ -1485,18 +1485,23 @@ int kt_oligo_hist(const uint8_t *packed, const uint8_t *validbits,
             }
             for (int32_t b = 0; b < nbins; b++)
               cnt[b] = (int16_t)(s0[b] + s1[b] + s2[b] + s3[b]);
-          }
-          for (; j + 8 <= fast8; j += 8) {
-            uint64_t w;
-            memcpy(&w, p + (j >> 2), 8);
-            cnt[lutp[(uint32_t)(w >> 0) & mask]]++;
-            cnt[lutp[(uint32_t)(w >> 2) & mask]]++;
-            cnt[lutp[(uint32_t)(w >> 4) & mask]]++;
-            cnt[lutp[(uint32_t)(w >> 6) & mask]]++;
-            cnt[lutp[(uint32_t)(w >> 8) & mask]]++;
-            cnt[lutp[(uint32_t)(w >> 10) & mask]]++;
-            cnt[lutp[(uint32_t)(w >> 12) & mask]]++;
-            cnt[lutp[(uint32_t)(w >> 14) & mask]]++;
+          } else {
+            // non-striped fallback: the same 8-wide loop accumulating
+            // straight into cnt. Structurally either-or with the
+            // striped loop above (after it drains, j is already past
+            // fast8 - 7) — keep shift constants in sync across both.
+            for (; j + 8 <= fast8; j += 8) {
+              uint64_t w;
+              memcpy(&w, p + (j >> 2), 8);
+              cnt[lutp[(uint32_t)(w >> 0) & mask]]++;
+              cnt[lutp[(uint32_t)(w >> 2) & mask]]++;
+              cnt[lutp[(uint32_t)(w >> 4) & mask]]++;
+              cnt[lutp[(uint32_t)(w >> 6) & mask]]++;
+              cnt[lutp[(uint32_t)(w >> 8) & mask]]++;
+              cnt[lutp[(uint32_t)(w >> 10) & mask]]++;
+              cnt[lutp[(uint32_t)(w >> 12) & mask]]++;
+              cnt[lutp[(uint32_t)(w >> 14) & mask]]++;
+            }
           }
           // safe region for whole-u32 loads: byte j/4 + 3 <= wq - 1
           const int64_t fast_end =

@@ -95,3 +95,38 @@ def test_native_sink_joins_oligo(tmp_path, test_data):
         del os.environ["KMERTOOLS_NO_HETERO"]
     assert a.read_bytes() == b.read_bytes()
     assert a.read_bytes() == (test_data / "expected_fa.kmers").read_bytes()
+
+
+@pytest.mark.parametrize("k,width", [(3, 2048), (4, 2048), (4, 8192),
+                                     (7, 2048)])
+@pytest.mark.parametrize("canonical", [True, False])
+def test_native_hist_striped_long_rows(k, width, canonical):
+    """Contig-scale CLEAN rows cross kt_oligo_hist's striped-accumulator
+    threshold (nk >= 8*nbins, kthost.cpp) — the short-row tests never
+    execute that path (ADVICE r3). Includes a homopolymer row (the
+    store-forwarding worst case the stripes exist for) and a clean
+    shorter row (contiguous valid prefix)."""
+    so = native.lib()
+    if so is None:
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(17)
+    codes = rng.integers(0, 4, size=(9, width)).astype(np.uint8)
+    codes[3, :] = 1  # homopolymer
+    codes[4, width // 2:] = 4  # clean row shorter than the bucket
+
+    n_counts, n_totals = _native_hist(codes, k, canonical)
+
+    fwd, rc, valid = encode.kmer_ids_small(jnp.asarray(codes), k)
+    if canonical:
+        table = jnp.asarray(codec.canonical_slot_table(k))
+        x_counts, x_totals = histogram.per_read_histogram_gathered(
+            jnp.minimum(fwd, rc), valid, table, n_counts.shape[1]
+        )
+    else:
+        x_counts, x_totals = histogram.per_read_histogram(
+            fwd, valid, 4**k
+        )
+    np.testing.assert_array_equal(
+        n_counts.astype(np.int64), np.asarray(x_counts).astype(np.int64)
+    )
+    np.testing.assert_array_equal(n_totals, np.asarray(x_totals))
