@@ -109,8 +109,18 @@ def _merge_path_offsets(fah, fal, fbh, fbl, C: int, M: int, T: int, G: int):
 
 
 def _make_kernel(T: int, G: int):
+    """T = aligned load-window size (pow2, multiple of 256); each grid
+    step produces D = T - 128 merged elements. The 128-lane slack is
+    what makes the streaming legal on TPU: Mosaic requires lane-dim DMA
+    offsets provably divisible by 128, so the kernel fetches ALIGNED
+    T-lane windows that over-cover the exact merge-path ranges, rotates
+    the <=128 lanes of misalignment back into place with static-staged
+    rotates, and masks the out-of-range lanes to the sentinel. Output
+    appends through a 128-lane pending buffer so every store is an
+    aligned (T+128)-lane window."""
+    D = T - 128
     T2 = 2 * T
-    log2t = T.bit_length() - 1
+    _imax = _IMAX
 
     def _rt(x, s):
         """circular right shift on the lane axis: out[i] = x[i-s]."""
@@ -120,60 +130,91 @@ def _make_kernel(T: int, G: int):
         """circular left shift: out[i] = x[i+s]."""
         return pltpu.roll(x, x.shape[1] - s, axis=1)
 
+    def _rot_dyn(arrs, s, bits, left):
+        """Rotate every array by a DYNAMIC amount s (< 2**bits) using
+        static-roll stages selected by s's bits — Mosaic has no general
+        dynamic lane rotate on every target, but scalar-predicated
+        selects over static rotates are universal."""
+        for b in range(bits):
+            amt = 1 << b
+            cond = ((s >> b) & 1) == 1
+            arrs = [
+                jnp.where(cond, _lt_(x, amt) if left else _rt(x, amt), x)
+                for x in arrs
+            ]
+        return arrs
+
     def kernel(aoff, boff,  # scalar prefetch (G,) int32
-               ah, al, ac, brh, brl,  # ANY (1, C+T) / (1, M+T)
+               ah, al, ac, brh, brl,  # ANY (1, C+T) / (1, M+T+128)
                oh, ol, oc, nruns,  # ANY (1, L_out) x3, SMEM (1, 1)
-               a_h, a_l, a_c, b_h, b_l,
-               pv_h, pv_l, pv_s, pv_f,
-               e_h, e_l, e_c,
+               a_h, a_l, a_c, b_h, b_l,      # VMEM (1, T) staging
+               pv_h, pv_l, pv_s, pv_f,      # VMEM (1, D) prev tile
+               pd_h, pd_l, pd_c,            # VMEM (1, 128) pending out
                carry, sems):
         t = pl.program_id(0)
         a0 = aoff[t]
         b0 = boff[t]
-        Mp = brh.shape[1]
+        Mp = brh.shape[1] - 128  # reversed-B true length (M + T)
+        a_load = pl.multiple_of((a0 // 128) * 128, 128)
+        da = a0 - a_load
+        braw = Mp - b0 - D
+        b_load = pl.multiple_of((braw // 128) * 128, 128)
         cps = [
-            pltpu.make_async_copy(ah.at[:, pl.ds(a0, T)], a_h, sems.at[0]),
-            pltpu.make_async_copy(al.at[:, pl.ds(a0, T)], a_l, sems.at[1]),
-            pltpu.make_async_copy(ac.at[:, pl.ds(a0, T)], a_c, sems.at[2]),
-            # brh/brl hold B REVERSED, so this slice is B[b0:b0+T]
-            # descending — ascending A ++ descending B is bitonic
-            pltpu.make_async_copy(
-                brh.at[:, pl.ds(Mp - b0 - T, T)], b_h, sems.at[3]
-            ),
-            pltpu.make_async_copy(
-                brl.at[:, pl.ds(Mp - b0 - T, T)], b_l, sems.at[4]
-            ),
+            pltpu.make_async_copy(ah.at[:, pl.ds(a_load, T)], a_h, sems.at[0]),
+            pltpu.make_async_copy(al.at[:, pl.ds(a_load, T)], a_l, sems.at[1]),
+            pltpu.make_async_copy(ac.at[:, pl.ds(a_load, T)], a_c, sems.at[2]),
+            # brh/brl hold B REVERSED: this aligned window covers
+            # B[b0 : b0 + D] descending plus <=128 lanes of slack on
+            # each side (large extras are harmless; small ones mask)
+            pltpu.make_async_copy(brh.at[:, pl.ds(b_load, T)], b_h, sems.at[3]),
+            pltpu.make_async_copy(brl.at[:, pl.ds(b_load, T)], b_l, sems.at[4]),
         ]
         for c in cps:
             c.start()
 
         @pl.when(t == 0)
         def _init():
-            carry[0] = 0  # output write offset (emitted runs so far)
-            carry[1] = _IMAX  # carried run key (impossible: sentinel)
-            carry[2] = _IMAX
+            carry[0] = 0  # committed output entries (multiple of 128)
+            carry[1] = _imax  # carried run key (impossible: sentinel)
+            carry[2] = _imax
             carry[3] = 0  # carried run count
+            carry[4] = 0  # pending-buffer fill (< 128)
 
         for c in cps:
             c.wait()
 
-        h = jnp.concatenate([a_h[:], b_h[:]], axis=1)
-        l = jnp.concatenate([a_l[:], b_l[:]], axis=1)
-        # batch elements carry count 1 (every occurrence counts once;
-        # sentinel tails are masked at emission)
-        c_ = jnp.concatenate(
-            [a_c[:], jnp.ones((1, T), jnp.int32)], axis=1
+        lane = lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        # A window: rotate the misalignment out, sentinel the tail the
+        # rotation wrapped (ascending ++ inf stays ascending)
+        wa = _rot_dyn([a_h[:], a_l[:], a_c[:], T + lane], da, 7, left=True)
+        a_sent = lane >= T - da
+        wah = jnp.where(a_sent, _imax, wa[0])
+        wal = jnp.where(a_sent, _imax, wa[1])
+        wac = wa[2]
+        war = wa[3]
+        # B window: the tail lanes fell before b0 (SMALLER than the
+        # tile — they must not enter); rotate them to the front and
+        # sentinel them: [inf.. , descending] keeps the concatenation
+        # single-peak bitonic. Ranks ride the rotation so the tie order
+        # stays global; B ranks < A ranks (batch copies of a key are
+        # consumed before the accumulator's — the split search's rule).
+        thresh = (Mp - b0) - b_load  # first small-extra lane, pre-roll
+        kshift = T - thresh
+        wb = _rot_dyn(
+            [b_h[:], b_l[:], jnp.ones((1, T), jnp.int32), T - 1 - lane],
+            kshift, 8, left=False,
         )
+        b_sent = lane < kshift
+        wbh = jnp.where(b_sent, _imax, wb[0])
+        wbl = jnp.where(b_sent, _imax, wb[1])
+        wbc = wb[2]
+        wbr = wb[3]
+
+        h = jnp.concatenate([wah, wbh], axis=1)
+        l = jnp.concatenate([wal, wbl], axis=1)
+        c_ = jnp.concatenate([wac, wbc], axis=1)
+        r = jnp.concatenate([war, wbr], axis=1)
         iota2 = lax.broadcasted_iota(jnp.int32, (1, T2), 1)
-        # source rank: a total-order tiebreak matching the merge-path
-        # split's tie rule (B copies of a key before A's — the search
-        # predicate A[a] >= B[d-a-1] consumes batch duplicates first).
-        # Without it the first-T selection could pick the accumulator's
-        # copy of a tied key in SEVERAL tiles (its window reloads while
-        # `a` stands still), double-counting its run total. Window lane
-        # i holds A[a0+i] (rank T+i) or, reversed, B[b0 + 2T-1-i]
-        # (rank 2T-1-i < T)
-        r = jnp.where(iota2 < T, T + iota2, 2 * T - 1 - iota2)
         s = T
         while s >= 1:
             m = (iota2 & s) == 0  # lower lane of each exchange pair
@@ -185,18 +226,21 @@ def _make_kernel(T: int, G: int):
                 (ph == h) & ((pll < l) | ((pll == l) & (pr < r)))
             )
             # ranks are distinct, so the order is total: the upper lane
-            # takes the partner exactly when the lower doesn't
-            take = jnp.where(m, p_lt, ~p_lt)
+            # takes the partner exactly when the lower doesn't — i.e.
+            # take = where(m, p_lt, ~p_lt) = XNOR(m, p_lt). Written as
+            # == because a bool-VALUED select lowers to an i8 vector
+            # select + i8->i1 truncation, which Mosaic rejects
+            take = m == p_lt
             h = jnp.where(take, ph, h)
             l = jnp.where(take, pll, l)
             c_ = jnp.where(take, pc, c_)
             r = jnp.where(take, pr, r)
             s //= 2
-        h = h[:, :T]
-        l = l[:, :T]
-        c_ = c_[:, :T]
+        h = h[:, :D]
+        l = l[:, :D]
+        c_ = c_[:, :D]
 
-        ti = lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        ti = lax.broadcasted_iota(jnp.int32, (1, D), 1)
         # run-boundary flags vs the previous element (lane 0 vs carry)
         ph0 = jnp.where(ti == 0, carry[1], _rt(h, 1))
         pl0 = jnp.where(ti == 0, carry[2], _rt(l, 1))
@@ -208,7 +252,7 @@ def _make_kernel(T: int, G: int):
         f = first
         s_ = c_
         d = 1
-        while d < T:
+        while d < D:
             sd = jnp.where(ti >= d, _rt(s_, d), 0)
             fd = jnp.where(ti >= d, _rt(f, d), 1)
             s_ = s_ + jnp.where(f != 0, 0, sd)
@@ -225,23 +269,25 @@ def _make_kernel(T: int, G: int):
             el = pv_l[:]
             es = pv_s[:]
             ef = pv_f[:]
-            lastp = jnp.where(ti == T - 1, cur_first0, _lt_(ef, 1))
-            sent = (eh == _IMAX) & (el == _IMAX)
+            lastp = jnp.where(ti == D - 1, cur_first0, _lt_(ef, 1))
+            sent = (eh == _imax) & (el == _imax)
             emit = (lastp != 0) & ~sent
             dead = (~emit).astype(jnp.int32)
             # exclusive dead-predecessor count -> leftward move distance
             ex = dead
             dd = 1
-            while dd < T:
+            while dd < D:
                 ex = ex + jnp.where(ti >= dd, _rt(ex, dd), 0)
                 dd *= 2
             ex = ex - dead  # inclusive -> exclusive
             rem = jnp.where(dead != 0, 0, ex)
             # bit-shift routing network: compact live runs to the prefix
-            for b in range(log2t):
+            for b in range(D.bit_length()):
                 step = 1 << b
+                if step >= D:
+                    break
                 bit = jnp.where(
-                    ti < T - step, (_lt_(rem, step) >> b) & 1, 0
+                    ti < D - step, (_lt_(rem, step) >> b) & 1, 0
                 )
                 cond = bit == 1
                 eh = jnp.where(cond, _lt_(eh, step), eh)
@@ -249,33 +295,92 @@ def _make_kernel(T: int, G: int):
                 es = jnp.where(cond, _lt_(es, step), es)
                 rem = jnp.where(cond, _lt_(rem, step), rem)
             n_emit = jnp.sum(emit.astype(jnp.int32))
-            e_h[:] = eh
-            e_l[:] = el
-            e_c[:] = es
-            off = carry[0]
-            ops = [
-                pltpu.make_async_copy(e_h, oh.at[:, pl.ds(off, T)], sems.at[5]),
-                pltpu.make_async_copy(e_l, ol.at[:, pl.ds(off, T)], sems.at[6]),
-                pltpu.make_async_copy(e_c, oc.at[:, pl.ds(off, T)], sems.at[7]),
-            ]
-            for o in ops:
-                o.start()
-            for o in ops:
-                o.wait()
-            carry[0] = off + n_emit
+            # append through the 128-lane pending buffer so the store
+            # stays 128-aligned: comb = [pend | compacted], write the
+            # whole (T+128) window at the aligned base, keep the
+            # incomplete trailing 128-block as the new pend
+            pend_n = carry[4]
+            lane_c = lax.broadcasted_iota(jnp.int32, (1, T + 128), 1)
+
+            def pad_to(x, fill):
+                # (1, D) -> (1, T + 128): D + 256 = T + 128
+                return jnp.concatenate(
+                    [x, jnp.full((1, 256), fill, jnp.int32)], axis=1
+                )
+
+            sh_h, sh_l, sh_s = _rot_dyn(
+                [pad_to(eh, _imax), pad_to(el, _imax), pad_to(es, 0)],
+                pend_n, 7, left=False,
+            )
+            in_pend = lane_c < pend_n
+            p_h = jnp.concatenate(
+                [pd_h[:], jnp.full((1, T), _imax, jnp.int32)], axis=1
+            )
+            p_l = jnp.concatenate(
+                [pd_l[:], jnp.full((1, T), _imax, jnp.int32)], axis=1
+            )
+            p_c = jnp.concatenate(
+                [pd_c[:], jnp.zeros((1, T), jnp.int32)], axis=1
+            )
+            comb_h = jnp.where(in_pend, p_h, sh_h)
+            comb_l = jnp.where(in_pend, p_l, sh_l)
+            comb_c = jnp.where(in_pend, p_c, sh_s)
+            total = pend_n + n_emit
+            commit = (total // 128) * 128
+            # committed counts only ever advance by 128-multiples; the
+            # hint lets Mosaic prove the store offset's alignment
+            base = pl.multiple_of((carry[0] // 128) * 128, 128)
+
+            def store(buf_h, buf_l, buf_c):
+                ops = [
+                    pltpu.make_async_copy(
+                        buf_h, oh.at[:, pl.ds(base, T + 128)], sems.at[5]
+                    ),
+                    pltpu.make_async_copy(
+                        buf_l, ol.at[:, pl.ds(base, T + 128)], sems.at[6]
+                    ),
+                    pltpu.make_async_copy(
+                        buf_c, oc.at[:, pl.ds(base, T + 128)], sems.at[7]
+                    ),
+                ]
+                for o in ops:
+                    o.start()
+                for o in ops:
+                    o.wait()
+
+            def inner(buf_h, buf_l, buf_c):
+                buf_h[:] = comb_h
+                buf_l[:] = comb_l
+                buf_c[:] = comb_c
+                store(buf_h, buf_l, buf_c)
+
+            pl.run_scoped(
+                inner,
+                pltpu.VMEM((1, T + 128), jnp.int32),
+                pltpu.VMEM((1, T + 128), jnp.int32),
+                pltpu.VMEM((1, T + 128), jnp.int32),
+            )
+            nh, nl, nc = _rot_dyn(
+                [comb_h, comb_l, comb_c], commit, T.bit_length(), left=True
+            )
+            pd_h[:] = nh[:, :128]
+            pd_l[:] = nl[:, :128]
+            pd_c[:] = nc[:, :128]
+            carry[0] = base + commit
+            carry[4] = total - commit
 
         @pl.when(t == G - 1)
         def _fin():
-            nruns[0, 0] = carry[0]
+            nruns[0, 0] = carry[0] + carry[4]
 
         # current tile becomes the deferred one
         pv_h[:] = h
         pv_l[:] = l
         pv_s[:] = sums
         pv_f[:] = first
-        carry[1] = h[0, T - 1]
-        carry[2] = l[0, T - 1]
-        carry[3] = sums[0, T - 1]
+        carry[1] = h[0, D - 1]
+        carry[2] = l[0, D - 1]
+        carry[3] = sums[0, D - 1]
 
     return kernel
 
@@ -287,14 +392,17 @@ def merge_sorted_pallas(ah, al, ac, bh, bl, tile: int = 4096,
     (bh, bl) of unit-count canonical pairs (sentinels last) into the
     sorted-unique sentinel-tailed accumulator (ah, al, ac). Returns
     (oh, ol, oc, n_runs), runs compacted to the prefix, sentinel/zero
-    tail, output length >= C + M."""
+    tail, output length >= C + M. ``tile`` is the aligned load-window
+    size (pow2 >= 256); each grid step emits tile - 128 elements."""
     C = ah.shape[0]
     M = bh.shape[0]
     T = tile
+    assert T >= 256 and (T & (T - 1)) == 0
+    D = T - 128
     N = C + M
-    n_tiles = max(1, -(-N // T))
+    n_tiles = max(1, -(-N // D))
     G = n_tiles + 1  # one trailing sentinel tile finalises the last run
-    L_out = n_tiles * T + T
+    L_out = n_tiles * D + T + 256
 
     fah = _flip(ah)
     fal = _flip(al)
@@ -307,9 +415,12 @@ def merge_sorted_pallas(ah, al, ac, bh, bl, tile: int = 4096,
     fac = jnp.concatenate([fac, jnp.zeros((T,), jnp.int32)])
     fbh = jnp.concatenate([fbh, imax])
     fbl = jnp.concatenate([fbl, imax])
-    aoff, boff = _merge_path_offsets(fah, fal, fbh, fbl, C, M, T, G)
-    brh = fbh[::-1]
-    brl = fbl[::-1]
+    aoff, boff = _merge_path_offsets(fah, fal, fbh, fbl, C, M, D, G)
+    # reversed B, plus 128 sentinel lanes of right slack for aligned
+    # window over-reach (masked in-kernel either way)
+    slack = jnp.full((128,), _IMAX, jnp.int32)
+    brh = jnp.concatenate([fbh[::-1], slack])
+    brl = jnp.concatenate([fbl[::-1], slack])
 
     def as2(x):
         return x.reshape(1, -1)
@@ -323,7 +434,9 @@ def merge_sorted_pallas(ah, al, ac, bh, bl, tile: int = 4096,
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]
         ),
         scratch_shapes=(
-            [pltpu.VMEM((1, T), jnp.int32) for _ in range(12)]
+            [pltpu.VMEM((1, T), jnp.int32) for _ in range(5)]
+            + [pltpu.VMEM((1, D), jnp.int32) for _ in range(4)]
+            + [pltpu.VMEM((1, 128), jnp.int32) for _ in range(3)]
             + [pltpu.SMEM((8,), jnp.int32), pltpu.SemaphoreType.DMA((8,))]
         ),
     )

@@ -331,6 +331,8 @@ class DeviceAccumulator:
                  n_devices: int | None = None):
         import jax
 
+        from kmertools_tpu.ops.pallas_merge import use_pallas_merge
+
         self.k = ksize
         self.ndev = n_devices or jax.local_device_count()
         nlo = min(ksize, 16)
@@ -348,17 +350,27 @@ class DeviceAccumulator:
             m_dev = self.ndev * self._ex_cap
         else:
             m_dev = n_flat
+        # Pallas merge path (real TPU): merge runtime is linear in
+        # C + M, and batches are big (1<<21 default), so resolve every
+        # batch (the 30 ms n-fetch is ~3% of a batch) and stop capacity
+        # growth at ~6x the batch — drain transfer totals are
+        # C-independent, so a smaller C only saves merge time. The XLA
+        # network path keeps the lazy grouped resolves + 8x sizing its
+        # small batches were tuned for.
+        pallas = self.ndev == 1 and use_pallas_merge()
+        self._resolve_every = 1 if pallas else self._RESOLVE_EVERY
+        cap_factor = 6 if pallas else 8
         # mesh runs resolve per batch (each carries an overflow flag);
         # single-device runs resolve lazily in groups
         self._unresolved_max = self._LAG + (
-            0 if self.ndev > 1 else self._RESOLVE_EVERY - 1
+            0 if self.ndev > 1 else self._resolve_every - 1
         )
         margin = (self._unresolved_max + 2) * growth
         if out_capacity is None:
             # merge_sorted_batch pads C + M to a power of two anyway;
             # claim the padding as usable capacity
             self.C_dev = _pow2_at_least(
-                max(8 * growth, margin + growth) + m_dev
+                max(cap_factor * growth, margin + growth) + m_dev
             ) - m_dev
         else:
             self.C_dev = max(
@@ -510,7 +522,7 @@ class DeviceAccumulator:
             return self._resolve(self._pending.pop(0))
         group = [
             self._pending.pop(0)
-            for _ in range(min(self._RESOLVE_EVERY, len(self._pending)))
+            for _ in range(min(self._resolve_every, len(self._pending)))
         ]
         return self._resolve(group[-1])
 

@@ -48,7 +48,7 @@ def _sorted_pairs(rng, n, hi_max, lo_max, dup_pool=None):
     return hi[order], lo[order]
 
 
-def _check(ah, al, ac, bh, bl, tile=128):
+def _check(ah, al, ac, bh, bl, tile=256):
     got = merge_sorted_pallas(
         jnp.asarray(ah), jnp.asarray(al), jnp.asarray(ac),
         jnp.asarray(bh), jnp.asarray(bl), tile=tile, interpret=True,
@@ -104,7 +104,7 @@ def test_merge_heavy_duplicates_span_tiles():
     bh, bl = _batch(
         np.full(900, 3, np.uint32), np.full(900, 7, np.uint32), M
     )
-    n = _check(ah, al, ac, bh, bl, tile=128)
+    n = _check(ah, al, ac, bh, bl, tile=256)
     assert n == 1
 
 
@@ -161,7 +161,7 @@ def test_merge_exact_tile_boundaries():
         np.zeros(256, np.uint32),
         np.sort(np.concatenate([lo, lo + 1]).astype(np.uint32)), M,
     )
-    n = _check(ah, al, ac, bh, bl, tile=128)
+    n = _check(ah, al, ac, bh, bl, tile=256)
     assert n == 256
 
 
@@ -191,7 +191,7 @@ def test_accum_merge_pallas_path(monkeypatch):
     real = pm.merge_sorted_pallas
     monkeypatch.setattr(
         pm, "merge_sorted_pallas",
-        lambda *a, **kw: real(*a, tile=128, interpret=True),
+        lambda *a, **kw: real(*a, tile=256, interpret=True),
     )
     got = cops.accum_merge(
         jnp.asarray(base[0]), jnp.asarray(base[1]), jnp.asarray(base[2]),
