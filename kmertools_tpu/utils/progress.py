@@ -1,9 +1,13 @@
-"""Minimal host-side progress reporting (indicatif analog).
+"""Host-side progress reporting (indicatif analog).
 
-The reference shows a progress bar in the counter
-(counter/src/lib.rs:71-78) and a spinner ticking every 10k reads in the
-minimiser binners (misc/src/minimisers.rs:56-62). We emit plain stderr
-updates, rate-limited, and silence them under pytest / non-tty.
+The reference renders indicatif bars with the template
+``[{elapsed_precise}] {bar:40.cyan/blue} {pos:>7}/{len:7} ({percent}%)
+{msg}`` in the counter (counter/src/lib.rs:71-78,179-186) and a spinner
+ticking every 10k reads in the minimiser binners
+(misc/src/minimisers.rs:56-62). This renders the same template shape —
+elapsed clock, 40-char cyan bar, right-aligned pos/len, percent,
+message — rate-limited, and silenced under pytest / non-tty /
+KMERTOOLS_QUIET.
 """
 
 from __future__ import annotations
@@ -12,17 +16,48 @@ import os
 import sys
 import time
 
+_BAR_W = 40
+_CYAN = "\x1b[36m"
+_BLUE = "\x1b[34m"
+_RESET = "\x1b[0m"
+
+
+def _elapsed_precise(secs: float) -> str:
+    s = int(secs)
+    return f"{s // 3600:02d}:{(s // 60) % 60:02d}:{s % 60:02d}"
+
 
 class Progress:
-    def __init__(self, total: int | None = None, label: str = "", quiet: bool | None = None):
+    def __init__(self, total: int | None = None, label: str = "",
+                 quiet: bool | None = None):
         self.total = total
         self.label = label
         self.n = 0
         self._last = 0.0
         if quiet is None:
-            quiet = not sys.stderr.isatty() or bool(os.environ.get("KMERTOOLS_QUIET"))
+            quiet = not sys.stderr.isatty() or bool(
+                os.environ.get("KMERTOOLS_QUIET")
+            )
         self.quiet = quiet
+        self._msg = label
         self._t0 = time.time()
+
+    def _render(self) -> None:
+        elapsed = _elapsed_precise(time.time() - self._t0)
+        if self.total:
+            frac = min(1.0, self.n / max(1, self.total))
+            filled = int(_BAR_W * frac)
+            bar = (
+                f"{_CYAN}{'█' * filled}{_RESET}"
+                f"{_BLUE}{'░' * (_BAR_W - filled)}{_RESET}"
+            )
+            sys.stderr.write(
+                f"\r[{elapsed}] {bar} {self.n:>7}/{self.total:<7} "
+                f"({frac * 100:.0f}%) {self._msg}"
+            )
+        else:
+            sys.stderr.write(f"\r[{elapsed}] {self.n:>7} {self._msg}")
+        sys.stderr.flush()
 
     def update(self, inc: int = 1) -> None:
         self.n += inc
@@ -32,20 +67,19 @@ class Progress:
         if now - self._last < 0.25:
             return
         self._last = now
-        if self.total:
-            pct = 100.0 * self.n / max(1, self.total)
-            sys.stderr.write(f"\r{self.label} {self.n}/{self.total} ({pct:.0f}%)")
-        else:
-            sys.stderr.write(f"\r{self.label} {self.n}")
-        sys.stderr.flush()
+        self._render()
 
     def set_message(self, msg: str) -> None:
+        self._msg = f"{self.label} {msg}" if self.label else msg
         if not self.quiet:
-            sys.stderr.write(f"\r{self.label} {msg}")
-            sys.stderr.flush()
+            self._render()
 
     def finish(self) -> None:
         if not self.quiet:
+            self._render()
             dt = time.time() - self._t0
-            sys.stderr.write(f"\r{self.label} done: {self.n} in {dt:.1f}s\n")
+            sys.stderr.write(
+                f"\r[{_elapsed_precise(dt)}] {self.label} done: "
+                f"{self.n} in {dt:.1f}s{' ' * _BAR_W}\n"
+            )
             sys.stderr.flush()

@@ -293,7 +293,12 @@ class _HeteroSink:
             self.inflight += w
             self.routed += 1
             self.routed_w += w
-        if self.n_coal <= 1:
+        if self.n_coal <= 1 or (self.rate == 0 and not self._pending):
+            # unmeasured coalescing sink: dispatch the exploration batch
+            # NOW — buffered it would never complete a group, so the
+            # sink would never earn a rate (and thus never a deficit
+            # share); the singleton sample is pessimistic (full round
+            # trip, no amortisation) and groups raise it from there
             self._dispatch_group([(seq, meta, w)])
             return
         if self._pending and not self._same_shape(self._pending[0][1], meta):
@@ -309,6 +314,23 @@ class _HeteroSink:
             entries, self._pending = self._pending, []
             self._pend_w = 0
             self._dispatch_group(entries)
+
+    def take_pending(self) -> list:
+        """Surrender buffered batches WITHOUT dispatching (producer
+        thread): the end-of-stream reassignment moves a held partial
+        group to a faster sink so the stream's wall clock doesn't eat
+        this sink's full round trip. Routing accounting transfers with
+        the entries."""
+        entries, self._pending = self._pending, []
+        if not entries:
+            return entries
+        w = sum(e[2] for e in entries)
+        self._pend_w = 0
+        with self.lock:
+            self.inflight -= w
+            self.routed -= len(entries)
+            self.routed_w -= w
+        return entries
 
     @staticmethod
     def _same_shape(a, b) -> bool:
@@ -400,8 +422,10 @@ class _HeteroSink:
 
 
 # backlog bound for deficit routing: a sink more than this many seconds
-# behind (inflight / rate) stops receiving batches until it drains
-_SINK_BACKLOG_S = 2.0
+# behind (inflight / rate) stops receiving batches until it drains —
+# this also bounds the end-of-stream tail a slow sink can add to the
+# wall clock (its unfinished backlog is at most this much work)
+_SINK_BACKLOG_S = 0.75
 
 
 def _pick_sink(sinks: list, w: int):
@@ -501,9 +525,18 @@ def run_pipelined_hetero(
             }]
 
     if any_coal:
-        # held group members occupy inflight tokens; leave the producer
-        # room to keep every sink fed while the largest group assembles
-        max_inflight = max(max_inflight, 2 * max(coalesce) + 2)
+        # a coalescing sink exists because some device is a round trip
+        # away. Ordered consume stalls on every in-flight remote group,
+        # and tokens only recycle at consume — so the window must cover
+        # the LATENCY x BANDWIDTH product of the fast sinks (~0.4 s of
+        # a ~2 Gcodes/s native engine at 4M-code batches is ~200
+        # batches), or the whole pipeline serialises on each remote
+        # round trip (measured: 3x end-to-end slowdown at a window of
+        # 18). Batches are ~1-1.5 MB each; 256 in flight is ~350 MB.
+        max_inflight = max(
+            max_inflight,
+            int(os.environ.get("KMERTOOLS_MAX_INFLIGHT", 256)),
+        )
     out_q: queue.Queue = queue.Queue()
     err: list[BaseException] = []
     sinks = [
@@ -558,6 +591,18 @@ def run_pipelined_hetero(
             _pick_sink(sinks, w).push(seq, b, w)
             seq += 1
     finally:
+        # end of stream: move any UNDISPATCHED held groups to the
+        # fastest measured sink — a partial group still waiting on a
+        # high-latency sink would add that sink's whole round trip to
+        # the wall clock for work a fast sink absorbs in milliseconds
+        if any_coal:
+            pend: list = []
+            for s in sinks:
+                pend.extend(s.take_pending())
+            if pend:
+                best = max(sinks, key=lambda s: (s.rate, -s.idx))
+                for seq_p, meta_p, w_p in sorted(pend, key=lambda e: e[0]):
+                    best.push(seq_p, meta_p, w_p)
         for s in sinks:
             s.flush()
             s.q.put(None)
@@ -683,6 +728,16 @@ def plan_hetero_sinks(make_dispatch, native_sink, key_prefix: str,
             min(target_codes, 1 << 21),
             [1],
         )
+    if native_sink is not None:
+        # the host-CPU XLA device set shares (and measured-loses on)
+        # the same cores as the native kernel — scheduling both just
+        # splits cache and steals threads (BENCH r4: 90 vs 860
+        # Mcodes/s on the same silicon). Keep accelerator sets only;
+        # the CPU XLA set still serves KMERTOOLS_NO_NATIVE configs.
+        device_sets = [
+            d for d in device_sets
+            if not (d and d[0].platform == "cpu")
+        ] or device_sets
     dispatches = [
         make_dispatch(None if len(device_sets) == 1 else d)
         for d in device_sets

@@ -202,24 +202,27 @@ def hist_only() -> None:
 
 def accum_merge_rate() -> None:
     """The counter's device accumulator (the production path:
-    workloads/counter.py:DeviceAccumulator — bitonic merge into device-
-    resident sorted-unique state), measured end to end over streamed
-    batches at the KMERTOOLS_CTR_TARGET=1<<18 scale. The sort size is
-    C+M ~ 4.2M: the remote compile service handles that in minutes
-    (the default 1<<20 target's 16.7M sort took >50 min to compile).
-    Running this also warms the exact program the ctr hardware run
-    dispatches."""
+    workloads/counter.py:DeviceAccumulator), measured end to end over
+    streamed batches at the backend's resolved default target — the
+    Pallas merge-path kernel on real TPUs (1<<21 batches; program size
+    static in C+M), the XLA bitonic network elsewhere (1<<18 batches to
+    stay under its compile cliff). Running this also warms the exact
+    program the ctr hardware run dispatches."""
     import os
     import tempfile
 
     from kmertools_tpu.io import batch as iob
-    from kmertools_tpu.workloads.counter import DeviceAccumulator
+    from kmertools_tpu.workloads.counter import (
+        DeviceAccumulator,
+        _default_ctr_target,
+    )
 
     k = 21
-    target = 1 << 18
+    target = _default_ctr_target()
     rng = np.random.default_rng(2)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
-    n_reads, read_len = 1200, 5000  # ~23 batches at the 1<<18 target
+    read_len = 5000
+    n_reads = max(1200, (10 * target) // read_len)  # ~10+ batches
     fa = tempfile.NamedTemporaryFile(
         suffix=".fa", delete=False,
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
@@ -346,6 +349,37 @@ def cov_join_rate() -> None:
         f"cov table join BUCKETED (bb={bb}, steps={steps})",
         "cov_join_bucketed_Mlookups_s", 1e6, "Mlookups/s", chain=4,
     )
+
+    # aligned-block join (round-4 production path): one bucket-bound
+    # gather + two aligned (S, 3) block row gathers + full-width VPU
+    # compare per query (ops/count.py:lookup_counts_blocks)
+    blk = cops.block_table(keys, np.asarray(tc), k)
+    if blk is not None:
+        blocks3_np, bboff_np, p_bits = blk
+        blocks3 = jax.device_put(jnp.asarray(blocks3_np))
+        bboff = jax.device_put(jnp.asarray(bboff_np))
+        S = blocks3_np.shape[1]
+
+        def make_step_blk(n):
+            def run():
+                def body(i, carry):
+                    qlc, acc = carry
+                    res = cops.lookup_counts_blocks(
+                        qh, qlc, blocks3, bboff, k, p_bits, S
+                    )
+                    acc = acc + res.reshape(-1)[0].astype(jnp.int32)
+                    return qlc ^ (acc & 1).astype(qlc.dtype), acc
+
+                _, acc = jax.lax.fori_loop(0, n, body, (ql, jnp.int32(0)))
+                return acc
+
+            return run
+
+        _rate_chained(
+            make_step_blk, n_q,
+            f"cov table join BLOCKS (p={p_bits}, S={S})",
+            "cov_join_blocks_Mlookups_s", 1e6, "Mlookups/s", chain=4,
+        )
 
 
 def minimiser_rates() -> None:

@@ -53,13 +53,21 @@ def test_coalesced_results_slice_back_per_batch():
     batches = [_FakeBatch(i, rows=8, wq=16) for i in range(11)]
     got = []
     sizes = []
-    common.run_pipelined_hetero(
-        batches,
-        [_row_aligned_dispatch(sizes)],
-        lambda meta, arr: got.append((meta.tag, arr.copy())),
-        weight=lambda b: int(b.lengths.sum()),
-        coalesce=[4],
-    )
+    # seed the rate prior: an UNMEASURED coalescing sink explore-
+    # dispatches singletons until its first sample lands, which is
+    # timing-dependent — a known rate makes grouping deterministic
+    common._SINK_PRIORS["tc:sink"] = 1e9
+    try:
+        common.run_pipelined_hetero(
+            batches,
+            [_row_aligned_dispatch(sizes)],
+            lambda meta, arr: got.append((meta.tag, arr.copy())),
+            weight=lambda b: int(b.lengths.sum()),
+            coalesce=[4],
+            keys=["tc:sink"],
+        )
+    finally:
+        common._SINK_PRIORS.pop("tc:sink", None)
     assert [t for t, _ in got] == list(range(11))
     for tag, arr in got:
         expect = np.full(8, tag % 251, np.int64) * 16
@@ -182,3 +190,43 @@ def test_deficit_routing_gives_slow_sink_its_share():
     assert stats["dz:fast"]["batches"] > slow
     for k in ("dz:slow", "dz:fast"):
         common._SINK_PRIORS.pop(k, None)
+
+
+def test_plan_drops_cpu_xla_sink_when_native_present(monkeypatch):
+    """With a native kernel present, the host-CPU XLA device set must
+    NOT become a separate sink: it shares the same cores as the native
+    engine and loses to it ~20x (BENCH r4), so scheduling both only
+    adds contention. Accelerator sets stay; without a native sink the
+    CPU set still serves."""
+
+    class _Dev:
+        def __init__(self, platform):
+            self.platform = platform
+            self.id = 0
+
+    accel = [_Dev("tpu")]
+    cpus = [_Dev("cpu")] * 4
+    monkeypatch.setattr(
+        common, "hetero_device_sets", lambda: [accel, cpus]
+    )
+    import jax
+
+    monkeypatch.setattr(jax, "local_devices", lambda backend=None: accel)
+    made = []
+    dispatches, keys, _, coalesce = common.plan_hetero_sinks(
+        lambda d: made.append(d) or (lambda b: None),
+        native_sink=lambda b: None,
+        key_prefix="t",
+        target_codes=1 << 20,
+    )
+    assert keys == ["t:xla:0:tpux1", "t:native"]
+    assert len(dispatches) == 2 and len(coalesce) == 2
+
+    made.clear()
+    dispatches, keys, _, coalesce = common.plan_hetero_sinks(
+        lambda d: made.append(d) or (lambda b: None),
+        native_sink=None,
+        key_prefix="t",
+        target_codes=1 << 20,
+    )
+    assert keys == ["t:xla:0:tpux1", "t:xla:1:cpux4"]
