@@ -115,8 +115,11 @@ def window_records(codes: jnp.ndarray, lengths: jnp.ndarray, m: int,
     Returns row-aligned (R, J) arrays (J = W - wsize + 1):
       keep:  record starts (the reference's emission boundaries incl.
              the final-window drop rule, kmer/src/minimiser.rs:114-171)
-      hi/lo: canonical window minima (the record value at kept cols)
-      lastw: the run's final window column (record end = lastw + wsize)
+      hi/lo: canonical window minima (the record value at kept cols);
+             for m <= 16 the hi plane is identically zero and is
+             returned as a (R, 1) placeholder (callers treat hi as 0)
+      lastw: the run's final window column (record end = lastw +
+             wsize), int16 (rows are <= 8192 windows wide)
 
     Everything is an axis-1 (row-local) scan/shift, so the program
     row-shards over the mesh unchanged (data_parallel_rows)."""
@@ -144,7 +147,9 @@ def window_records(codes: jnp.ndarray, lengths: jnp.ndarray, m: int,
     final_j = (j_row - 1)[:, None]
     drop = boundary & change & (col == final_j) & (lastw == col)
     keep = boundary & ~drop
-    return keep, hi, lo, lastw
+    if m <= 16:  # hi plane is identically zero: don't materialise it
+        hi = jnp.zeros((R, 1), jnp.uint32)
+    return keep, hi, lo, lastw.astype(jnp.int16)
 
 
 def extract_records(wmin_hi, wmin_lo, wvalid, lengths, wsize: int, m: int,

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Real-TPU evidence run (round 3): golden byte-compares, Pallas Mosaic
+# Real-TPU evidence run (rounds 3+): golden byte-compares, Pallas Mosaic
 # lowering, device kernel rates, and the flagship ctr k=21 device-engine
 # run — all on the live accelerator backend (axon). Logs everything.
 # Run TPU jobs ONE AT A TIME (the remote compile service serialises).
@@ -42,6 +42,7 @@ check cgr_cmp cmp reads.cgr $TD/expected_reads.cgr
 
 # --- 2. Pallas Mosaic lowering on the chip ----------------------------
 check pallas_mosaic timeout 1500 python /root/repo/scripts/ev_pallas.py
+check pallas_merge timeout 3000 python /root/repo/scripts/ev_pallas_merge.py
 
 # --- 3. device kernel rates -------------------------------------------
 check kernel_rates timeout 3000 python /root/repo/scripts/kernel_rates.py

@@ -317,12 +317,14 @@ def test_window_records_matches_extract_records():
         lastw = np.asarray(lastw)
         rr, cc = np.nonzero(keep)
         nlo = min(m, 16)
+        vals = ll[rr, cc].astype(np.uint64)
+        if hh.shape[1] > 1:  # m > 16 carries a real hi plane
+            vals |= hh[rr, cc].astype(np.uint64) << np.uint64(2 * nlo)
         got = list(zip(
             rr.tolist(),
-            ((hh[rr, cc].astype(np.uint64) << np.uint64(2 * nlo))
-             | ll[rr, cc]).tolist(),
+            vals.tolist(),
             cc.tolist(),
-            (lastw[rr, cc] + wsize).tolist(),
+            (lastw[rr, cc].astype(np.int64) + wsize).tolist(),
         ))
 
         # host oracle: the fused-plane + extract_records path
