@@ -212,8 +212,10 @@ def accum_merge(ah, al, ac, codes, k):
     compaction (merge_sorted_batch) — see the design note above for
     why neither a capacity-sized lax.sort (pathological TPU compile)
     nor a binary-search merge (gather-speed runtime) survives contact
-    with the hardware. Requires len(accumulator) + batch k-mer count
-    to be a power of two (DeviceAccumulator sizes it so)."""
+    with the hardware. Any (C, batch) sizes work: the Pallas kernel
+    tiles arbitrary lengths and the XLA network pads to a power of two
+    internally (DeviceAccumulator keeps pow2-friendly sizes on the
+    network path so that padding is free)."""
     hi, lo, _ = canonical_ids_pair(codes, k)
     fh = hi.reshape(-1)
     fl = lo.reshape(-1)
@@ -415,6 +417,159 @@ def lookup_counts_blocks(qh, ql, blocks3, boff, k, p_bits, S, chunk=16384):
 
         c = hitsum(jnp.take(blocks3, cb, axis=0, mode="clip")) + hitsum(
             jnp.take(blocks3, cb + 1, axis=0, mode="clip")
+        )
+        return lax.dynamic_update_slice(out, c.astype(jnp.int32), (off,))
+
+    out = lax.fori_loop(0, n_chunks, body, out)
+    return out[:Q].reshape(shape)
+
+
+def direct_table(tkeys, tcnts, k: int, bin_size: int, bin_count: int,
+                 S_cap: int = 128, p_cap: int = 24,
+                 mem_cap_bytes: int | None = None):
+    """Host-side build of the direct-bucket join layout
+    (lookup_bins_direct): every p_bits-bit key prefix owns a private
+    padded row block, indexed ARITHMETICALLY by the query's prefix —
+    the join needs ONE row gather per query (the block join needs
+    three: boff + two aligned blocks). Table counts are pre-binned
+    (bin = min(count / bin_size, bin_count - 1), the coverage binning
+    rule of coverage/src/lib.rs:172-173), so the join returns the
+    abundance bin directly and absent queries fall out as bin 0
+    (count 0 bins to 0).
+
+    Bucket rows are FLAT 2D, planar within the row (chosen by key
+    width + bin width):
+      planes=2: (2^p, 2S) = [lo x S | ((hi << bin_bits) | bin) x S]
+      planes=3: (2^p, 3S) = [hi x S | lo x S | bin x S]
+    Flat-2D matters on TPU: a 3D gather operand with a non-pow2 middle
+    dim measured ~25x slower than the same bytes gathered as flat rows
+    (scripts/probe_gather_shapes.py: (524k,56,2) 4.2 Mgather/s vs
+    (524k,112) 113.9). Padding entries are all-ones keys with bin 0 —
+    no canonical k-mer is all-ones (canonical = min(fwd, rc) and
+    rc(all-T) = 0), and even a sentinel query matching a pad entry
+    reads bin 0 = absent.
+
+    Memory trades ~2x the raw table (canonical prefixes skew low, so
+    max bucket span ~= 2x mean): p scans a small range and the
+    min-footprint (2^p, S, planes) wins; returns None when no p keeps
+    the span <= S_cap or the footprint exceeds `mem_cap_bytes` (the
+    caller falls back to the block join)."""
+    import numpy as np
+
+    n = len(tkeys)
+    if n == 0 or bin_size <= 0 or bin_count <= 0:
+        return None
+    two_k = 2 * k
+    nlo = min(k, 16)
+    hi_bits = two_k - 2 * nlo
+    bin_bits = max(1, int(bin_count - 1).bit_length())
+    planes = 2 if hi_bits + bin_bits <= 32 else 3
+    p_hi = min(two_k, p_cap)
+    p = max(1, min(int(np.ceil(np.log2(max(1.0, n / 32.0)))), p_hi))
+    best = None
+    while p <= p_hi:
+        bounds = np.arange((1 << p) + 1, dtype=np.uint64) << np.uint64(
+            two_k - p
+        )
+        boff = np.searchsorted(tkeys, bounds).astype(np.int64)
+        max_gap = int((boff[1:] - boff[:-1]).max())
+        if max_gap <= S_cap:
+            S = max(8, -(-max_gap // 8) * 8)
+            mem = (1 << p) * S * 4 * planes
+            if best is None or mem < best[2]:
+                best = (p, S, mem, boff)
+            if max_gap <= 8:
+                break  # more resolution only doubles the index
+        if best is not None and (1 << (p + 1)) * 8 * 4 * planes >= best[2]:
+            break  # even span-8 blocks at the next p cost more
+        p += 1
+    if best is None:
+        return None
+    p, S, mem, boff = best
+    if mem_cap_bytes is not None and mem > mem_cap_bytes:
+        return None
+    hi = (tkeys >> np.uint64(2 * nlo)).astype(np.uint32)
+    lo = (tkeys & np.uint64((1 << (2 * nlo)) - 1)).astype(np.uint32)
+    bins = np.minimum(
+        np.asarray(tcnts, np.int64) // bin_size, bin_count - 1
+    ).astype(np.uint32)
+    b = (tkeys >> np.uint64(two_k - p)).astype(np.int64)
+    slot = b * (planes * S) + (np.arange(n, dtype=np.int64) - boff[b])
+    rows = np.empty(((1 << p) * planes * S,), dtype=np.uint32)
+    if planes == 2:
+        rows.reshape(-1, 2, S)[:, 0, :] = 0xFFFFFFFF
+        rows.reshape(-1, 2, S)[:, 1, :] = np.uint32(
+            (0xFFFFFFFF << bin_bits) & 0xFFFFFFFF
+        )  # pad: all-ones hi field, bin 0
+        rows[slot] = lo
+        rows[slot + S] = (hi << np.uint32(bin_bits)) | bins
+    else:
+        r3 = rows.reshape(-1, 3, S)
+        r3[:, 0, :] = 0xFFFFFFFF
+        r3[:, 1, :] = 0xFFFFFFFF
+        r3[:, 2, :] = 0
+        rows[slot] = hi
+        rows[slot + S] = lo
+        rows[slot + 2 * S] = bins
+    return rows.reshape(1 << p, planes * S), p, bin_bits
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "p_bits", "bin_bits", "chunk")
+)
+def lookup_bins_direct(qh, ql, rows, k, p_bits, bin_bits, chunk=16384):
+    """Direct-bucket join: per-query abundance BIN from the
+    direct_table layout (flat planar rows, pre-binned values), 0 when
+    absent. ONE flat row gather per query — the block join's measured
+    ceiling was gather issue rate (~8.4e7 gathers/s, PERF.md), so
+    dropping 3 gathers to 1 is the whole win; flat-2D rows keep the
+    gather on the fast path (probe_gather_shapes.py). Queries process
+    in fixed `chunk` slices inside a fori_loop (same staging-bound
+    pattern as lookup_counts_blocks)."""
+    shape = qh.shape
+    qhf = qh.reshape(-1)
+    qlf = ql.reshape(-1)
+    Q = qhf.shape[0]
+    n_chunks = max(1, -(-Q // chunk))
+    Qp = n_chunks * chunk
+    if Qp != Q:
+        pad = Qp - Q
+        qhf = jnp.concatenate([qhf, jnp.full((pad,), _SENT, jnp.uint32)])
+        qlf = jnp.concatenate([qlf, jnp.full((pad,), _SENT, jnp.uint32)])
+    nlo = min(k, 16)
+    lo_bits = 2 * nlo
+    hi_bits = 2 * k - lo_bits
+    planes = 2 if hi_bits + bin_bits <= 32 else 3
+    S = rows.shape[1] // planes
+    if p_bits <= hi_bits:
+        b = (qhf >> (hi_bits - p_bits)).astype(jnp.int32)
+    else:
+        up = p_bits - hi_bits
+        b = ((qhf.astype(jnp.uint32) << up) | (qlf >> (lo_bits - up))).astype(
+            jnp.int32
+        )
+    # sentinel queries overflow the bucket range; clip — they can only
+    # match pad entries, whose bin is 0 ("absent" falls out), and the
+    # histogram masks them via `valid` anyway. mode="clip" everywhere:
+    # jnp.take's default fill would fabricate dtype-max rows
+    out = (qhf * jnp.uint32(0)).astype(jnp.int32)
+
+    def body(i, out):
+        off = i * chunk
+        cb = lax.dynamic_slice(b, (off,), (chunk,))
+        ch = lax.dynamic_slice(qhf, (off,), (chunk,))
+        cl = lax.dynamic_slice(qlf, (off,), (chunk,))
+        g = jnp.take(rows, cb, axis=0, mode="clip")
+        if planes == 2:
+            eq = (g[:, :S] == cl[:, None]) & (
+                (g[:, S:] >> bin_bits) == ch[:, None]
+            )
+            val = g[:, S:] & jnp.uint32((1 << bin_bits) - 1)
+        else:
+            eq = (g[:, :S] == ch[:, None]) & (g[:, S:2 * S] == cl[:, None])
+            val = g[:, 2 * S:]
+        c = jnp.sum(
+            jnp.where(eq, val, jnp.uint32(0)), axis=1, dtype=jnp.uint32
         )
         return lax.dynamic_update_slice(out, c.astype(jnp.int32), (off,))
 

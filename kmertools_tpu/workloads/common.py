@@ -963,10 +963,18 @@ class RowAggregator:
 MESH_DISPATCHES = 0
 
 
-def data_parallel_rows(step, devices=None):
+def data_parallel_rows(step, devices=None, n_repl=0):
     """Wrap a per-batch device step (one or more (R, ...) arrays ->
     pytree of row-aligned outputs) with shard_map over every visible
     device when more than one exists.
+
+    The trailing `n_repl` arguments are REPLICATED (not row-sharded):
+    lookup tables the whole mesh reads. They must be passed as runtime
+    arguments, never closed over — a closure-captured concrete array
+    becomes an XLA literal embedded in the program, which on the
+    remote-compile backend ships the whole table inside every compile
+    request (observed HTTP 413 at ~268 MB) and bloats the persistent
+    compile cache by the table size per batch shape.
 
     This is the framework's DP axis: batch rows shard across the mesh
     (the TPU replacement for the reference's N work-stealing threads,
@@ -1013,7 +1021,9 @@ def data_parallel_rows(step, devices=None):
 
     def wrapped(*arrays):
         global MESH_DISPATCHES
-        if any(a.shape[0] % ndev for a in arrays):
+        nd = len(arrays) - n_repl
+        data, repl = arrays[:nd], arrays[nd:]
+        if any(a.shape[0] % ndev for a in data):
             return step(*arrays)
         key = tuple((a.shape, str(a.dtype)) for a in arrays)
         fn = cache.get(key)
@@ -1030,15 +1040,19 @@ def data_parallel_rows(step, devices=None):
                 _shard_map(
                     step,
                     mesh=mesh,
-                    in_specs=tuple(
-                        P(DATA_AXIS, *([None] * (a.ndim - 1))) for a in arrays
+                    in_specs=(
+                        tuple(
+                            P(DATA_AXIS, *([None] * (a.ndim - 1)))
+                            for a in data
+                        )
+                        + tuple(P() for _ in repl)
                     ),
                     out_specs=specs,
                 )
             )
             cache[key] = fn
         MESH_DISPATCHES += 1
-        return fn(*[shard_batch(mesh, a) for a in arrays])
+        return fn(*[shard_batch(mesh, a) for a in data], *repl)
 
     return wrapped
 

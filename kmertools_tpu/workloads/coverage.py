@@ -169,15 +169,41 @@ class CovComputer:
         # device-side table state, built on FIRST XLA dispatch: the
         # (hi, lo) split + uploads move ~180 MB at 13M keys — pure
         # waste when the native sink runs alone (CPU-only backends).
-        # Preferred join layout: aligned blocks (ops/count.py:
-        # lookup_counts_blocks — 3 gathers/query instead of ~12); the
-        # binary-search layout remains the fallback for pathological
-        # prefix skew or KMERTOOLS_NO_BLOCKJOIN=1.
+        # Join layout preference (KMERTOOLS_COV_JOIN=auto|direct|
+        # blocks|bsearch): 1) direct-bucket pre-binned rows — ONE
+        # gather per query (ops/count.py:direct_table), taken when its
+        # ~2x-table footprint fits KMERTOOLS_COV_DIRECT_MB (default
+        # 768); 2) aligned blocks — 3 gathers (lookup_counts_blocks);
+        # 3) binary search, the unconditional fallback (pathological
+        # prefix skew or KMERTOOLS_NO_BLOCKJOIN=1).
         _dev: dict = {}
-        use_blocks = os.environ.get("KMERTOOLS_NO_BLOCKJOIN") != "1"
+        join_mode = os.environ.get("KMERTOOLS_COV_JOIN", "auto")
+        use_blocks = (
+            os.environ.get("KMERTOOLS_NO_BLOCKJOIN") != "1"
+            and join_mode in ("auto", "blocks")
+        )
+        use_direct = join_mode in ("auto", "direct")
 
         def dev_tables():
             if not _dev:
+                if use_direct:
+                    cap = None
+                    if join_mode == "auto":
+                        cap = int(
+                            float(
+                                os.environ.get("KMERTOOLS_COV_DIRECT_MB", 768)
+                            ) * 1e6
+                        )
+                    dt = cops.direct_table(
+                        tkeys, tcnts, self.ksize, self.bin_size,
+                        self.bin_count, mem_cap_bytes=cap,
+                    )
+                    if dt is not None:
+                        rows, p_bits, bin_bits = dt
+                        _dev["direct"] = jnp.asarray(rows)
+                        _dev["d_p"] = p_bits
+                        _dev["d_bb"] = bin_bits
+                        return
                 blk = (
                     cops.block_table(tkeys, tcnts, self.ksize)
                     if use_blocks else None
@@ -228,36 +254,74 @@ class CovComputer:
 
             # codes travel 2-bit packed and unpack on-device (upload is
             # the narrow wire on remote-attached chips); results return
-            # as ONE fused int16 [counts | total] array per batch
-            def _step(codes):
-                # _dev is populated eagerly in dispatch() — inside a
-                # trace these are concrete arrays (jit consts), never
-                # freshly-created tracers
-                if "blocks" in _dev:
-                    return _coverage_batch_blocks(
-                        codes, _dev["blocks"], _dev["bboff"],
+            # as ONE fused int16 [counts | total] array per batch.
+            # Tables travel as runtime ARGUMENTS (the trailing
+            # replicated args of data_parallel_step): closing over a
+            # 100s-of-MB table embeds it as an XLA literal in every
+            # batch-shape program — each remote compile request ships
+            # it (HTTP 413 past ~268 MB) and the persistent compile
+            # cache stores it once per shape.
+            def _make_steps():
+                if "steps" in _dev:
+                    return _dev["steps"]
+                if "direct" in _dev:
+                    tbls = (_dev["direct"],)
+                    k, nb_, dp, dbb = (
+                        self.ksize, self.bin_count, _dev["d_p"], _dev["d_bb"]
+                    )
+
+                    def _stepx(codes, rows):
+                        return _coverage_batch_direct(
+                            codes, rows, k, nb_, dp, dbb
+                        )
+                elif "blocks" in _dev:
+                    tbls = (_dev["blocks"], _dev["bboff"])
+                    k, bs, nb_, pb, S = (
                         self.ksize, self.bin_size, self.bin_count,
                         _dev["p_bits"], _dev["S"],
                     )
-                return _coverage_batch(
-                    codes, _dev["tkl"], _dev["tc"], _dev["boff"],
-                    self.ksize, self.bin_size, self.bin_count,
-                    bb, join_steps,
-                )
 
-            step_planes = data_parallel_step(
-                jax.jit(lambda p, v: _step(encode.unpack_planes(p, v)))
-            )
-            step_clean = data_parallel_step(
-                jax.jit(lambda p, ln: _step(encode.unpack_packed(p, ln)))
-            )
+                    def _stepx(codes, blocks3, boff2):
+                        return _coverage_batch_blocks(
+                            codes, blocks3, boff2, k, bs, nb_, pb, S
+                        )
+                else:
+                    tbls = (_dev["tkl"], _dev["tc"], _dev["boff"])
+                    k, bs, nb_ = self.ksize, self.bin_size, self.bin_count
+
+                    def _stepx(codes, tkl, tc, boff):
+                        return _coverage_batch(
+                            codes, tkl, tc, boff, k, bs, nb_, bb, join_steps
+                        )
+
+                _dev["steps"] = (
+                    data_parallel_step(
+                        jax.jit(
+                            lambda p, v, *t: _stepx(
+                                encode.unpack_planes(p, v), *t
+                            )
+                        ),
+                        n_repl=len(tbls),
+                    ),
+                    data_parallel_step(
+                        jax.jit(
+                            lambda p, ln, *t: _stepx(
+                                encode.unpack_packed(p, ln), *t
+                            )
+                        ),
+                        n_repl=len(tbls),
+                    ),
+                    tbls,
+                )
+                return _dev["steps"]
 
             def dispatch(b):
                 dev_tables()  # materialise OUTSIDE any trace
+                step_planes, step_clean, tbls = _make_steps()
                 packed, vb, n_ambig = b.planes()
                 if n_ambig == 0:
-                    return step_clean(packed, b.lengths)
-                return step_planes(packed, vb)
+                    return step_clean(packed, b.lengths, *tbls)
+                return step_planes(packed, vb, *tbls)
 
             def native_dispatch():
                 """The join + binning hot loop as a host sink
@@ -377,6 +441,10 @@ def _bin_and_fuse(cnt, valid, bin_size, bin_count):
     (the narrow wire on remote-attached chips); counts and totals both
     fit int16 (row width <= 8192)."""
     bins = jnp.minimum(cnt // bin_size, bin_count - 1).astype(jnp.int32)
+    return _hist_fuse(bins, valid, bin_count)
+
+
+def _hist_fuse(bins, valid, bin_count):
     if pallas_histogram.use_pallas():
         bin_values = jnp.arange(bin_count, dtype=jnp.int32)
         counts, totals = pallas_histogram.per_read_histogram_tpu(
@@ -414,8 +482,19 @@ def _coverage_batch(codes, tkl, tc, boff, k, bin_size, bin_count,
 )
 def _coverage_batch_blocks(codes, blocks3, boff, k, bin_size, bin_count,
                            p_bits, S):
-    """Aligned-block join variant (the fast path: 3 gathers per query,
+    """Aligned-block join variant (3 gathers per query,
     ops/count.py:lookup_counts_blocks)."""
     qh, ql, valid = encode.canonical_ids_pair(codes, k)
     cnt = cops.lookup_counts_blocks(qh, ql, blocks3, boff, k, p_bits, S)
     return _bin_and_fuse(cnt, valid, bin_size, bin_count)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "bin_count", "p_bits", "bin_bits")
+)
+def _coverage_batch_direct(codes, rows, k, bin_count, p_bits, bin_bits):
+    """Direct-bucket join variant (the fast path: ONE gather per
+    query, pre-binned table values — ops/count.py:direct_table)."""
+    qh, ql, valid = encode.canonical_ids_pair(codes, k)
+    bins = cops.lookup_bins_direct(qh, ql, rows, k, p_bits, bin_bits)
+    return _hist_fuse(bins, valid, bin_count)
