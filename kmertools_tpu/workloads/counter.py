@@ -209,6 +209,24 @@ def _read_tsv(path: str):
     return np.array(kmers, dtype=np.uint64), np.array(counts, dtype=np.uint64)
 
 
+def _quant_grid_at_least(n: int, floor: int = 1 << 10) -> int:
+    """Smallest 1/8-octave grid value (2^k * j/8, j in 8..16) >= n:
+    bounds capacity overshoot at <=12.5% AND the number of distinct
+    merge-program shapes at 8 per octave (each new shape pays a
+    once-per-machine compile plus a per-process executable load).
+    Only the Pallas merge path uses this — its runtime is linear in C
+    and its program size static, so a pow2 round-up just doubles merge
+    cost when the estimate lands past a boundary (observed: a 33.9M
+    estimate sized to 64.9M and halved the merge-loop rate)."""
+    n = max(n, floor)
+    p = 1 << (n.bit_length() - 1)
+    for j in range(8, 17):
+        v = p * j // 8
+        if v >= n:
+            return v
+    return 2 * p
+
+
 def _pow2_at_least(n: int, floor: int = 1 << 10) -> int:
     return max(floor, 1 << max(0, (n - 1).bit_length()))
 
@@ -262,14 +280,42 @@ def _prefix_pieces(n: int, cap: int) -> list:
 
 
 @functools.lru_cache(maxsize=None)
-def _slice_fn(size: int, to_u16: bool):
+def _slice_fn(size: int, narrow: int):
+    """Prefix-piece fetch, optionally narrowed on-device before the
+    wire: narrow=0 keeps u32, 16/8 cast to uint16/uint8 (exact — the
+    caller proved the plane's max fits)."""
     import jax
     from jax import lax as jlax
 
+    dt = {0: None, 16: jnp.uint16, 8: jnp.uint8}[narrow]
+
     def f(arr, off):
         s = jlax.dynamic_slice(arr, (off,), (size,))
-        return s.astype(jnp.uint16) if to_u16 else s
+        return s.astype(dt) if dt is not None else s
 
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _grow_fn(c_old: int, c_new: int):
+    """Extend the accumulator state with a sentinel tail (donated
+    in-place from the host's view). Runs on device: growth never moves
+    the live prefix through the tunnel."""
+    import jax
+
+    pad = c_new - c_old
+
+    def f(ah, al, ac):
+        s = jnp.uint32(0xFFFFFFFF)
+        return (
+            jnp.concatenate([ah, jnp.full((pad,), s, jnp.uint32)]),
+            jnp.concatenate([al, jnp.full((pad,), s, jnp.uint32)]),
+            jnp.concatenate([ac, jnp.zeros((pad,), jnp.uint32)]),
+        )
+
+    # no donation: the outputs are LARGER than the inputs, so XLA can
+    # never reuse the buffers and warns; the old state frees when the
+    # caller drops its references
     return jax.jit(f)
 
 
@@ -328,7 +374,8 @@ class DeviceAccumulator:
 
     def __init__(self, ksize: int, target_codes: int,
                  out_capacity: int | None = None,
-                 n_devices: int | None = None):
+                 n_devices: int | None = None,
+                 expect_codes: int | None = None):
         import jax
 
         from kmertools_tpu.ops.pallas_merge import use_pallas_merge
@@ -366,12 +413,34 @@ class DeviceAccumulator:
             0 if self.ndev > 1 else self._resolve_every - 1
         )
         margin = (self._unresolved_max + 2) * growth
+        env_max = os.environ.get("KMERTOOLS_ACC_MAX")
+        if env_max and out_capacity is None:
+            _c_max = int(env_max)  # explicit opt-in (tests/tuning)
+        elif pallas and out_capacity is None:
+            _c_max = 1 << 27
+        else:
+            _c_max = 0  # growth off: mesh state shards / XLA cliff
         if out_capacity is None:
             # merge_sorted_batch pads C + M to a power of two anyway;
             # claim the padding as usable capacity
-            self.C_dev = _pow2_at_least(
-                max(cap_factor * growth, margin + growth) + m_dev
-            ) - m_dev
+            want = max(cap_factor * growth, margin + growth)
+            if pallas and expect_codes is not None:
+                # the caller knows the input size (the counter's stats
+                # pre-pass): size ONCE for the worst case — uniques
+                # can't exceed k-mer positions — so the run uses a
+                # single merge program. Mid-run growth works but each
+                # NEW program size pays a first-dispatch executable
+                # load (~30 s through a degraded tunnel phase);
+                # mid-run spills pay a disk TSV round trip. Capped by
+                # the growth cap; growth remains for streams that
+                # outrun the estimate (clipped inputs never do). The
+                # Pallas kernel takes any C, so the 1/8-octave grid
+                # replaces the pow2 round-up (merge cost is linear
+                # in C; a pow2 boundary crossing would double it).
+                want = max(want, min(expect_codes + margin + growth, _c_max))
+                self.C_dev = _quant_grid_at_least(want + m_dev) - m_dev
+            else:
+                self.C_dev = _pow2_at_least(want + m_dev) - m_dev
         else:
             self.C_dev = max(
                 -(-out_capacity // self.ndev),
@@ -379,6 +448,19 @@ class DeviceAccumulator:
             )
         self.spill_mark = self.C_dev - margin
         assert self.spill_mark > 0
+        # Pallas path: GROW the device state instead of spilling while
+        # capacity is below the growth cap. A mid-run spill writes the
+        # reference TSV to disk and re-reads it in the merge phase —
+        # for a 15M-unique run at the 6x-batch starting size that cost
+        # two ~90 MB spill round trips; a growth step is one cheap
+        # on-device concat (plus a once-per-machine merge-program
+        # compile at the new size, which is O(tile) for the Pallas
+        # kernel). The XLA-network path must NOT grow: its compile time
+        # is superlinear in C (the original 20-50 min cliff). Explicit
+        # capacities (out_capacity / KMERTOOLS_ACC_CAP) disable growth.
+        self._growth = growth
+        self._m_dev = m_dev
+        self.C_max = _c_max
         self.used_mesh = self.ndev > 1
         if self.used_mesh:
             from kmertools_tpu.parallel.mesh import make_mesh
@@ -527,7 +609,32 @@ class DeviceAccumulator:
         return self._resolve(group[-1])
 
     def needs_drain(self, n_unique: int | None) -> bool:
-        return n_unique is not None and n_unique > self.spill_mark
+        if n_unique is None or n_unique <= self.spill_mark:
+            return False
+        if (
+            not self.used_mesh
+            and self._state is not None
+            and self.C_dev < self.C_max
+        ):
+            self._grow()
+            return n_unique > self.spill_mark
+        return True
+
+    def _grow(self) -> None:
+        """Double the device capacity in place. Pending merges chain
+        through `_state` as async device ops, so the pad program simply
+        extends the chain — no synchronisation needed; the spill margin
+        invariant (capacity minus unresolved worst-case growth) carries
+        over to the new mark."""
+        c2 = min(
+            _pow2_at_least(2 * (self.C_dev + self._m_dev)) - self._m_dev,
+            self.C_max,
+        )
+        if c2 <= self.C_dev:
+            return
+        self._state = _grow_fn(self.C_dev, c2)(*self._state)
+        self.C_dev = c2
+        self.spill_mark = c2 - (self._unresolved_max + 2) * self._growth
 
     def drain(self):
         """Fetch (keys u64, counts u64) sorted ascending; reset state.
@@ -569,7 +676,10 @@ class DeviceAccumulator:
             n_need = int(n_per_dev.max())
             no_hi = self.k <= 16
             bounded_hi = 16 < self.k <= 23
-            small_ct = int(np.asarray(_max_fn()(ac))) < (1 << 16)
+            max_ct = int(np.asarray(_max_fn()(ac)))
+            ct_narrow = 8 if max_ct < (1 << 8) else (
+                16 if max_ct < (1 << 16) else 0
+            )
             hib = (
                 _hi_bounds_fn(1 << (2 * (self.k - 16)))(ah)
                 if bounded_hi else None
@@ -578,9 +688,9 @@ class DeviceAccumulator:
             for off, size in _prefix_pieces(n_need, self.C_dev):
                 o = np.int32(off)
                 if not (no_hi or bounded_hi):
-                    ph.append(_slice_fn(size, small_hi)(ah, o))
-                plo.append(_slice_fn(size, False)(al, o))
-                pct.append(_slice_fn(size, small_ct)(ac, o))
+                    ph.append(_slice_fn(size, 16 if small_hi else 0)(ah, o))
+                plo.append(_slice_fn(size, 0)(al, o))
+                pct.append(_slice_fn(size, ct_narrow)(ac, o))
             # start every device->host copy before blocking on any:
             # piece fetches overlap instead of paying one round trip
             # each in sequence
@@ -984,8 +1094,20 @@ class CountComputer:
         backend_cpu = bool(devs) and devs[0].platform == "cpu"
         acc = None
         if eng is None or not backend_cpu:
+            # upper bound on unique k-mers from the stats pre-pass:
+            # positions (total bases minus k-1 per sequence), clamped
+            # by the canonical key space — lets the Pallas-path
+            # accumulator size once instead of growing mid-run
+            est = None
+            if self.total_bases:
+                est = max(0, self.total_bases - (self.ksize - 1) * max(
+                    0, self.seq_count
+                ))
+                if 2 * self.ksize < 62:
+                    est = min(est, 4 ** self.ksize)
             acc = DeviceAccumulator(
-                self.ksize, self._effective_target(), n_devices=self.n_devices
+                self.ksize, self._effective_target(),
+                n_devices=self.n_devices, expect_codes=est,
             )
         return acc, eng
 
@@ -1108,14 +1230,16 @@ class CountComputer:
         if acc is not None:
             k, c = acc.drain()
             if len(k):
-                pidx = (k % np.uint64(np_parts)).astype(np.int64)
-                order = np.argsort(pidx, kind="stable")
-                k, c, pidx = k[order], c[order], pidx[order]
-                bounds = np.searchsorted(pidx, np.arange(np_parts + 1))
+                # partition split by boolean mask, NOT argsort: masking
+                # preserves the drain's ascending key order within each
+                # partition, and np_parts passes over the arrays cost a
+                # fraction of a 15M-key stable sort (~1.5 s saved on
+                # the flagship on-chip run)
+                pidx = k % np.uint64(np_parts)
                 for p in range(np_parts):
-                    s, e = bounds[p], bounds[p + 1]
-                    if e > s:
-                        part_srcs[p].append((k[s:e], c[s:e]))
+                    m = pidx == p
+                    if m.any():
+                        part_srcs[p].append((k[m], c[m]))
         if eng is not None:
             for p, (k, c) in enumerate(eng.drain_parts(self.threads)):
                 if len(k):

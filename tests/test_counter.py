@@ -623,3 +623,46 @@ def test_drain_wire_formats_exact(monkeypatch):
     keys, cnts = acc.drain()
     assert int(cnts.max()) > 0xFFFF  # the u32 fallback actually engaged
     assert keys.tolist() == [0] and cnts.tolist() == [82 * 840]
+
+
+def test_accumulator_grows_instead_of_spilling(monkeypatch):
+    """Pallas-path growth policy (counter.py:DeviceAccumulator._grow):
+    when the resolved unique count crosses the spill mark and capacity
+    is below KMERTOOLS_ACC_MAX, the device state doubles in place and
+    needs_drain answers False — drained counts must stay exact across
+    the growth boundary. (CPU backends default the cap to 0, so the
+    env opt-in exercises the path the TPU default takes.)"""
+    from kmertools_tpu.workloads.counter import DeviceAccumulator
+
+    monkeypatch.setenv("KMERTOOLS_ACC_MAX", str(1 << 22))
+    rng = np.random.default_rng(11)
+    k = 21
+    acc = DeviceAccumulator(k, target_codes=1 << 13, n_devices=1)
+    c0 = acc.C_dev
+    assert acc.C_max == 1 << 22
+    want: dict[int, int] = {}
+    from kmertools_tpu.utils import codec
+
+    def feed(n_batches):
+        for _ in range(n_batches):
+            codes = rng.integers(0, 4, size=(48, 96)).astype(np.uint8)
+            lengths = np.full(48, 96, np.int32)
+            for row in codes:
+                s = "".join("ACGT"[x] for x in row)
+                for i in range(len(s) - k + 1):
+                    f, r = codec.kmer_to_numeric(s[i : i + k])
+                    key = min(f, r)
+                    want[key] = want.get(key, 0) + 1
+            acc.add(codes_np=codes, lengths_np=lengths)
+
+    feed(2)
+    # cross the mark without feeding ~500k uniques: the count loop's
+    # poll sees n past the (forced) mark, grows in place, answers False
+    acc.spill_mark = 8
+    assert not acc.needs_drain(100)
+    assert acc.C_dev > c0, "growth never triggered"
+    assert acc.spill_mark > 8  # recomputed against the new capacity
+    feed(2)  # post-growth merges run at the new shape
+    keys, cnts = acc.drain()
+    got = dict(zip(keys.tolist(), cnts.tolist()))
+    assert got == want
