@@ -47,9 +47,12 @@ class Progress:
         if self.total:
             frac = min(1.0, self.n / max(1, self.total))
             filled = int(_BAR_W * frac)
+            # progress_chars("#>-"): filled '#', current '>', rest '-'
+            # (counter/src/lib.rs:77)
+            head = ">" if 0 < filled < _BAR_W else ""
             bar = (
-                f"{_CYAN}{'█' * filled}{_RESET}"
-                f"{_BLUE}{'░' * (_BAR_W - filled)}{_RESET}"
+                f"{_CYAN}{'#' * filled}{head}{_RESET}"
+                f"{_BLUE}{'-' * (_BAR_W - filled - len(head))}{_RESET}"
             )
             sys.stderr.write(
                 f"\r[{elapsed}] {bar} {self.n:>7}/{self.total:<7} "
