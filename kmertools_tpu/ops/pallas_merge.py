@@ -149,12 +149,22 @@ def _make_kernel(T: int, G: int):
                ah, al, ac, brh, brl,  # ANY (1, C+T) / (1, M+T+128)
                oh, ol, oc, nruns,  # ANY (1, L_out) x3, SMEM (1, 1)
                a_h, a_l, a_c, b_h, b_l,      # VMEM (1, T) staging
+               m_h, m_l, m_c, cu_s,          # VMEM (1, D) current tile
                pv_h, pv_l, pv_s, pv_f,      # VMEM (1, D) prev tile
+               e_h, e_l, e_c,               # VMEM (1, D) emit compaction
                pd_h, pd_l, pd_c,            # VMEM (1, 128) pending out
                carry, sems):
         t = pl.program_id(0)
         a0 = aoff[t]
         b0 = boff[t]
+        # fast path: this tile's merge-path span consumes NO batch
+        # elements, so its output is exactly A[a0 : a0+D] — with a big
+        # accumulator and a small batch that is most tiles (e.g. ~94%
+        # at C=31M, M=2M), and the whole 2T-lane bitonic network plus
+        # the B window staging can be skipped
+        pure_a = jnp.logical_and(
+            t + 1 < G, boff[jnp.minimum(t + 1, G - 1)] == b0
+        )
         Mp = brh.shape[1] - 128  # reversed-B true length (M + T)
         a_load = pl.multiple_of((a0 // 128) * 128, 128)
         da = a0 - a_load
@@ -164,14 +174,21 @@ def _make_kernel(T: int, G: int):
             pltpu.make_async_copy(ah.at[:, pl.ds(a_load, T)], a_h, sems.at[0]),
             pltpu.make_async_copy(al.at[:, pl.ds(a_load, T)], a_l, sems.at[1]),
             pltpu.make_async_copy(ac.at[:, pl.ds(a_load, T)], a_c, sems.at[2]),
-            # brh/brl hold B REVERSED: this aligned window covers
-            # B[b0 : b0 + D] descending plus <=128 lanes of slack on
-            # each side (large extras are harmless; small ones mask)
+        ]
+        # brh/brl hold B REVERSED: this aligned window covers
+        # B[b0 : b0 + D] descending plus <=128 lanes of slack on
+        # each side (large extras are harmless; small ones mask)
+        bps = [
             pltpu.make_async_copy(brh.at[:, pl.ds(b_load, T)], b_h, sems.at[3]),
             pltpu.make_async_copy(brl.at[:, pl.ds(b_load, T)], b_l, sems.at[4]),
         ]
         for c in cps:
             c.start()
+
+        @pl.when(jnp.logical_not(pure_a))
+        def _start_b():
+            for c in bps:
+                c.start()
 
         @pl.when(t == 0)
         def _init():
@@ -187,59 +204,80 @@ def _make_kernel(T: int, G: int):
         lane = lax.broadcasted_iota(jnp.int32, (1, T), 1)
         # A window: rotate the misalignment out, sentinel the tail the
         # rotation wrapped (ascending ++ inf stays ascending)
-        wa = _rot_dyn([a_h[:], a_l[:], a_c[:], T + lane], da, 7, left=True)
+        wa = _rot_dyn([a_h[:], a_l[:], a_c[:]], da, 7, left=True)
         a_sent = lane >= T - da
         wah = jnp.where(a_sent, _imax, wa[0])
         wal = jnp.where(a_sent, _imax, wa[1])
         wac = wa[2]
-        war = wa[3]
-        # B window: the tail lanes fell before b0 (SMALLER than the
-        # tile — they must not enter); rotate them to the front and
-        # sentinel them: [inf.. , descending] keeps the concatenation
-        # single-peak bitonic. Ranks ride the rotation so the tie order
-        # stays global; B ranks < A ranks (batch copies of a key are
-        # consumed before the accumulator's — the split search's rule).
-        thresh = (Mp - b0) - b_load  # first small-extra lane, pre-roll
-        kshift = T - thresh
-        wb = _rot_dyn(
-            [b_h[:], b_l[:], jnp.ones((1, T), jnp.int32), T - 1 - lane],
-            kshift, 8, left=False,
-        )
-        b_sent = lane < kshift
-        wbh = jnp.where(b_sent, _imax, wb[0])
-        wbl = jnp.where(b_sent, _imax, wb[1])
-        wbc = wb[2]
-        wbr = wb[3]
 
-        h = jnp.concatenate([wah, wbh], axis=1)
-        l = jnp.concatenate([wal, wbl], axis=1)
-        c_ = jnp.concatenate([wac, wbc], axis=1)
-        r = jnp.concatenate([war, wbr], axis=1)
-        iota2 = lax.broadcasted_iota(jnp.int32, (1, T2), 1)
-        s = T
-        while s >= 1:
-            m = (iota2 & s) == 0  # lower lane of each exchange pair
-            ph = jnp.where(m, _lt_(h, s), _rt(h, s))
-            pll = jnp.where(m, _lt_(l, s), _rt(l, s))
-            pc = jnp.where(m, _lt_(c_, s), _rt(c_, s))
-            pr = jnp.where(m, _lt_(r, s), _rt(r, s))
-            p_lt = (ph < h) | (
-                (ph == h) & ((pll < l) | ((pll == l) & (pr < r)))
+        @pl.when(pure_a)
+        def _merge_fast():
+            # the rotation wrap (lanes >= T - da > D) never reaches the
+            # first D lanes, so the slices are the clean A span
+            m_h[:] = wah[:, :D]
+            m_l[:] = wal[:, :D]
+            m_c[:] = wac[:, :D]
+
+        @pl.when(jnp.logical_not(pure_a))
+        def _merge_slow():
+            for c in bps:
+                c.wait()
+            # A ranks: the rotation of (T + lane) by da, arithmetically
+            war = T + lane + da - jnp.where(lane >= T - da, T, 0)
+            # B window: the tail lanes fell before b0 (SMALLER than the
+            # tile — they must not enter); rotate them to the front and
+            # sentinel them: [inf.. , descending] keeps the
+            # concatenation single-peak bitonic. Ranks ride the
+            # rotation so the tie order stays global; B ranks < A ranks
+            # (batch copies of a key are consumed before the
+            # accumulator's — the split search's rule).
+            thresh = (Mp - b0) - b_load  # first small-extra lane
+            kshift = T - thresh
+            wb = _rot_dyn(
+                [b_h[:], b_l[:], jnp.ones((1, T), jnp.int32),
+                 T - 1 - lane],
+                kshift, 8, left=False,
             )
-            # ranks are distinct, so the order is total: the upper lane
-            # takes the partner exactly when the lower doesn't — i.e.
-            # take = where(m, p_lt, ~p_lt) = XNOR(m, p_lt). Written as
-            # == because a bool-VALUED select lowers to an i8 vector
-            # select + i8->i1 truncation, which Mosaic rejects
-            take = m == p_lt
-            h = jnp.where(take, ph, h)
-            l = jnp.where(take, pll, l)
-            c_ = jnp.where(take, pc, c_)
-            r = jnp.where(take, pr, r)
-            s //= 2
-        h = h[:, :D]
-        l = l[:, :D]
-        c_ = c_[:, :D]
+            b_sent = lane < kshift
+            wbh = jnp.where(b_sent, _imax, wb[0])
+            wbl = jnp.where(b_sent, _imax, wb[1])
+            wbc = wb[2]
+            wbr = wb[3]
+
+            h = jnp.concatenate([wah, wbh], axis=1)
+            l = jnp.concatenate([wal, wbl], axis=1)
+            c_ = jnp.concatenate([wac, wbc], axis=1)
+            r = jnp.concatenate([war, wbr], axis=1)
+            iota2 = lax.broadcasted_iota(jnp.int32, (1, T2), 1)
+            s = T
+            while s >= 1:
+                m = (iota2 & s) == 0  # lower lane of each exchange pair
+                ph = jnp.where(m, _lt_(h, s), _rt(h, s))
+                pll = jnp.where(m, _lt_(l, s), _rt(l, s))
+                pc = jnp.where(m, _lt_(c_, s), _rt(c_, s))
+                pr = jnp.where(m, _lt_(r, s), _rt(r, s))
+                p_lt = (ph < h) | (
+                    (ph == h) & ((pll < l) | ((pll == l) & (pr < r)))
+                )
+                # ranks are distinct, so the order is total: the upper
+                # lane takes the partner exactly when the lower doesn't
+                # — i.e. take = where(m, p_lt, ~p_lt) = XNOR(m, p_lt).
+                # Written as == because a bool-VALUED select lowers to
+                # an i8 vector select + i8->i1 truncation, which Mosaic
+                # rejects
+                take = m == p_lt
+                h = jnp.where(take, ph, h)
+                l = jnp.where(take, pll, l)
+                c_ = jnp.where(take, pc, c_)
+                r = jnp.where(take, pr, r)
+                s //= 2
+            m_h[:] = h[:, :D]
+            m_l[:] = l[:, :D]
+            m_c[:] = c_[:, :D]
+
+        h = m_h[:]
+        l = m_l[:]
+        c_ = m_c[:]
 
         ti = lax.broadcasted_iota(jnp.int32, (1, D), 1)
         # run-boundary flags vs the previous element (lane 0 vs carry)
@@ -249,17 +287,29 @@ def _make_kernel(T: int, G: int):
         # a run continuing across the tile boundary inherits the
         # carried sum
         c_ = c_ + jnp.where((ti == 0) & (first == 0), carry[3], 0)
-        # segmented inclusive sum scan (Hillis-Steele)
-        f = first
-        s_ = c_
-        d = 1
-        while d < D:
-            sd = jnp.where(ti >= d, _rt(s_, d), 0)
-            fd = jnp.where(ti >= d, _rt(f, d), 1)
-            s_ = s_ + jnp.where(f != 0, 0, sd)
-            f = f | fd
-            d *= 2
-        sums = s_
+        # duplicate-free tiles (the common case for large-k counting:
+        # most keys occur once) skip the segmented scan — run sums ARE
+        # the counts when every lane starts its own run
+        n_starts = jnp.sum(first)
+
+        @pl.when(n_starts == D)
+        def _scan_fast():
+            cu_s[:] = c_
+
+        @pl.when(n_starts != D)
+        def _scan_slow():
+            # segmented inclusive sum scan (Hillis-Steele)
+            f = first
+            s_ = c_
+            d = 1
+            while d < D:
+                sd = jnp.where(ti >= d, _rt(s_, d), 0)
+                fd = jnp.where(ti >= d, _rt(f, d), 1)
+                s_ = s_ + jnp.where(f != 0, 0, sd)
+                f = f | fd
+                d *= 2
+            cu_s[:] = s_
+
         cur_first0 = first[0, 0]
 
         @pl.when(t > 0)
@@ -274,101 +324,152 @@ def _make_kernel(T: int, G: int):
             sent = (eh == _imax) & (el == _imax)
             emit = (lastp != 0) & ~sent
             dead = (~emit).astype(jnp.int32)
-            # exclusive dead-predecessor count -> leftward move distance
-            ex = dead
-            dd = 1
-            while dd < D:
-                ex = ex + jnp.where(ti >= dd, _rt(ex, dd), 0)
-                dd *= 2
-            ex = ex - dead  # inclusive -> exclusive
-            rem = jnp.where(dead != 0, 0, ex)
-            # bit-shift routing network: compact live runs to the prefix
-            for b in range(D.bit_length()):
-                step = 1 << b
-                if step >= D:
-                    break
-                bit = jnp.where(
-                    ti < D - step, (_lt_(rem, step) >> b) & 1, 0
-                )
-                cond = bit == 1
-                eh = jnp.where(cond, _lt_(eh, step), eh)
-                el = jnp.where(cond, _lt_(el, step), el)
-                es = jnp.where(cond, _lt_(es, step), es)
-                rem = jnp.where(cond, _lt_(rem, step), rem)
-            n_emit = jnp.sum(emit.astype(jnp.int32))
-            # append through the 128-lane pending buffer so the store
-            # stays 128-aligned: comb = [pend | compacted], write the
-            # whole (T+128) window at the aligned base, keep the
-            # incomplete trailing 128-block as the new pend
+            dead_n = jnp.sum(dead)
+
+            @pl.when(dead_n == 0)
+            def _compact_fast():
+                # every lane emits (no duplicates collapsed, no
+                # sentinels): the compaction is the identity
+                e_h[:] = eh
+                e_l[:] = el
+                e_c[:] = es
+
+            @pl.when(dead_n != 0)
+            def _compact_slow():
+                ehc, elc, esc = eh, el, es
+                # exclusive dead-predecessor count -> leftward move
+                ex = dead
+                dd = 1
+                while dd < D:
+                    ex = ex + jnp.where(ti >= dd, _rt(ex, dd), 0)
+                    dd *= 2
+                ex = ex - dead  # inclusive -> exclusive
+                rem = jnp.where(dead != 0, 0, ex)
+                # bit-shift routing: compact live runs to the prefix
+                for b in range(D.bit_length()):
+                    step = 1 << b
+                    if step >= D:
+                        break
+                    bit = jnp.where(
+                        ti < D - step, (_lt_(rem, step) >> b) & 1, 0
+                    )
+                    cond = bit == 1
+                    ehc = jnp.where(cond, _lt_(ehc, step), ehc)
+                    elc = jnp.where(cond, _lt_(elc, step), elc)
+                    esc = jnp.where(cond, _lt_(esc, step), esc)
+                    rem = jnp.where(cond, _lt_(rem, step), rem)
+                e_h[:] = ehc
+                e_l[:] = elc
+                e_c[:] = esc
+
+            n_emit = D - dead_n
             pend_n = carry[4]
-            lane_c = lax.broadcasted_iota(jnp.int32, (1, T + 128), 1)
 
-            def pad_to(x, fill):
-                # (1, D) -> (1, T + 128): D + 256 = T + 128
-                return jnp.concatenate(
-                    [x, jnp.full((1, 256), fill, jnp.int32)], axis=1
-                )
-
-            sh_h, sh_l, sh_s = _rot_dyn(
-                [pad_to(eh, _imax), pad_to(el, _imax), pad_to(es, 0)],
-                pend_n, 7, left=False,
-            )
-            in_pend = lane_c < pend_n
-            p_h = jnp.concatenate(
-                [pd_h[:], jnp.full((1, T), _imax, jnp.int32)], axis=1
-            )
-            p_l = jnp.concatenate(
-                [pd_l[:], jnp.full((1, T), _imax, jnp.int32)], axis=1
-            )
-            p_c = jnp.concatenate(
-                [pd_c[:], jnp.zeros((1, T), jnp.int32)], axis=1
-            )
-            comb_h = jnp.where(in_pend, p_h, sh_h)
-            comb_l = jnp.where(in_pend, p_l, sh_l)
-            comb_c = jnp.where(in_pend, p_c, sh_s)
-            total = pend_n + n_emit
-            commit = (total // 128) * 128
-            # committed counts only ever advance by 128-multiples; the
-            # hint lets Mosaic prove the store offset's alignment
-            base = pl.multiple_of((carry[0] // 128) * 128, 128)
-
-            def store(buf_h, buf_l, buf_c):
+            @pl.when(jnp.logical_and(dead_n == 0, pend_n == 0))
+            def _tail_fast():
+                # steady state for distinct-heavy inputs: the full tile
+                # emits and the pending buffer is empty, so the store
+                # is one aligned D-lane DMA (D is a multiple of 128)
+                # with no rotate/merge-with-pending machinery; pend
+                # stays empty (D % 128 == 0)
+                base = pl.multiple_of((carry[0] // 128) * 128, 128)
                 ops = [
                     pltpu.make_async_copy(
-                        buf_h, oh.at[:, pl.ds(base, T + 128)], sems.at[5]
+                        e_h, oh.at[:, pl.ds(base, D)], sems.at[5]
                     ),
                     pltpu.make_async_copy(
-                        buf_l, ol.at[:, pl.ds(base, T + 128)], sems.at[6]
+                        e_l, ol.at[:, pl.ds(base, D)], sems.at[6]
                     ),
                     pltpu.make_async_copy(
-                        buf_c, oc.at[:, pl.ds(base, T + 128)], sems.at[7]
+                        e_c, oc.at[:, pl.ds(base, D)], sems.at[7]
                     ),
                 ]
                 for o in ops:
                     o.start()
                 for o in ops:
                     o.wait()
+                carry[0] = base + D
 
-            def inner(buf_h, buf_l, buf_c):
-                buf_h[:] = comb_h
-                buf_l[:] = comb_l
-                buf_c[:] = comb_c
-                store(buf_h, buf_l, buf_c)
+            @pl.when(jnp.logical_or(dead_n != 0, pend_n != 0))
+            def _tail_slow():
+                # append through the 128-lane pending buffer so the
+                # store stays 128-aligned: comb = [pend | compacted],
+                # write the whole (T+128) window at the aligned base,
+                # keep the incomplete trailing 128-block as the new
+                # pend
+                lane_c = lax.broadcasted_iota(jnp.int32, (1, T + 128), 1)
 
-            pl.run_scoped(
-                inner,
-                pltpu.VMEM((1, T + 128), jnp.int32),
-                pltpu.VMEM((1, T + 128), jnp.int32),
-                pltpu.VMEM((1, T + 128), jnp.int32),
-            )
-            nh, nl, nc = _rot_dyn(
-                [comb_h, comb_l, comb_c], commit, T.bit_length(), left=True
-            )
-            pd_h[:] = nh[:, :128]
-            pd_l[:] = nl[:, :128]
-            pd_c[:] = nc[:, :128]
-            carry[0] = base + commit
-            carry[4] = total - commit
+                def pad_to(x, fill):
+                    # (1, D) -> (1, T + 128): D + 256 = T + 128
+                    return jnp.concatenate(
+                        [x, jnp.full((1, 256), fill, jnp.int32)], axis=1
+                    )
+
+                sh_h, sh_l, sh_s = _rot_dyn(
+                    [pad_to(e_h[:], _imax), pad_to(e_l[:], _imax),
+                     pad_to(e_c[:], 0)],
+                    pend_n, 7, left=False,
+                )
+                in_pend = lane_c < pend_n
+                p_h = jnp.concatenate(
+                    [pd_h[:], jnp.full((1, T), _imax, jnp.int32)], axis=1
+                )
+                p_l = jnp.concatenate(
+                    [pd_l[:], jnp.full((1, T), _imax, jnp.int32)], axis=1
+                )
+                p_c = jnp.concatenate(
+                    [pd_c[:], jnp.zeros((1, T), jnp.int32)], axis=1
+                )
+                comb_h = jnp.where(in_pend, p_h, sh_h)
+                comb_l = jnp.where(in_pend, p_l, sh_l)
+                comb_c = jnp.where(in_pend, p_c, sh_s)
+                total = pend_n + n_emit
+                commit = (total // 128) * 128
+                # committed counts only ever advance by 128-multiples;
+                # the hint lets Mosaic prove the store's alignment
+                base = pl.multiple_of((carry[0] // 128) * 128, 128)
+
+                def store(buf_h, buf_l, buf_c):
+                    ops = [
+                        pltpu.make_async_copy(
+                            buf_h, oh.at[:, pl.ds(base, T + 128)],
+                            sems.at[5]
+                        ),
+                        pltpu.make_async_copy(
+                            buf_l, ol.at[:, pl.ds(base, T + 128)],
+                            sems.at[6]
+                        ),
+                        pltpu.make_async_copy(
+                            buf_c, oc.at[:, pl.ds(base, T + 128)],
+                            sems.at[7]
+                        ),
+                    ]
+                    for o in ops:
+                        o.start()
+                    for o in ops:
+                        o.wait()
+
+                def inner(buf_h, buf_l, buf_c):
+                    buf_h[:] = comb_h
+                    buf_l[:] = comb_l
+                    buf_c[:] = comb_c
+                    store(buf_h, buf_l, buf_c)
+
+                pl.run_scoped(
+                    inner,
+                    pltpu.VMEM((1, T + 128), jnp.int32),
+                    pltpu.VMEM((1, T + 128), jnp.int32),
+                    pltpu.VMEM((1, T + 128), jnp.int32),
+                )
+                nh, nl, nc = _rot_dyn(
+                    [comb_h, comb_l, comb_c], commit, T.bit_length(),
+                    left=True,
+                )
+                pd_h[:] = nh[:, :128]
+                pd_l[:] = nl[:, :128]
+                pd_c[:] = nc[:, :128]
+                carry[0] = base + commit
+                carry[4] = total - commit
 
         @pl.when(t == G - 1)
         def _fin():
@@ -377,11 +478,11 @@ def _make_kernel(T: int, G: int):
         # current tile becomes the deferred one
         pv_h[:] = h
         pv_l[:] = l
-        pv_s[:] = sums
+        pv_s[:] = cu_s[:]
         pv_f[:] = first
         carry[1] = h[0, D - 1]
         carry[2] = l[0, D - 1]
-        carry[3] = sums[0, D - 1]
+        carry[3] = cu_s[0, D - 1]
 
     return kernel
 
@@ -436,7 +537,7 @@ def merge_sorted_pallas(ah, al, ac, bh, bl, tile: int = 4096,
         ),
         scratch_shapes=(
             [pltpu.VMEM((1, T), jnp.int32) for _ in range(5)]
-            + [pltpu.VMEM((1, D), jnp.int32) for _ in range(4)]
+            + [pltpu.VMEM((1, D), jnp.int32) for _ in range(11)]
             + [pltpu.VMEM((1, 128), jnp.int32) for _ in range(3)]
             + [pltpu.SMEM((8,), jnp.int32), pltpu.SemaphoreType.DMA((8,))]
         ),
