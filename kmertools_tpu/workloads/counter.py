@@ -949,6 +949,15 @@ class CountComputer:
 
     def init(self) -> None:
         """Pre-pass: seq stats -> partition count (lib.rs:236-249)."""
+        if self.in_path == "-":
+            # counting reads the input twice (stats pre-pass + count);
+            # the reference refuses stdin with this exact panic
+            # (ktio/src/seq.rs:137) — silently consuming stdin in the
+            # pre-pass would emit an empty kmers.counts instead
+            raise ValueError(
+                "Count cannot be performed without always having a "
+                "rewindable input stream, stdin is not!"
+            )
         stats = fastx.seq_stats(self.in_path)
         data_gb = stats.total_length / float(1 << 30)
         self.n_parts = max(

@@ -77,3 +77,23 @@ def test_coverage_empty_file(tmp_path):
     cov.build_table()
     cov.compute_coverages()
     assert (outd / "kmers.vectors").read_bytes() == b""
+
+
+def test_ctr_refuses_stdin(tmp_path):
+    """Counting reads the input twice (stats pre-pass + count pass);
+    stdin is not rewindable and the reference refuses it with a panic
+    (ktio/src/seq.rs:137). Before this guard the pre-pass silently
+    consumed stdin and the run emitted an EMPTY kmers.counts."""
+    import pytest
+
+    from kmertools_tpu.workloads.counter import CountComputer
+
+    c = CountComputer("-", str(tmp_path), 15)
+    with pytest.raises(ValueError, match="rewindable"):
+        c.count_and_merge(True)
+    # coverage composes the counter, so its build refuses too
+    from kmertools_tpu.workloads.coverage import CovComputer
+
+    cov = CovComputer("-", str(tmp_path), 4, 2, 3)
+    with pytest.raises(ValueError, match="rewindable"):
+        cov.build_table()
