@@ -438,7 +438,13 @@ class DeviceAccumulator:
                 # replaces the pow2 round-up (merge cost is linear
                 # in C; a pow2 boundary crossing would double it).
                 want = max(want, min(expect_codes + margin + growth, _c_max))
-                self.C_dev = _quant_grid_at_least(want + m_dev) - m_dev
+                self.C_dev = min(
+                    _quant_grid_at_least(want + m_dev) - m_dev,
+                    # the grid round-up may overshoot the cap by its
+                    # 12.5% step at extreme estimates; the cap wins
+                    # (any capacity is legal on the Pallas path)
+                    max(_c_max, want),
+                )
             else:
                 self.C_dev = _pow2_at_least(want + m_dev) - m_dev
         else:
