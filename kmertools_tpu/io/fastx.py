@@ -37,6 +37,11 @@ class Sequence:
 class SeqStats:
     seq_count: int
     total_length: int
+    # sum of max(0, len - k + 1) when seq_stats ran with a k: the exact
+    # k-mer position count (sequences shorter than k contribute zero,
+    # so this never undershoots like total - (k-1)*count does on
+    # short-read inputs)
+    positions: int | None = None
 
 
 def sniff_format(path: str) -> SeqFormat | None:
@@ -141,8 +146,13 @@ def sequences(path_or_reader, fmt: SeqFormat | None = None) -> Iterator[Sequence
         yield Sequence(n=n, id=rid, seq=seq)
 
 
-def seq_stats(path: str, fmt: SeqFormat | None = None) -> SeqStats:
-    """Pre-pass over the file counting records and bases (seq.rs:69-94)."""
+def seq_stats(
+    path: str, fmt: SeqFormat | None = None, k: int | None = None
+) -> SeqStats:
+    """Pre-pass over the file counting records and bases (seq.rs:69-94).
+
+    With ``k``, also tallies k-mer positions (``sum(max(0, len-k+1))``)
+    into ``SeqStats.positions`` in the same pass."""
     if fmt is None and path != "-":
         from kmertools_tpu import native
 
@@ -155,11 +165,28 @@ def seq_stats(path: str, fmt: SeqFormat | None = None) -> SeqStats:
             reads = ctypes.c_int64()
             bases = ctypes.c_int64()
             hint = _fmt_hint(path)
-            if so.kt_seq_stats(path.encode(), reads, bases, hint) == 0:
+            if k is not None and hasattr(so, "kt_seq_stats_k"):
+                pos = ctypes.c_int64()
+                if so.kt_seq_stats_k(
+                    path.encode(), reads, bases, pos, k, hint
+                ) == 0:
+                    return SeqStats(
+                        seq_count=reads.value,
+                        total_length=bases.value,
+                        positions=pos.value,
+                    )
+            elif so.kt_seq_stats(path.encode(), reads, bases, hint) == 0:
                 return SeqStats(seq_count=reads.value, total_length=bases.value)
     count = 0
     total = 0
+    positions = 0
     for rec in sequences(path, fmt):
         count += 1
         total += len(rec.seq)
-    return SeqStats(seq_count=count, total_length=total)
+        if k is not None and len(rec.seq) >= k:
+            positions += len(rec.seq) - k + 1
+    return SeqStats(
+        seq_count=count,
+        total_length=total,
+        positions=positions if k is not None else None,
+    )

@@ -118,6 +118,10 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
     so.kt_seq_stats.argtypes = [
         ctypes.c_char_p, c_i64_p, c_i64_p, ctypes.c_int,
     ]
+    so.kt_seq_stats_k.restype = ctypes.c_int
+    so.kt_seq_stats_k.argtypes = [
+        ctypes.c_char_p, c_i64_p, c_i64_p, c_i64_p, c_i64, ctypes.c_int,
+    ]
     so.kt_format_fixed6.restype = c_i64
     so.kt_format_fixed6.argtypes = [
         ctypes.POINTER(ctypes.c_double), c_i64, c_i64, ctypes.c_char,

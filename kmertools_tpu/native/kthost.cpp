@@ -796,6 +796,28 @@ int kt_seq_stats(const char *path, int64_t *n_reads, int64_t *n_bases,
   return 0;
 }
 
+// seq_stats with a k-mer position tally: positions += max(0, len-k+1)
+// per record. Sequences shorter than k contribute zero positions (not
+// a negative number), so the tally is an exact bound on distinct
+// k-mers where `bases - (k-1)*reads` undershoots on short-read inputs
+// (ADVICE r4). Separate entry point keeps the kt_seq_stats ABI stable.
+int kt_seq_stats_k(const char *path, int64_t *n_reads, int64_t *n_bases,
+                   int64_t *n_positions, int64_t k, int fmt_hint) {
+  ByteSource *f = open_source(path);
+  if (!f) return 1;
+  FastxParser p(f, fmt_hint);
+  int64_t reads = 0, bases = 0, positions = 0, len = 0;
+  while (p.stat_next(len)) {
+    reads++;
+    bases += len;
+    if (len >= k) positions += len - k + 1;
+  }
+  *n_reads = reads;
+  *n_bases = bases;
+  *n_positions = positions;
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // {:.6} fixed formatter (composition/src/oligo.rs:134). Values must lie in
 // [0, 1] so every cell is exactly 8 chars ("d.dddddd"). Returns bytes

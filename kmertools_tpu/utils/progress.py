@@ -48,8 +48,10 @@ class Progress:
             frac = min(1.0, self.n / max(1, self.total))
             filled = int(_BAR_W * frac)
             # progress_chars("#>-"): filled '#', current '>', rest '-'
-            # (counter/src/lib.rs:77)
-            head = ">" if 0 < filled < _BAR_W else ""
+            # (counter/src/lib.rs:77). indicatif draws the current
+            # char whenever the bar is incomplete — including at 0%
+            # (an all '-' bar only renders before the first tick)
+            head = ">" if filled < _BAR_W else ""
             bar = (
                 f"{_CYAN}{'#' * filled}{head}{_RESET}"
                 f"{_BLUE}{'-' * (_BAR_W - filled - len(head))}{_RESET}"

@@ -617,12 +617,16 @@ class DeviceAccumulator:
     def needs_drain(self, n_unique: int | None) -> bool:
         if n_unique is None or n_unique <= self.spill_mark:
             return False
-        if (
-            not self.used_mesh
-            and self._state is not None
-            and self.C_dev < self.C_max
-        ):
-            self._grow()
+        if not self.used_mesh and self._state is not None:
+            # keep doubling while growth is still allowed: one growth
+            # step may leave n_unique above the recomputed spill mark,
+            # and a disk TSV spill costs far more than another pad
+            # program (ADVICE r4)
+            while n_unique > self.spill_mark and self.C_dev < self.C_max:
+                before = self.C_dev
+                self._grow()
+                if self.C_dev == before:
+                    break
             return n_unique > self.spill_mark
         return True
 
@@ -923,6 +927,7 @@ class CountComputer:
         self.memory_ceil_gb = 6.0
         self.seq_count = 0
         self.total_bases = 0
+        self.kmer_positions = None  # exact sum(max(0, len-k+1)) from stats
         self.debug = False
         self.acgt = False
         self.used_mesh = False
@@ -964,7 +969,7 @@ class CountComputer:
                 "Count cannot be performed without always having a "
                 "rewindable input stream, stdin is not!"
             )
-        stats = fastx.seq_stats(self.in_path)
+        stats = fastx.seq_stats(self.in_path, k=self.ksize)
         data_gb = stats.total_length / float(1 << 30)
         self.n_parts = max(
             1 if self.debug else self.threads,
@@ -972,6 +977,10 @@ class CountComputer:
         )
         self.seq_count = stats.seq_count
         self.total_bases = stats.total_length
+        # exact k-mer position count (short reads contribute zero, so
+        # this never undershoots the way bases-(k-1)*reads does on
+        # short-read inputs, ADVICE r4) — sizes the accumulator once
+        self.kmer_positions = stats.positions
 
     def _write_manifest(self) -> None:
         name = (
@@ -1114,12 +1123,16 @@ class CountComputer:
             # by the canonical key space — lets the Pallas-path
             # accumulator size once instead of growing mid-run
             est = None
-            if self.total_bases:
+            if self.kmer_positions is not None:
+                # exact position count from the stats pre-pass (short
+                # reads contribute zero positions, ADVICE r4)
+                est = self.kmer_positions
+            elif self.total_bases:
                 est = max(0, self.total_bases - (self.ksize - 1) * max(
                     0, self.seq_count
                 ))
-                if 2 * self.ksize < 62:
-                    est = min(est, 4 ** self.ksize)
+            if est is not None and 2 * self.ksize < 62:
+                est = min(est, 4 ** self.ksize)
             acc = DeviceAccumulator(
                 self.ksize, self._effective_target(),
                 n_devices=self.n_devices, expect_codes=est,

@@ -142,6 +142,41 @@ def test_seq_stats_matches_python(tmp_path):
     assert (st.seq_count, st.total_length) == (count, total)
 
 
+def test_seq_stats_k_positions_short_reads(tmp_path):
+    """kt_seq_stats_k: positions = sum(max(0, len-k+1)) — reads shorter
+    than k contribute ZERO, not a negative term (ADVICE r4). Native and
+    Python paths agree."""
+    import os
+
+    p = tmp_path / "short.fa"
+    lens = [3, 150, 0, 20, 21, 22, 7]
+    rng = np.random.default_rng(3)
+    with open(p, "wb") as f:
+        for i, L in enumerate(lens):
+            seq = rng.choice(list(b"ACGT"), size=L).astype(np.uint8)
+            f.write(b">r%d\n%s\n" % (i, seq.tobytes()))
+    k = 21
+    want = sum(max(0, L - k + 1) for L in lens)
+    st = fastx.seq_stats(str(p), k=k)
+    assert st.positions == want
+    # naive bases-(k-1)*reads undershoots here; the exact tally doesn't
+    assert st.total_length - (k - 1) * st.seq_count < want
+    os.environ["KMERTOOLS_NO_NATIVE"] = "1"
+    try:
+        from kmertools_tpu import native
+
+        native._lib = None
+        native._tried = False
+        st_py = fastx.seq_stats(str(p), k=k)
+    finally:
+        del os.environ["KMERTOOLS_NO_NATIVE"]
+        native._lib = None
+        native._tried = False
+    assert (st_py.seq_count, st_py.total_length, st_py.positions) == (
+        st.seq_count, st.total_length, want,
+    )
+
+
 def test_radix_argsort_matches_numpy_stable():
     """kt_radix_argsort_u64 must produce EXACTLY numpy's stable argsort
     permutation (the m2s output contract relies on stability: records
