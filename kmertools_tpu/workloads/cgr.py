@@ -453,6 +453,7 @@ class OligoCgrComputer:
             AsyncWriter,
             OrderedArrayEmitter,
             data_parallel_step,
+            estimate_stream_codes,
             oligo_hist_native_sink,
             plan_hetero_sinks,
             run_pipelined_hetero,
@@ -534,11 +535,16 @@ class OligoCgrComputer:
 
             # kt_oligo_hist canonical-table sink (oligocgr has no raw
             # mode) + the standard sink policy, shared with oligo.py
-            dispatches, keys, stream_target, coalesce = plan_hetero_sinks(
-                make_dispatch,
-                oligo_hist_native_sink(self.ksize, nbins, True, self.threads),
-                f"oligocgr{self.ksize}",
-                self.target_codes,
+            native_sink = oligo_hist_native_sink(
+                self.ksize, nbins, True, self.threads
+            )
+            dispatches, keys, stream_target, coalesce, rtts = (
+                plan_hetero_sinks(
+                    make_dispatch,
+                    native_sink,
+                    f"oligocgr{self.ksize}",
+                    self.target_codes,
+                )
             )
             try:
                 run_pipelined_hetero(
@@ -553,6 +559,14 @@ class OligoCgrComputer:
                     weight=lambda b: int(b.lengths.sum()),
                     keys=keys,
                     coalesce=coalesce,
+                    rtts=rtts,
+                    total_weight=estimate_stream_codes(
+                        self.in_path, self.input_shard
+                    ),
+                    recompute=(
+                        (lambda b: np.asarray(native_sink(b)))
+                        if native_sink is not None else None
+                    ),
                 )
                 agg.finish()
                 emitter.finish()

@@ -117,6 +117,12 @@ def hetero_device_sets() -> list[list]:
 _SINK_PRIORS: dict[str, float] = {}
 _SINK_PRIORS_LOCK = threading.Lock()
 
+# last time a batch was routed to each sink KEY (process-wide): the
+# min-share re-probe ages across pipeline runs — bench-scale runs are
+# shorter than _REPROBE_S, so a per-run timestamp would never fire and
+# a locked-out sink could stay locked out for the whole process
+_SINK_LAST_ROUTED: dict[str, float] = {}
+
 # Measured device round-trip times (seconds), keyed by device id. One
 # probe per device per process: a tiny host->device->host bounce, the
 # sink's own measured RTT. Local devices bounce in ~0.1 ms; a
@@ -248,11 +254,22 @@ class _HeteroSink:
 
     def __init__(self, idx: int, dispatch: Callable, out_q: queue.Queue,
                  err: list, depth: int, key: str | None = None,
-                 n_coal: int = 1):
+                 n_coal: int = 1, rtt: float = 0.0):
         self.idx = idx
         self.dispatch = dispatch
         self.key = key
         self.n_coal = max(1, n_coal)
+        # adaptive coalescing (VERDICT r4 #5): fixed=True pins the
+        # group size (KMERTOOLS_COALESCE_FORCE / non-coalescing sinks);
+        # otherwise each group completion re-sizes n_coal from the
+        # sink's measured RTT and EWMA rate so per-group dispatch
+        # latency stays <= ~20% of group compute
+        self.coal_fixed = (
+            self.n_coal == 1
+            or rtt <= 0.0  # no RTT measurement -> honour the caller's n
+            or os.environ.get("KMERTOOLS_COALESCE_FORCE") is not None
+        )
+        self.rtt = rtt
         self.credit = 0.0  # deficit-share routing credit (codes)
         self.groups = 0  # coalesced dispatches issued
         self.q: queue.Queue = queue.Queue(maxsize=depth)
@@ -272,6 +289,22 @@ class _HeteroSink:
         # contention regime / input); the first live sample outweighs it
         self._seeded = self.rate > 0
         self._last_done: float | None = None
+        self.last_routed = (
+            _SINK_LAST_ROUTED.get(key, time.perf_counter())
+            if key is not None else time.perf_counter()
+        )
+        self._probe_next = False  # min-share re-probe flag (_pick_sink)
+        # coalescing sinks dispatch from their own worker thread: the
+        # group concatenate + device_put marshalling measured 0.08-0.14 s
+        # per group on a remote-attached chip, a stall the producer
+        # (parse) thread must not pay
+        self._disp_q: queue.Queue | None = None
+        if self.n_coal > 1:
+            self._disp_q = queue.Queue()
+            self._disp_thread = threading.Thread(
+                target=self._disp_loop, daemon=True
+            )
+            self._disp_thread.start()
         self.thread = threading.Thread(target=self._drain, daemon=True)
         self.thread.start()
 
@@ -293,12 +326,31 @@ class _HeteroSink:
             self.inflight += w
             self.routed += 1
             self.routed_w += w
-        if self.n_coal <= 1 or (self.rate == 0 and not self._pending):
+            infl = self.inflight
+        self.last_routed = time.perf_counter()
+        if self.key is not None:
+            _SINK_LAST_ROUTED[self.key] = self.last_routed
+        if self._probe_next:
+            # min-share re-probe (_pick_sink): dispatch alone NOW so the
+            # EWMA refreshes even though no full group will form — a
+            # buffered probe could be reassigned away at end of stream
+            # and the sink would stay locked out forever
+            self._probe_next = False
+            self._dispatch_group([(seq, meta, w)])
+            return
+        if self.n_coal <= 1 or (
+            self.rate == 0 and not self._pending and infl == w
+        ):
             # unmeasured coalescing sink: dispatch the exploration batch
             # NOW — buffered it would never complete a group, so the
             # sink would never earn a rate (and thus never a deficit
             # share); the singleton sample is pessimistic (full round
-            # trip, no amortisation) and groups raise it from there
+            # trip, no amortisation) and groups raise it from there.
+            # `infl == w` (nothing else in flight) stops a stampede of
+            # exploration singletons while the first sample is pending
+            # — with the dispatch worker the producer no longer blocks
+            # per dispatch, so the old check alone could drain the
+            # whole stream as singletons before the rate ever landed
             self._dispatch_group([(seq, meta, w)])
             return
         if self._pending and not self._same_shape(self._pending[0][1], meta):
@@ -340,6 +392,21 @@ class _HeteroSink:
             return False
 
     def _dispatch_group(self, entries: list) -> None:
+        """Producer-thread entry: hand the group to the dispatch worker
+        when one exists (coalescing sinks), else dispatch inline."""
+        if self._disp_q is not None:
+            self._disp_q.put(entries)
+        else:
+            self._do_dispatch(entries)
+
+    def _disp_loop(self) -> None:
+        while True:
+            entries = self._disp_q.get()
+            if entries is None:
+                return
+            self._do_dispatch(entries)
+
+    def _do_dispatch(self, entries: list) -> None:
         w_total = sum(w for _, _, w in entries)
         try:
             if len(entries) == 1:
@@ -361,6 +428,13 @@ class _HeteroSink:
                 self._out_q.put(((seq, None, None), self.idx))
             return
         self.q.put((entries, res, w_total, time.perf_counter()))
+
+    def close_dispatch(self) -> None:
+        """Stop the dispatch worker (after the final flush); must run
+        before the drain queue's end sentinel so no group is lost."""
+        if self._disp_q is not None:
+            self._disp_q.put(None)
+            self._disp_thread.join()
 
     # -- drain thread --------------------------------------------------
     def _emit_failed(self, entries: list) -> None:
@@ -401,6 +475,17 @@ class _HeteroSink:
                 if self.key is not None:
                     with _SINK_PRIORS_LOCK:
                         _SINK_PRIORS[self.key] = self.rate
+                if not self.coal_fixed and len(entries) >= 1:
+                    # adaptive group size: per-group latency floor (the
+                    # RTT) should cost <= ~20% of the group's compute,
+                    # i.e. n >= 5*RTT*rate/w. Recomputed per completion
+                    # from the live EWMA, so a degraded tunnel shrinks
+                    # groups (less stranded work per flight) and a
+                    # healthy one grows them (better amortisation).
+                    w_avg = max(1, w // max(1, len(entries)))
+                    n = 5.0 * self.rtt * self.rate / w_avg
+                    n = 1 << max(1, int(np.ceil(n)) - 1).bit_length()
+                    self.n_coal = int(min(16, max(2, n)))
                 if len(entries) == 1:
                     seq, meta, _ = entries[0]
                     self._out_q.put(((seq, meta, arrs), self.idx))
@@ -424,11 +509,28 @@ class _HeteroSink:
 # backlog bound for deficit routing: a sink more than this many seconds
 # behind (inflight / rate) stops receiving batches until it drains —
 # this also bounds the end-of-stream tail a slow sink can add to the
-# wall clock (its unfinished backlog is at most this much work)
-_SINK_BACKLOG_S = 0.75
+# wall clock (its unfinished backlog is at most this much work), and
+# the span of the ordered-consume frontier stall one slow remote group
+# can cause mid-stream (round 5: 0.75 -> 0.4 after measuring repeated
+# ~0.5 s producer stalls per degraded-tunnel group)
+_SINK_BACKLOG_S = 0.4
+
+# a measured sink whose EWMA rate falls below this share of the node's
+# total stops receiving batches: its marginal contribution no longer
+# covers the ordered-consume friction its slow groups cause (degraded
+# tunnel phases measured the remote sink at 1-2% share with 0.3-0.5 s
+# frontier stalls per group). Healthy remote sinks (5-8% share) are
+# unaffected.
+_SINK_MIN_SHARE = 0.03
+
+# how often an idle locked-out (below-min-share) sink gets one probe
+# batch to refresh its EWMA — phases drift, lockouts must not be
+# permanent. Cost per probe in a still-degraded phase: one singleton
+# flight, bounded by the consumer's stuck-frontier recompute.
+_REPROBE_S = 2.5
 
 
-def _pick_sink(sinks: list, w: int):
+def _pick_sink(sinks: list, w: int, rem_w: int | None = None):
     """Deficit-share routing: every measured sink earns credit in
     proportion to its EWMA throughput share and the highest-credit sink
     takes the batch — so each sink serves work proportional to what it
@@ -443,7 +545,16 @@ def _pick_sink(sinks: list, w: int):
 
     Unmeasured idle sinks are explored first (lowest index); sinks more
     than _SINK_BACKLOG_S behind are skipped until they drain (a dead
-    tunnel stops winning batches within one backlog window)."""
+    tunnel stops winning batches within one backlog window).
+
+    ``rem_w`` (estimated codes still to come, from the caller's
+    total-weight hint) tightens the backlog bound near end of stream: a
+    sink only takes the batch if it can finish its backlog plus the
+    batch before the rest of the stream drains through all sinks.
+    Without this a slow remote sink's whole allowed backlog (up to
+    _SINK_BACKLOG_S of work, worse in degraded tunnel phases) turns
+    into pure wall-clock tail after the last fast-sink batch completes
+    (VERDICT r4 #1)."""
     for s in sinks:  # explore unmeasured idle sinks, in index order
         with s.lock:
             r, infl = s.rate, s.inflight
@@ -456,13 +567,29 @@ def _pick_sink(sinks: list, w: int):
     total = sum(r for r, _ in rates if r > 0)
     if total <= 0:
         return min(sinks, key=lambda s: (s.eta(w), s.idx))
+    backlog_cap = _SINK_BACKLOG_S
+    if rem_w is not None:
+        # time until the stream drains if every sink keeps serving its
+        # proportional share; 0.9 leaves slack for estimate error
+        backlog_cap = min(backlog_cap, 0.9 * rem_w / total)
     eligible = []
+    now = time.perf_counter()
     for s, (r, infl) in zip(sinks, rates):
         if r <= 0:
             continue
+        if r / total < _SINK_MIN_SHARE and len(sinks) > 1:
+            # marginal sink: friction outweighs contribution. But a
+            # lockout must not be permanent — phases drift, and a
+            # recovered tunnel should win its share back: every
+            # _REPROBE_S an idle locked-out sink gets ONE singleton
+            # batch to refresh its EWMA (push dispatches it alone)
+            if infl == 0 and now - s.last_routed > _REPROBE_S:
+                s._probe_next = True
+                return s
+            continue
         cap = (2.0 * max(1, s.n_coal) + 2.0) * w
         s.credit = min(s.credit + w * (r / total), cap)
-        if infl / r <= _SINK_BACKLOG_S:
+        if (infl + w) / r <= backlog_cap:
             eligible.append(s)
     if not eligible:
         return min(sinks, key=lambda s: (s.eta(w), s.idx))
@@ -480,6 +607,9 @@ def run_pipelined_hetero(
     max_inflight: int = 8,
     keys: list | None = None,
     coalesce: list | None = None,
+    rtts: list | None = None,
+    total_weight: int | None = None,
+    recompute: Callable | None = None,
 ) -> None:
     """run_pipelined over MULTIPLE execution sinks (device sets).
 
@@ -502,6 +632,23 @@ def run_pipelined_hetero(
     planes()/lengths batches (io.batch.Batch). Buffered groups flush on
     shape change, on producer token pressure (so held batches can never
     deadlock the inflight bound), and at end of stream.
+
+    `rtts` (optional, parallel to `dispatches`) carries each sink's
+    probed device round-trip time for adaptive group sizing.
+
+    `total_weight` (optional) estimates the stream's total weight
+    (codes); when given, routing refuses to hand a slow sink work it
+    cannot finish before the rest of the stream drains — bounding the
+    end-of-stream tail a high-latency sink can add to the wall clock.
+
+    `recompute` (optional): synchronous host fallback ``batch ->
+    result arrays tuple`` with bit-identical semantics to the sinks.
+    When the ordered-consume frontier sits on a REMOTE sink's batch and
+    nothing arrives for a beat, the consumer recomputes that batch
+    locally and drops the late original — a hung or phase-degraded
+    tunnel costs a bounded hiccup instead of head-of-line-blocking the
+    whole pipeline (observed: one slow remote group fetch turned a
+    1.8 s bench run into 10 s once the token window filled).
     """
     assert keys is None or len(keys) == len(dispatches), (
         f"keys ({len(keys)}) must parallel dispatches ({len(dispatches)})"
@@ -535,44 +682,119 @@ def run_pipelined_hetero(
         # 18). Batches are ~1-1.5 MB each; 256 in flight is ~350 MB.
         max_inflight = max(
             max_inflight,
-            int(os.environ.get("KMERTOOLS_MAX_INFLIGHT", 256)),
+            int(os.environ.get("KMERTOOLS_MAX_INFLIGHT", 384)),
         )
     out_q: queue.Queue = queue.Queue()
     err: list[BaseException] = []
     sinks = [
         _HeteroSink(i, d, out_q, err, depth,
                     key=keys[i] if keys else None,
-                    n_coal=coalesce[i] if coalesce else 1)
+                    n_coal=coalesce[i] if coalesce else 1,
+                    rtt=rtts[i] if rtts else 0.0)
         for i, d in enumerate(dispatches)
     ]
     tokens = threading.Semaphore(max_inflight)
 
+    # seq -> (meta, is_remote_sink), kept until consumed: the
+    # speculative-recompute path re-runs a stuck remote batch locally
+    routed_meta: dict[int, tuple] = {}
+    routed_lock = threading.Lock()
+    # total seq count, set by the producer at end of stream: the
+    # consumer exits as soon as every seq is consumed, without waiting
+    # for a drain thread still blocked on a slow remote fetch whose
+    # result was already recomputed locally
+    total_seqs = [None]
+
     def consumer() -> None:
         pending: dict[int, tuple] = {}
+        forced: set[int] = set()  # seqs consumed via recompute
         next_seq = 0
         done = 0
-        while done < len(sinks):
-            item, _idx = out_q.get()
-            if item is None:
-                done += 1
-                continue
-            seq, meta, arrs = item
-            if meta is None or err:  # dropped on error
-                tokens.release()
-                continue
-            pending[seq] = (meta, arrs)
+        last_advance = time.perf_counter()
+
+        def drain_ready() -> None:
+            nonlocal next_seq, last_advance
             while next_seq in pending:
                 m, a = pending.pop(next_seq)
                 try:
                     consume(m, *a)
                 except BaseException as e:
                     err.append(e)
+                with routed_lock:
+                    routed_meta.pop(next_seq, None)
                 tokens.release()
                 next_seq += 1
+                last_advance = time.perf_counter()
+
+        def try_recompute() -> bool:
+            """Recompute the stuck frontier batch on the host when it
+            was routed to a remote sink. True if progress was made."""
+            with routed_lock:
+                ent = routed_meta.get(next_seq)
+            if ent is None or not ent[1]:
+                return False
+            try:
+                arrs = recompute(ent[0])
+                arrs = arrs if isinstance(arrs, tuple) else (arrs,)
+                arrs = tuple(np.asarray(a) for a in arrs)
+            except BaseException as e:
+                err.append(e)
+                return False
+            pending[next_seq] = (ent[0], arrs)
+            forced.add(next_seq)
+            drain_ready()
+            return True
+
+        def frontier_stuck() -> bool:
+            """The frontier seq sits on a remote sink AND either it has
+            been stuck a while or the fast sinks have raced far ahead
+            (half the token window buffered behind it) — recompute NOW
+            instead of waiting for the whole pipeline to drain. Waiting
+            for an empty out_q (the original rule) fired only after the
+            producer had already stalled on tokens and the fast sinks
+            had gone idle: measured 2-5 s of added wall per run in
+            degraded tunnel phases."""
+            if err:
+                return False
+            return (
+                time.perf_counter() - last_advance > 0.25
+                or len(pending) > max_inflight // 2
+            )
+
+        while done < len(sinks):
+            if (
+                recompute is not None
+                and total_seqs[0] is not None
+                and next_seq >= total_seqs[0]
+            ):
+                return  # everything consumed; don't wait on stragglers
+            try:
+                item, _idx = out_q.get(
+                    timeout=0.1 if recompute is not None else None
+                )
+            except queue.Empty:
+                while not err and try_recompute() and out_q.empty():
+                    pass
+                continue
+            if item is None:
+                done += 1
+                continue
+            seq, meta, arrs = item
+            if seq in forced:
+                forced.discard(seq)  # late original: already consumed
+                continue
+            if meta is None or err:  # dropped on error
+                tokens.release()
+                continue
+            pending[seq] = (meta, arrs)
+            drain_ready()
+            if recompute is not None and frontier_stuck():
+                try_recompute()
 
     ct = threading.Thread(target=consumer, daemon=True)
     ct.start()
     seq = 0
+    done_w = 0
     try:
         for b in batches:
             if err:
@@ -588,7 +810,16 @@ def run_pipelined_hetero(
             if err:
                 break
             w = max(1, int(weight(b)))
-            _pick_sink(sinks, w).push(seq, b, w)
+            rem_w = (
+                max(0, total_weight - done_w)
+                if total_weight is not None else None
+            )
+            sink = _pick_sink(sinks, w, rem_w)
+            if recompute is not None:
+                with routed_lock:
+                    routed_meta[seq] = (b, sink._disp_q is not None)
+            sink.push(seq, b, w)
+            done_w += w
             seq += 1
     finally:
         # end of stream: move any UNDISPATCHED held groups to the
@@ -601,14 +832,29 @@ def run_pipelined_hetero(
                 pend.extend(s.take_pending())
             if pend:
                 best = max(sinks, key=lambda s: (s.rate, -s.idx))
+                if recompute is not None:
+                    with routed_lock:
+                        for seq_p, meta_p, _ in pend:
+                            if seq_p in routed_meta:
+                                routed_meta[seq_p] = (
+                                    meta_p, best._disp_q is not None
+                                )
                 for seq_p, meta_p, w_p in sorted(pend, key=lambda e: e[0]):
                     best.push(seq_p, meta_p, w_p)
         for s in sinks:
             s.flush()
+            s.close_dispatch()  # drain the dispatch worker first
             s.q.put(None)
+        total_seqs[0] = seq  # consumer may now exit on full consumption
         ct.join()
         for s in sinks:
-            s.thread.join()
+            # a drain thread can still be blocked on a slow remote
+            # fetch whose batches were already recomputed locally —
+            # don't make the caller wait for a result nobody needs
+            # (daemon thread; its late EWMA update is still useful)
+            s.thread.join(
+                timeout=None if recompute is None or err else 0.25
+            )
         LAST_RUN_STATS[:] = [
             {
                 "key": keys[s.idx] if keys else str(s.idx),
@@ -698,22 +944,22 @@ def oligo_hist_native_sink(ksize: int, nbins: int, count_min: bool,
 def plan_hetero_sinks(make_dispatch, native_sink, key_prefix: str,
                       target_codes: int):
     """Standard sink assembly for the histogram workloads. Returns
-    ``(dispatches, keys, stream_target, coalesce)``.
+    ``(dispatches, keys, stream_target, coalesce, rtts)``.
 
     Policy: on a CPU-only backend with a native kernel present the
     native engine runs alone — the XLA program would share (and lose)
-    the same cores, and smaller batches keep the kernel's working set
-    in cache (measured ~2x on a 4-core host vs 32M-code batches).
-    Otherwise every hetero device set becomes an XLA sink (set index +
-    device count in the key so same-platform sets keep separate rate
-    priors) and the native kernel joins as one more sink; multi-sink
-    runs cap the batch size for routing granularity — with a handful of
-    mega-batches one slow-sink assignment decides the wall clock.
+    the same cores. Otherwise every hetero device set becomes an XLA
+    sink (set index + device count in the key so same-platform sets
+    keep separate rate priors) and the native kernel joins as one more
+    sink; multi-sink runs cap the batch size for routing granularity —
+    with a handful of mega-batches one slow-sink assignment decides the
+    wall clock.
 
     ``coalesce`` (parallel to dispatches) carries each XLA sink's
     batch-coalescing group size from its device RTT probe (coalesce_for)
     — remote-attached sinks amortise their per-dispatch round trips
-    over whole groups; local sinks and the native kernel stay at 1."""
+    over whole groups; local sinks and the native kernel stay at 1.
+    ``rtts`` carries the probed RTTs for adaptive group sizing."""
     import jax
 
     device_sets = hetero_device_sets()
@@ -722,11 +968,15 @@ def plan_hetero_sinks(make_dispatch, native_sink, key_prefix: str,
         and jax.local_devices()[0].platform == "cpu"
     )
     if native_sink is not None and backend_cpu and len(device_sets) == 1:
+        # 2^22-code batches measured fastest for the engine-alone path
+        # once formatting moved to the write-behind thread (round 5:
+        # 1784 vs 1610 Mb/s at 2^21 — fewer per-batch Python turns)
         return (
             [native_sink],
             [f"{key_prefix}:native"],
-            min(target_codes, 1 << 21),
+            min(target_codes, 1 << 22),
             [1],
+            [0.0],
         )
     if native_sink is not None:
         # the host-CPU XLA device set shares (and measured-loses on)
@@ -748,14 +998,43 @@ def plan_hetero_sinks(make_dispatch, native_sink, key_prefix: str,
         for i, d in enumerate(device_sets)
     ]
     coalesce = [coalesce_for(d) for d in device_sets]
+    rtts = [
+        probe_device_rtt(d[0]) if d else 0.0 for d in device_sets
+    ]
     if native_sink is not None:
         dispatches.append(native_sink)
         keys.append(f"{key_prefix}:native")
         coalesce.append(1)
+        rtts.append(0.0)
     stream_target = target_codes
     if len(dispatches) > 1 or max(coalesce) > 1:
         stream_target = min(stream_target, 1 << 22)
-    return dispatches, keys, stream_target, coalesce
+    return dispatches, keys, stream_target, coalesce, rtts
+
+
+def estimate_stream_codes(path: str, shard=None) -> int | None:
+    """Rough total-code (base-count) estimate for a stream, used only
+    as the scheduler's end-of-stream hint (run_pipelined_hetero
+    total_weight). Plain files only — gz/stdin return None (unknown).
+    Deliberately conservative (an UNDER-estimate tightens the slow-sink
+    cutoff earlier, which costs a little utilisation; an over-estimate
+    would re-open the tail the hint exists to close)."""
+    if path == "-" or path.endswith(".gz"):
+        return None
+    try:
+        if shard is not None:
+            size = max(0, int(shard.end) - int(shard.start))
+        else:
+            size = os.path.getsize(path)
+    except (OSError, AttributeError, TypeError, ValueError):
+        return None
+    from kmertools_tpu.io.fastx import SeqFormat, sniff_format
+
+    fmt = sniff_format(path)
+    # FASTA: bytes minus headers/newlines; FASTQ: ~half the record is
+    # quality + plus-line
+    factor = 0.45 if fmt is SeqFormat.FASTQ else 0.9
+    return int(size * factor)
 
 
 def native_hist_sink(kernel):
@@ -876,6 +1155,12 @@ class AsyncWriter:
     without this stage a stalled ``write`` blocks the fetch of the next
     batch even though the device is idle. The queue depth bounds
     buffered output chunks; errors surface on the next write/close.
+
+    ``write`` also accepts a CALLABLE producing the chunk: it runs on
+    the drain thread, so text formatting overlaps the next batch's
+    compute instead of serialising with it on the fetch thread
+    (measured ~0.5 s of the oligo bench wall, round 5). Queue order is
+    preserved either way.
     """
 
     def __init__(self, f, depth: int = 8):
@@ -893,6 +1178,8 @@ class AsyncWriter:
             if self._err:
                 continue  # drain so a bounded put never deadlocks
             try:
+                if callable(chunk):
+                    chunk = chunk()
                 self._f.write(chunk)
             except BaseException as e:
                 self._err.append(e)

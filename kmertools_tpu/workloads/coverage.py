@@ -388,37 +388,56 @@ class CovComputer:
             nd = native_dispatch()
             backend_cpu = jax.local_devices()[0].platform == "cpu"
             xla_key = f"cov{self.ksize}:xla:" + jax.local_devices()[0].platform
-            from kmertools_tpu.workloads.common import coalesce_for
+            from kmertools_tpu.workloads.common import (
+                coalesce_for,
+                estimate_stream_codes,
+                probe_device_rtt,
+            )
 
             xla_coal = coalesce_for(jax.local_devices())
+            xla_rtt = (
+                probe_device_rtt(jax.local_devices()[0])
+                if jax.local_devices() else 0.0
+            )
             if nd is not None and backend_cpu:
                 dispatches = [nd]
                 keys = [f"cov{self.ksize}:native"]
                 coalesce = [1]
+                rtts = [0.0]
             elif nd is not None:
                 dispatches = [dispatch, nd]
                 keys = [xla_key, f"cov{self.ksize}:native"]
                 coalesce = [xla_coal, 1]
+                rtts = [xla_rtt, 0.0]
             else:
                 dispatches = [dispatch]
                 keys = [xla_key]
                 coalesce = [xla_coal]
+                rtts = [xla_rtt]
+            cov_shard = (
+                self.mh_ctx.shard_for(self.in_path) if self.mh_ctx else None
+            )
             try:
                 run_pipelined_hetero(
                     iob.stream_path(
                         self.in_path,
                         overlap=self.ksize - 1,
                         target_codes=self.target_codes,
-                        shard=(
-                            self.mh_ctx.shard_for(self.in_path)
-                            if self.mh_ctx else None
-                        ),
+                        shard=cov_shard,
                     ),
                     dispatches,
                     consume,
                     weight=lambda b: int(b.lengths.sum()),
                     keys=keys,
                     coalesce=coalesce,
+                    rtts=rtts,
+                    total_weight=estimate_stream_codes(
+                        self.in_path, cov_shard
+                    ),
+                    recompute=(
+                        (lambda b: np.asarray(nd(b)))
+                        if nd is not None else None
+                    ),
                 )
                 agg.finish()
                 emitter.finish()

@@ -26,6 +26,7 @@ from kmertools_tpu.workloads.common import (
     OrderedArrayEmitter,
     PartedOutput,
     data_parallel_step,
+    estimate_stream_codes,
     oligo_hist_native_sink,
     plan_hetero_sinks,
     plan_producers,
@@ -184,12 +185,19 @@ class OligoComputer:
                 )
 
             def make_write_slab(w):
+                # chunks go to the AsyncWriter as CALLABLES: the text
+                # formatting runs on the write-behind thread, so it
+                # overlaps the next batch's histogram instead of
+                # serialising with the fetch thread (~0.5 s of the
+                # bench wall on the 4-core box)
                 if self.norm:
                     return lambda vecs, tots: w.write(
-                        emit_norm_slab(vecs, tots, self.delim)
+                        lambda v=vecs, t=tots: emit_norm_slab(
+                            v, t, self.delim
+                        )
                     )
                 return lambda vecs, tots: w.write(
-                    emit_count_slab(vecs, self.delim)
+                    lambda v=vecs: emit_count_slab(v, self.delim)
                 )
 
             emitters = [
@@ -273,13 +281,16 @@ class OligoComputer:
 
                 return dispatch
 
-            dispatches, keys, stream_target, coalesce = plan_hetero_sinks(
-                make_dispatch,
-                oligo_hist_native_sink(
-                    self.ksize, nbins, self.count_min, self.threads
-                ),
-                f"oligo{self.ksize}",
-                self.target_codes,
+            native_sink = oligo_hist_native_sink(
+                self.ksize, nbins, self.count_min, self.threads
+            )
+            dispatches, keys, stream_target, coalesce, rtts = (
+                plan_hetero_sinks(
+                    make_dispatch,
+                    native_sink,
+                    f"oligo{self.ksize}",
+                    self.target_codes,
+                )
             )
             if nprod > 1:
                 batches = iob.multi_range_stream(
@@ -304,6 +315,17 @@ class OligoComputer:
                     weight=lambda b: int(b.lengths.sum()),
                     keys=keys,
                     coalesce=coalesce,
+                    rtts=rtts,
+                    total_weight=estimate_stream_codes(
+                        self.in_path, self.input_shard
+                    ),
+                    # stuck-remote-frontier fallback: the native kernel
+                    # run synchronously (bit-identical int16 fused
+                    # result; the consume path handles both layouts)
+                    recompute=(
+                        (lambda b: np.asarray(native_sink(b)))
+                        if native_sink is not None else None
+                    ),
                 )
                 for agg in aggs:
                     agg.finish()

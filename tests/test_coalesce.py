@@ -213,7 +213,7 @@ def test_plan_drops_cpu_xla_sink_when_native_present(monkeypatch):
 
     monkeypatch.setattr(jax, "local_devices", lambda backend=None: accel)
     made = []
-    dispatches, keys, _, coalesce = common.plan_hetero_sinks(
+    dispatches, keys, _, coalesce, _rtts = common.plan_hetero_sinks(
         lambda d: made.append(d) or (lambda b: None),
         native_sink=lambda b: None,
         key_prefix="t",
@@ -223,10 +223,165 @@ def test_plan_drops_cpu_xla_sink_when_native_present(monkeypatch):
     assert len(dispatches) == 2 and len(coalesce) == 2
 
     made.clear()
-    dispatches, keys, _, coalesce = common.plan_hetero_sinks(
+    dispatches, keys, _, coalesce, _rtts = common.plan_hetero_sinks(
         lambda d: made.append(d) or (lambda b: None),
         native_sink=None,
         key_prefix="t",
         target_codes=1 << 20,
     )
     assert keys == ["t:xla:0:tpux1", "t:xla:1:cpux4"]
+
+
+def test_adaptive_group_size_resizes_from_rtt(monkeypatch):
+    """With a measured RTT and no FORCE pin, the sink re-sizes its
+    group so the per-group RTT stays <= ~20% of group compute
+    (VERDICT r4 #5): n >= 5*rtt*rate/w, pow2, clamped to [2, 16].
+    Output parity and ordering must hold across the resizes."""
+    batches = [_FakeBatch(i, rows=8, wq=16) for i in range(40)]
+    got = []
+    # seed a fast prior so grouping starts immediately; w = 8*64 codes
+    # per batch. rate=1e9, rtt=5e-3 -> n = 5*.005*1e9/512 ~ 9766 -> 16
+    common._SINK_PRIORS["ad:sink"] = 1e9
+    try:
+        common.run_pipelined_hetero(
+            batches,
+            [_row_aligned_dispatch()],
+            lambda meta, arr: got.append((meta.tag, arr.copy())),
+            weight=lambda b: int(b.lengths.sum()),
+            coalesce=[4],
+            keys=["ad:sink"],
+            rtts=[5e-3],
+        )
+    finally:
+        common._SINK_PRIORS.pop("ad:sink", None)
+    assert [t for t, _ in got] == list(range(40))
+    for tag, arr in got:
+        expect = np.full(8, tag % 251, np.int64) * 16
+        expect += np.arange(8) - (tag % 251)
+        assert np.array_equal(arr, expect)
+    (stats,) = common.LAST_RUN_STATS
+    assert stats["batches"] == 40
+    # adapted away from the initial 4 and stayed in the clamp band
+    assert 2 <= stats["n_coal"] <= 16
+    assert stats["groups"] >= 1
+
+
+def test_pick_sink_refuses_slow_sink_near_stream_end():
+    """End-of-stream tail bound (VERDICT r4 #1): with a total-weight
+    hint, a slow sink whose backlog + batch cannot finish before the
+    rest of the stream drains is ineligible, so the last batches go to
+    the fast
+    sink even when deficit credit favours the slow one."""
+    out_q = __import__("queue").Queue()
+    err: list = []
+    sinks = [
+        common._HeteroSink(0, lambda b: None, out_q, err, 2, key=None),
+        common._HeteroSink(1, lambda b: None, out_q, err, 2, key=None),
+    ]
+    try:
+        slow, fast = sinks
+        slow.rate = 10e6    # 10 Mcodes/s (~9% share: above min-share)
+        fast.rate = 100e6   # 100 Mcodes/s
+        slow.credit = 1e9   # deficit credit strongly favours slow
+        w = 100_000         # slow needs 0.01 s for one batch
+        # plenty of stream left (10 s worth): slow is eligible
+        assert common._pick_sink(sinks, w, rem_w=10 * 110_000_000) is slow
+        slow.credit = 1e9
+        # ~0.008 s of stream left: slow (needs 0.01 s) must be refused
+        pick = common._pick_sink(sinks, w, rem_w=1_000_000)
+        assert pick is fast
+        # no hint: the fixed backlog bound alone lets slow take it
+        slow.credit = 1e9
+        assert common._pick_sink(sinks, w, rem_w=None) is slow
+    finally:
+        for s in sinks:
+            s.close_dispatch()
+            s.q.put(None)
+            s.thread.join()
+
+
+def test_stuck_remote_frontier_recomputed_on_host():
+    """A remote group whose fetch hangs must not head-of-line-block
+    ordered consume: with a `recompute` fallback the consumer re-runs
+    the stuck batch locally (bit-identical result) and drops the late
+    original. All outputs stay correct and in order, and every batch
+    routed to the hung sink is consumed well before its fetch returns."""
+    import time as _time
+
+    HANG = 2.0
+    t0 = _time.perf_counter()
+
+    def hung_remote(b):
+        class R:
+            def __array__(self, dtype=None, copy=None):
+                _time.sleep(HANG)  # tunnel stall
+                packed, _, _ = b.planes()
+                return packed.astype(np.int64).sum(axis=1)
+
+        return R()
+
+    def recompute(b):
+        packed, _, _ = b.planes()
+        return packed.astype(np.int64).sum(axis=1)  # single array form
+
+    batches = [_FakeBatch(i, rows=8, wq=16) for i in range(10)]
+    got = []
+    common._SINK_PRIORS["sr:remote"] = 5e8
+    common._SINK_PRIORS["sr:fast"] = 1e9
+    try:
+        common.run_pipelined_hetero(
+            batches,
+            [hung_remote, _row_aligned_dispatch()],
+            lambda meta, arr: got.append(
+                (meta.tag, arr.copy(), _time.perf_counter() - t0)
+            ),
+            weight=lambda b: int(b.lengths.sum()),
+            coalesce=[2, 1],
+            keys=["sr:remote", "sr:fast"],
+            rtts=[0.0, 0.0],
+            recompute=recompute,
+        )
+    finally:
+        for k in ("sr:remote", "sr:fast"):
+            common._SINK_PRIORS.pop(k, None)
+    assert [t for t, _, _ in got] == list(range(10))
+    for tag, arr, _ in got:
+        expect = np.full(8, tag % 251, np.int64) * 16
+        expect += np.arange(8) - (tag % 251)
+        assert np.array_equal(arr, expect)
+    stats = {s["key"]: s for s in common.LAST_RUN_STATS}
+    assert stats["sr:remote"]["batches"] >= 1, "remote sink never routed"
+    # every consume landed before the hung fetch could have returned
+    assert max(t for _, _, t in got) < HANG, [t for _, _, t in got]
+
+
+def test_min_share_lockout_and_reprobe():
+    """A sink whose EWMA falls below the min-share floor stops taking
+    batches (its slow groups cost more frontier friction than their
+    work is worth), but gets a singleton re-probe once idle for
+    _REPROBE_S so a recovered phase can win its share back."""
+    import time as _time
+
+    out_q = __import__("queue").Queue()
+    err: list = []
+    sinks = [
+        common._HeteroSink(0, lambda b: None, out_q, err, 2),
+        common._HeteroSink(1, lambda b: None, out_q, err, 2),
+    ]
+    try:
+        slow, fast = sinks
+        slow.rate = 1e6    # ~1% share: below _SINK_MIN_SHARE
+        fast.rate = 1e8
+        slow.credit = 1e9
+        w = 100_000
+        slow.last_routed = _time.perf_counter()
+        assert common._pick_sink(sinks, w, None) is fast
+        # idle past the re-probe window: gets exactly one probe batch
+        slow.last_routed = _time.perf_counter() - common._REPROBE_S - 1
+        pick = common._pick_sink(sinks, w, None)
+        assert pick is slow and slow._probe_next
+    finally:
+        for s in sinks:
+            s.close_dispatch()
+            s.q.put(None)
+            s.thread.join()
