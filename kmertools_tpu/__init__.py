@@ -80,9 +80,18 @@ def _tune_hugepages() -> None:
     madvised fills hours apart), so the cached verdict carries a TTL
     instead of living for the whole boot. KMERTOOLS_HUGEPAGES=1 skips
     all of this.
+
+    Long-lived processes must NOT trust the import-time verdict: call
+    ``ensure_hugepage_tuning()`` at pipeline entry — it re-runs this
+    probe when the TTL has lapsed. (Round-5 finding: a bench process
+    whose "fast" verdict went stale mid-session crawled at 10-150 ms
+    per fresh 2 MB numpy fault while subprocesses re-probed at import
+    and ran fine — the round-4 driver-capture regression class.)
     """
+    global _last_probe_ts
     if _os.environ.get("KMERTOOLS_HUGEPAGES") == "1":
         return
+    _last_probe_ts = __import__("time").monotonic()
     if _os.environ.get("NUMPY_MADVISE_HUGEPAGE") == "0":
         return  # already off (env read by numpy at import)
     try:
@@ -170,6 +179,28 @@ def _tune_hugepages() -> None:
         return
     _os.environ["NUMPY_MADVISE_HUGEPAGE"] = "0"  # child processes
     _set(False)
+
+
+_last_probe_ts = 0.0
+
+
+def ensure_hugepage_tuning() -> None:
+    """Re-validate the hugepage verdict when its TTL has lapsed.
+
+    The import-time probe's "fast" verdict can go stale inside a
+    long-lived process (this host's THP fault cost drifts on a ~10-min
+    scale); pipelines call this at entry so a degraded phase flips
+    numpy's madvise off mid-process instead of paying 10-150 ms per
+    fresh 2 MB fault for the rest of the run. No-ops (one dict lookup)
+    while the verdict is fresh or already "slow"."""
+    if _os.environ.get("NUMPY_MADVISE_HUGEPAGE") == "0":
+        return
+    import time as _time
+
+    ttl = float(_os.environ.get("KMERTOOLS_HUGEPAGE_PROBE_TTL", 600))
+    if _time.monotonic() - _last_probe_ts < ttl:
+        return
+    _tune_hugepages()
 
 
 _configure_jax()

@@ -1315,6 +1315,127 @@ static int64_t pack_row_avx2(const uint8_t *c, int64_t width, int64_t len,
 }
 #endif
 
+// ---- persistent per-calling-thread worker pool ---------------------------
+// The per-batch kernels (plane pack, oligo/cov histograms, the counter
+// engine) used to spawn + join T std::threads per call — ~2400 thread
+// creations per bench run, measured as 10-20% of kernel wall lost to
+// scheduling. Each CALLING thread owns a lazily-grown persistent pool
+// (thread_local in kt_parallel), so concurrent pipeline stages (the
+// producer's pack, a sink's histogram) keep independent workers and a
+// call costs two condition-variable hops instead of T thread spawns.
+#include <atomic>
+#include <functional>
+
+class LocalPool {
+ public:
+  ~LocalPool() {
+    {
+      std::lock_guard<std::mutex> lk(m_);
+      stop_ = true;
+      gen_++;
+    }
+    cv_.notify_all();
+    for (auto &t : th_) t.join();
+  }
+
+  // Run fn(r0, r1) over [0, n) in T contiguous chunks. The calling
+  // thread works too, so only T-1 workers are woken.
+  void run(int T, int64_t n,
+           const std::function<void(int64_t, int64_t)> &fn) {
+    if (n <= 0) return;
+    if ((int64_t)T > n) T = (int)n;
+    if (T <= 1) {
+      fn(0, n);
+      return;
+    }
+    Job job;
+    job.fn = &fn;
+    job.n = n;
+    job.chunk = (n + T - 1) / T;
+    job.pending.store(
+        (int)((n + job.chunk - 1) / job.chunk), std::memory_order_relaxed);
+    ensure(T - 1);
+    {
+      std::lock_guard<std::mutex> lk(m_);
+      job_ = &job;
+      gen_++;
+    }
+    cv_.notify_all();
+    grab(&job);
+    // the job struct lives on this stack frame: wait until every chunk
+    // ran AND no worker still holds the pointer before returning
+    std::unique_lock<std::mutex> lk(m_);
+    done_cv_.wait(lk, [&] {
+      return job.pending.load(std::memory_order_acquire) == 0 &&
+             job.holders.load(std::memory_order_acquire) == 0;
+    });
+    job_ = nullptr;
+  }
+
+ private:
+  struct Job {
+    const std::function<void(int64_t, int64_t)> *fn;
+    int64_t n = 0, chunk = 1;
+    std::atomic<int64_t> next{0};
+    std::atomic<int> pending{0};
+    std::atomic<int> holders{0};
+  };
+
+  void ensure(int nw) {
+    while ((int)th_.size() < nw)
+      th_.emplace_back([this] { worker(); });
+  }
+
+  void grab(Job *j) {
+    for (;;) {
+      const int64_t i = j->next.fetch_add(1, std::memory_order_relaxed);
+      const int64_t r0 = i * j->chunk;
+      if (r0 >= j->n) return;
+      const int64_t r1 = r0 + j->chunk < j->n ? r0 + j->chunk : j->n;
+      (*j->fn)(r0, r1);
+      if (j->pending.fetch_sub(1, std::memory_order_acq_rel) == 1) {
+        std::lock_guard<std::mutex> lk(m_);
+        done_cv_.notify_all();
+      }
+    }
+  }
+
+  void worker() {
+    uint64_t seen = 0;
+    for (;;) {
+      Job *j = nullptr;
+      {
+        std::unique_lock<std::mutex> lk(m_);
+        cv_.wait(lk, [&] { return gen_ != seen; });
+        seen = gen_;
+        if (stop_) return;
+        j = job_;
+        if (j) j->holders.fetch_add(1, std::memory_order_acq_rel);
+      }
+      if (!j) continue;
+      grab(j);
+      if (j->holders.fetch_sub(1, std::memory_order_acq_rel) == 1) {
+        std::lock_guard<std::mutex> lk(m_);
+        done_cv_.notify_all();
+      }
+    }
+  }
+
+  std::mutex m_;
+  std::condition_variable cv_, done_cv_;
+  std::vector<std::thread> th_;
+  Job *job_ = nullptr;
+  uint64_t gen_ = 0;
+  bool stop_ = false;
+};
+
+// Chunked parallel-for on the calling thread's persistent pool.
+static void kt_parallel(int T, int64_t n,
+                        const std::function<void(int64_t, int64_t)> &fn) {
+  static thread_local LocalPool pool;
+  pool.run(T, n, fn);
+}
+
 static int64_t kt_pack_planes_serial(const uint8_t *codes, int64_t rows,
                                      int64_t width, const int32_t *lengths,
                                      uint8_t *packed, uint8_t *validbits) {
@@ -1375,24 +1496,16 @@ int64_t kt_pack_planes(const uint8_t *codes, int64_t rows, int64_t width,
   if (T > 4) T = 4;
   if (hw > 0 && T > hw) T = hw;
   if (T > 1 && rows > 1) {
-    std::vector<int64_t> part((size_t)T, 0);
-    std::vector<std::thread> th;
-    const int64_t chunk = (rows + T - 1) / T;
-    for (int t = 0; t < T; t++) {
-      const int64_t r0 = t * chunk;
-      const int64_t r1 = r0 + chunk < rows ? r0 + chunk : rows;
-      if (r0 >= r1) break;
-      th.emplace_back([=, &part] {
-        part[(size_t)t] = kt_pack_planes_serial(
-            codes + r0 * width, r1 - r0, width,
-            lengths ? lengths + r0 : nullptr,
-            packed + r0 * (width / 4), validbits + r0 * (width / 8));
-      });
-    }
-    for (auto &x : th) x.join();
-    int64_t ambig = 0;
-    for (int64_t v : part) ambig += v;
-    return ambig;
+    std::atomic<int64_t> ambig{0};
+    kt_parallel(T, rows, [&](int64_t r0, int64_t r1) {
+      ambig.fetch_add(
+          kt_pack_planes_serial(
+              codes + r0 * width, r1 - r0, width,
+              lengths ? lengths + r0 : nullptr,
+              packed + r0 * (width / 4), validbits + r0 * (width / 8)),
+          std::memory_order_relaxed);
+    });
+    return ambig.load();
   }
   return kt_pack_planes_serial(codes, rows, width, lengths, packed,
                                validbits);
@@ -1590,20 +1703,7 @@ int kt_oligo_hist(const uint8_t *packed, const uint8_t *validbits,
   };
 
   int T = nthreads > 0 ? nthreads : 1;
-  if ((int64_t)T > rows) T = (int)(rows > 0 ? rows : 1);
-  if (T <= 1) {
-    work(0, rows);
-    return 0;
-  }
-  std::vector<std::thread> th;
-  const int64_t chunk = (rows + T - 1) / T;
-  for (int t = 0; t < T; t++) {
-    const int64_t r0 = t * chunk;
-    const int64_t r1 = r0 + chunk < rows ? r0 + chunk : rows;
-    if (r0 >= r1) break;
-    th.emplace_back(work, r0, r1);
-  }
-  for (auto &x : th) x.join();
+  kt_parallel(T, rows, work);
   return 0;
 }
 
@@ -1762,20 +1862,15 @@ int64_t kt_ctr_add(void *h, const uint8_t *packed, const uint8_t *validbits,
     }
   };
   {
-    std::vector<std::thread> th;
-    const int64_t chunk = (rows + T - 1) / T;
-    for (int t = 0; t < T; t++) {
-      const int64_t r0 = t * chunk;
-      const int64_t r1 = r0 + chunk < rows ? r0 + chunk : rows;
-      if (r0 >= r1) {
-        for (auto &v : c->buckets[(size_t)t]) v.clear();
-        continue;
-      }
-      th.emplace_back(scan, t, r0, r1);
-    }
-    for (int t = T; t < c->T; t++)
+    const int64_t chunk = rows > 0 ? (rows + T - 1) / T : 1;
+    const int nch = (int)((rows + chunk - 1) / chunk);
+    // bucket slot = chunk index (r0 / chunk): same one-slot-per-worker
+    // layout as the former one-thread-per-range spawn
+    kt_parallel(T, rows, [&](int64_t r0, int64_t r1) {
+      scan((int)(r0 / chunk), r0, r1);
+    });
+    for (int t = nch; t < c->T; t++)
       for (auto &v : c->buckets[(size_t)t]) v.clear();
-    for (auto &x : th) x.join();
   }
 
   // phase 2: upsert disjoint shard stripes (one owner thread per shard).
@@ -1802,17 +1897,7 @@ int64_t kt_ctr_add(void *h, const uint8_t *packed, const uint8_t *validbits,
       }
     }
   };
-  {
-    std::vector<std::thread> th;
-    const int64_t chunk = (S + T - 1) / T;
-    for (int t = 0; t < T; t++) {
-      const int64_t s0 = t * chunk;
-      const int64_t s1 = s0 + chunk < S ? s0 + chunk : S;
-      if (s0 >= s1) break;
-      th.emplace_back(fold, s0, s1);
-    }
-    for (auto &x : th) x.join();
-  }
+  kt_parallel(T, S, fold);
 
   int64_t uniq = 0;
   for (auto &s : c->shards) uniq += (int64_t)s.n;
@@ -1916,20 +2001,7 @@ static int kt_cov_hist_impl(
   };
 
   int T = nthreads > 0 ? nthreads : 1;
-  if ((int64_t)T > rows) T = (int)(rows > 0 ? rows : 1);
-  if (T <= 1) {
-    work(0, rows);
-    return 0;
-  }
-  std::vector<std::thread> th;
-  const int64_t chunk = (rows + T - 1) / T;
-  for (int t = 0; t < T; t++) {
-    const int64_t r0 = t * chunk;
-    const int64_t r1 = r0 + chunk < rows ? r0 + chunk : rows;
-    if (r0 >= r1) break;
-    th.emplace_back(work, r0, r1);
-  }
-  for (auto &x : th) x.join();
+  kt_parallel(T, rows, work);
   return 0;
 }
 
@@ -2110,20 +2182,7 @@ int kt_min_batch(const uint8_t *packed, const uint8_t *validbits,
   };
 
   int T = nthreads > 0 ? nthreads : 1;
-  if ((int64_t)T > rows) T = (int)(rows > 0 ? rows : 1);
-  if (T <= 1) {
-    work(0, rows);
-    return 0;
-  }
-  std::vector<std::thread> th;
-  const int64_t chunk = (rows + T - 1) / T;
-  for (int t = 0; t < T; t++) {
-    const int64_t r0 = t * chunk;
-    const int64_t r1 = r0 + chunk < rows ? r0 + chunk : rows;
-    if (r0 >= r1) break;
-    th.emplace_back(work, r0, r1);
-  }
-  for (auto &x : th) x.join();
+  kt_parallel(T, rows, work);
   return 0;
 }
 
@@ -2318,19 +2377,7 @@ void kt_ctr_freeze(void *h, int32_t nthreads) {
       kt_radix_sort_kv(items, 2 * c->k);
     }
   };
-  if (T <= 1) {
-    work(0, c->n_parts);
-    return;
-  }
-  std::vector<std::thread> th;
-  const int64_t chunk = (c->n_parts + T - 1) / T;
-  for (int t = 0; t < T; t++) {
-    const int64_t p0 = t * chunk;
-    const int64_t p1 = p0 + chunk < c->n_parts ? p0 + chunk : c->n_parts;
-    if (p0 >= p1) break;
-    th.emplace_back(work, p0, p1);
-  }
-  for (auto &x : th) x.join();
+  kt_parallel(T, c->n_parts, work);
 }
 
 int64_t kt_ctr_part_len(void *h, int64_t part) {

@@ -130,12 +130,27 @@ def _make_kernel(T: int, G: int):
         """circular left shift: out[i] = x[i+s]."""
         return pltpu.roll(x, x.shape[1] - s, axis=1)
 
+    _DYN_ROLL = os.environ.get("KMERTOOLS_MERGE_STATIC_ROLL") != "1"
+
     def _rot_dyn(arrs, s, bits, left):
-        """Rotate every array by a DYNAMIC amount s (< 2**bits) via
-        static-roll stages selected by s's bits. Mosaic's dynamic
-        rotate (pltpu.roll with a traced shift) also works on this
-        hardware but measured ~15% slower end to end than the staged
-        form at the production tile size, so the staged form stays."""
+        """Rotate every array by a DYNAMIC amount s (< 2**bits).
+
+        Default: Mosaic's native dynamic rotate (pltpu.roll with a
+        traced shift) — one roll per array. The staged fallback
+        (KMERTOOLS_MERGE_STATIC_ROLL=1) selects static rolls by s's
+        bits: `bits` roll+select pairs per array. Round 4 measured the
+        staged form faster when per-tile DMA waits dominated; with the
+        round-5 double-buffered DMA the rotation is the op-count
+        hotspot and the single dynamic roll wins."""
+        if _DYN_ROLL:
+            n = arrs[0].shape[1]
+            # pltpu.roll shifts right: out[i] = x[i - amt]; a left
+            # rotate by s is a right rotate by (n - s) mod n
+            sw = jnp.asarray(s, jnp.int32)
+            amt = (
+                lax.rem(jnp.int32(n) - sw, jnp.int32(n)) if left else sw
+            )
+            return [pltpu.roll(x, amt, axis=1) for x in arrs]
         for b in range(bits):
             amt = 1 << b
             cond = ((s >> b) & 1) == 1
@@ -148,106 +163,163 @@ def _make_kernel(T: int, G: int):
     def kernel(aoff, boff,  # scalar prefetch (G,) int32
                ah, al, ac, brh, brl,  # ANY (1, C+T) / (1, M+T+128)
                oh, ol, oc, nruns,  # ANY (1, L_out) x3, SMEM (1, 1)
-               a_h, a_l, a_c, b_h, b_l,      # VMEM (1, T) staging
+               a_h, a_l, a_c, b_h, b_l,      # VMEM (1, T) staging slot 0
+               a_h1, a_l1, a_c1, b_h1, b_l1,  # VMEM (1, T) staging slot 1
                m_h, m_l, m_c, cu_s,          # VMEM (1, D) current tile
                pv_h, pv_l, pv_s, pv_f,      # VMEM (1, D) prev tile
                e_h, e_l, e_c,               # VMEM (1, D) emit compaction
                pd_h, pd_l, pd_c,            # VMEM (1, 128) pending out
                carry, sems):
         t = pl.program_id(0)
-        a0 = aoff[t]
-        b0 = boff[t]
-        # fast path: this tile's merge-path span consumes NO batch
-        # elements, so its output is exactly A[a0 : a0+D] — with a big
-        # accumulator and a small batch that is most tiles (e.g. ~94%
-        # at C=31M, M=2M), and the whole 2T-lane bitonic network plus
-        # the B window staging can be skipped
-        pure_a = jnp.logical_and(
-            t + 1 < G, boff[jnp.minimum(t + 1, G - 1)] == b0
-        )
         Mp = brh.shape[1] - 128  # reversed-B true length (M + T)
-        a_load = pl.multiple_of((a0 // 128) * 128, 128)
-        da = a0 - a_load
-        braw = Mp - b0 - D
-        b_load = pl.multiple_of((braw // 128) * 128, 128)
-        cps = [
-            pltpu.make_async_copy(ah.at[:, pl.ds(a_load, T)], a_h, sems.at[0]),
-            pltpu.make_async_copy(al.at[:, pl.ds(a_load, T)], a_l, sems.at[1]),
-            pltpu.make_async_copy(ac.at[:, pl.ds(a_load, T)], a_c, sems.at[2]),
-        ]
-        # brh/brl hold B REVERSED: this aligned window covers
-        # B[b0 : b0 + D] descending plus <=128 lanes of slack on
-        # each side (large extras are harmless; small ones mask)
-        bps = [
-            pltpu.make_async_copy(brh.at[:, pl.ds(b_load, T)], b_h, sems.at[3]),
-            pltpu.make_async_copy(brl.at[:, pl.ds(b_load, T)], b_l, sems.at[4]),
-        ]
-        for c in cps:
-            c.start()
+        slots = ((a_h, a_l, a_c, b_h, b_l, 0),
+                 (a_h1, a_l1, a_c1, b_h1, b_l1, 5))
 
-        @pl.when(jnp.logical_not(pure_a))
-        def _start_b():
-            for c in bps:
+        def params(tt):
+            """Merge-path window parameters of tile tt (tt may be a
+            traced value; aoff/boff are prefetched scalars)."""
+            a0 = aoff[tt]
+            b0 = boff[tt]
+            # pure-A tile: its merge-path span consumes NO batch
+            # elements, so its output is exactly A[a0 : a0+D] — with a
+            # big accumulator and a small batch that is most tiles
+            # (~94% at C=31M, M=2M): the whole 2T-lane bitonic network
+            # plus the B window staging can be skipped
+            pure = jnp.logical_and(
+                tt + 1 < G, boff[jnp.minimum(tt + 1, G - 1)] == b0
+            )
+            a_load = pl.multiple_of((a0 // 128) * 128, 128)
+            braw = Mp - b0 - D
+            b_load = pl.multiple_of((braw // 128) * 128, 128)
+            return a0, b0, pure, a_load, b_load
+
+        def in_copies(sl: int, a_load, b_load):
+            bufs = slots[sl]
+            base = bufs[5]
+            cps = [
+                pltpu.make_async_copy(
+                    ah.at[:, pl.ds(a_load, T)], bufs[0], sems.at[base]
+                ),
+                pltpu.make_async_copy(
+                    al.at[:, pl.ds(a_load, T)], bufs[1], sems.at[base + 1]
+                ),
+                pltpu.make_async_copy(
+                    ac.at[:, pl.ds(a_load, T)], bufs[2], sems.at[base + 2]
+                ),
+            ]
+            # brh/brl hold B REVERSED: this aligned window covers
+            # B[b0 : b0 + D] descending plus <=128 lanes of slack on
+            # each side (large extras are harmless; small ones mask)
+            bps = [
+                pltpu.make_async_copy(
+                    brh.at[:, pl.ds(b_load, T)], bufs[3], sems.at[base + 3]
+                ),
+                pltpu.make_async_copy(
+                    brl.at[:, pl.ds(b_load, T)], bufs[4], sems.at[base + 4]
+                ),
+            ]
+            return cps, bps
+
+        def start_in(tt, sl: int):
+            _, _, pure, a_load, b_load = params(tt)
+            cps, bps = in_copies(sl, a_load, b_load)
+            for c in cps:
                 c.start()
 
+            @pl.when(jnp.logical_not(pure))
+            def _():
+                for c in bps:
+                    c.start()
+
+        # double-buffered input staging: tile t's windows were started
+        # at step t-1 (t=0 starts its own and t=1's), so the DMA
+        # latency of the 94%-case 3x16KB A fetch hides behind the
+        # previous tile's compute instead of serialising with it
         @pl.when(t == 0)
-        def _init():
+        def _t0():
+            start_in(jnp.int32(0), 0)
+            start_in(jnp.int32(1), 1)  # G >= 2 always (trailing tile)
             carry[0] = 0  # committed output entries (multiple of 128)
             carry[1] = _imax  # carried run key (impossible: sentinel)
             carry[2] = _imax
             carry[3] = 0  # carried run count
             carry[4] = 0  # pending-buffer fill (< 128)
+            carry[5] = 0  # fast-path store outstanding flag
 
-        for c in cps:
-            c.wait()
+        sl_is0 = lax.rem(t, jnp.int32(2).astype(t.dtype)) == 0
+
+        @pl.when(jnp.logical_and(t > 0, t + 1 < G))
+        def _prefetch_next():
+            # slot (t+1) & 1 was consumed by tile t-1; reuse it
+            @pl.when(sl_is0)
+            def _():
+                start_in(t + 1, 1)
+
+            @pl.when(jnp.logical_not(sl_is0))
+            def _():
+                start_in(t + 1, 0)
+
+        a0, b0, pure_a, a_load, b_load = params(t)
+        da = a0 - a_load
 
         lane = lax.broadcasted_iota(jnp.int32, (1, T), 1)
-        # A window: rotate the misalignment out, sentinel the tail the
-        # rotation wrapped (ascending ++ inf stays ascending)
-        wa = _rot_dyn([a_h[:], a_l[:], a_c[:]], da, 7, left=True)
-        a_sent = lane >= T - da
-        wah = jnp.where(a_sent, _imax, wa[0])
-        wal = jnp.where(a_sent, _imax, wa[1])
-        wac = wa[2]
 
-        @pl.when(pure_a)
-        def _merge_fast():
-            # the rotation wrap (lanes >= T - da > D) never reaches the
-            # first D lanes, so the slices are the clean A span
-            m_h[:] = wah[:, :D]
-            m_l[:] = wal[:, :D]
-            m_c[:] = wac[:, :D]
-
-        @pl.when(jnp.logical_not(pure_a))
-        def _merge_slow():
-            for c in bps:
+        def consume(sl: int):
+            """Wait tile t's windows in slot sl, rotate/mask them and
+            run the merge (or the pure-A copy) into m_h/m_l/m_c. The
+            body is instantiated once per slot (static buffer refs);
+            only one branch executes per tile."""
+            _, _, _, a_loadx, b_loadx = params(t)
+            cps, bps = in_copies(sl, a_loadx, b_loadx)
+            for c in cps:
                 c.wait()
-            # A ranks: the rotation of (T + lane) by da, arithmetically
-            war = T + lane + da - jnp.where(lane >= T - da, T, 0)
+            bufs = slots[sl]
+            # A window: rotate the misalignment out, sentinel the tail
+            # the rotation wrapped (ascending ++ inf stays ascending)
+            wa = _rot_dyn(
+                [bufs[0][:], bufs[1][:], bufs[2][:]], da, 7, left=True
+            )
+            a_sent = lane >= T - da
+            wah = jnp.where(a_sent, _imax, wa[0])
+            wal = jnp.where(a_sent, _imax, wa[1])
+            wac = wa[2]
+
+            @pl.when(pure_a)
+            def _merge_fast():
+                # the rotation wrap (lanes >= T - da > D) never reaches
+                # the first D lanes, so the slices are the clean A span
+                m_h[:] = wah[:, :D]
+                m_l[:] = wal[:, :D]
+                m_c[:] = wac[:, :D]
+
+            @pl.when(jnp.logical_not(pure_a))
+            def _merge_slow():
+                for c in bps:
+                    c.wait()
+                _merge_full(bufs, wah, wal, wac)
+
+        def _merge_full(bufs, wah, wal, wac):
+            b_hx, b_lx = bufs[3], bufs[4]
             # B window: the tail lanes fell before b0 (SMALLER than the
             # tile — they must not enter); rotate them to the front and
             # sentinel them: [inf.. , descending] keeps the
-            # concatenation single-peak bitonic. Ranks ride the
-            # rotation so the tie order stays global; B ranks < A ranks
-            # (batch copies of a key are consumed before the
-            # accumulator's — the split search's rule).
+            # concatenation single-peak bitonic.
             thresh = (Mp - b0) - b_load  # first small-extra lane
             kshift = T - thresh
             wb = _rot_dyn(
-                [b_h[:], b_l[:], jnp.ones((1, T), jnp.int32),
-                 T - 1 - lane],
+                [b_hx[:], b_lx[:]],
                 kshift, 8, left=False,
             )
             b_sent = lane < kshift
             wbh = jnp.where(b_sent, _imax, wb[0])
             wbl = jnp.where(b_sent, _imax, wb[1])
-            wbc = wb[2]
-            wbr = wb[3]
+            # B counts are the unit batch counts; sentinel lanes keep
+            # count 1 (their imax keys never emit)
+            wbc = jnp.ones((1, T), jnp.int32)
 
             h = jnp.concatenate([wah, wbh], axis=1)
             l = jnp.concatenate([wal, wbl], axis=1)
             c_ = jnp.concatenate([wac, wbc], axis=1)
-            r = jnp.concatenate([war, wbr], axis=1)
             iota2 = lax.broadcasted_iota(jnp.int32, (1, T2), 1)
             s = T
             while s >= 1:
@@ -255,25 +327,41 @@ def _make_kernel(T: int, G: int):
                 ph = jnp.where(m, _lt_(h, s), _rt(h, s))
                 pll = jnp.where(m, _lt_(l, s), _rt(l, s))
                 pc = jnp.where(m, _lt_(c_, s), _rt(c_, s))
-                pr = jnp.where(m, _lt_(r, s), _rt(r, s))
+                # Compare the FULL (h, l, count) tuple: any two lanes
+                # are either bitwise-identical (the exchange is then a
+                # harmless self-assignment) or totally ordered, so the
+                # XNOR exchange below is well defined WITHOUT a rank
+                # plane. Tie order among equal keys is arbitrary but
+                # run-summing erases it, and the tile's first-D
+                # selection only depends on the sorted multiset — a
+                # quarter of the network's rolls/selects deleted
+                # (round 5; the rank plane's "global tie order" was
+                # never load-bearing).
                 p_lt = (ph < h) | (
-                    (ph == h) & ((pll < l) | ((pll == l) & (pr < r)))
+                    (ph == h) & ((pll < l) | ((pll == l) & (pc < c_)))
                 )
-                # ranks are distinct, so the order is total: the upper
-                # lane takes the partner exactly when the lower doesn't
-                # — i.e. take = where(m, p_lt, ~p_lt) = XNOR(m, p_lt).
-                # Written as == because a bool-VALUED select lowers to
-                # an i8 vector select + i8->i1 truncation, which Mosaic
-                # rejects
+                # the upper lane takes the partner exactly when the
+                # lower doesn't — take = XNOR(m, p_lt). Written as ==
+                # because a bool-VALUED select lowers to an i8 vector
+                # select + i8->i1 truncation, which Mosaic rejects
                 take = m == p_lt
                 h = jnp.where(take, ph, h)
                 l = jnp.where(take, pll, l)
                 c_ = jnp.where(take, pc, c_)
-                r = jnp.where(take, pr, r)
                 s //= 2
             m_h[:] = h[:, :D]
             m_l[:] = l[:, :D]
             m_c[:] = c_[:, :D]
+
+        # consume tile t from its slot (one branch executes; the body
+        # is instantiated per slot so every buffer ref stays static)
+        @pl.when(sl_is0)
+        def _consume0():
+            consume(0)
+
+        @pl.when(jnp.logical_not(sl_is0))
+        def _consume1():
+            consume(1)
 
         h = m_h[:]
         l = m_l[:]
@@ -312,10 +400,25 @@ def _make_kernel(T: int, G: int):
 
         cur_first0 = first[0, 0]
 
+        def _wait_fast_store():
+            # drain the async fast-path store before its source buffers
+            # (e_h/e_l/e_c) are overwritten or the kernel ends; the
+            # reconstructed descriptors only carry the byte count the
+            # semaphores were signalled with (same (1, D) shape every
+            # fast store)
+            @pl.when(carry[5] == 1)
+            def _():
+                for i, src in enumerate((e_h, e_l, e_c)):
+                    pltpu.make_async_copy(
+                        src, oh.at[:, pl.ds(0, D)], sems.at[10 + i]
+                    ).wait()
+                carry[5] = 0
+
         @pl.when(t > 0)
         def _emit():
             # finalise the PREVIOUS tile: its last-of-run flags are
             # complete now that the current tile's first key is known
+            _wait_fast_store()
             eh = pv_h[:]
             el = pv_l[:]
             es = pv_s[:]
@@ -375,19 +478,21 @@ def _make_kernel(T: int, G: int):
                 base = pl.multiple_of((carry[0] // 128) * 128, 128)
                 ops = [
                     pltpu.make_async_copy(
-                        e_h, oh.at[:, pl.ds(base, D)], sems.at[5]
+                        e_h, oh.at[:, pl.ds(base, D)], sems.at[10]
                     ),
                     pltpu.make_async_copy(
-                        e_l, ol.at[:, pl.ds(base, D)], sems.at[6]
+                        e_l, ol.at[:, pl.ds(base, D)], sems.at[11]
                     ),
                     pltpu.make_async_copy(
-                        e_c, oc.at[:, pl.ds(base, D)], sems.at[7]
+                        e_c, oc.at[:, pl.ds(base, D)], sems.at[12]
                     ),
                 ]
                 for o in ops:
                     o.start()
-                for o in ops:
-                    o.wait()
+                # ASYNC: the store drains at the next tile's emission
+                # (or in _fin) — its region is disjoint from every
+                # other store, so only source-buffer reuse must wait
+                carry[5] = 1
                 carry[0] = base + D
 
             @pl.when(jnp.logical_or(dead_n != 0, pend_n != 0))
@@ -433,15 +538,15 @@ def _make_kernel(T: int, G: int):
                     ops = [
                         pltpu.make_async_copy(
                             buf_h, oh.at[:, pl.ds(base, T + 128)],
-                            sems.at[5]
+                            sems.at[13]
                         ),
                         pltpu.make_async_copy(
                             buf_l, ol.at[:, pl.ds(base, T + 128)],
-                            sems.at[6]
+                            sems.at[14]
                         ),
                         pltpu.make_async_copy(
                             buf_c, oc.at[:, pl.ds(base, T + 128)],
-                            sems.at[7]
+                            sems.at[15]
                         ),
                     ]
                     for o in ops:
@@ -473,6 +578,7 @@ def _make_kernel(T: int, G: int):
 
         @pl.when(t == G - 1)
         def _fin():
+            _wait_fast_store()
             nruns[0, 0] = carry[0] + carry[4]
 
         # current tile becomes the deferred one
@@ -536,10 +642,10 @@ def merge_sorted_pallas(ah, al, ac, bh, bl, tile: int = 4096,
             + [pl.BlockSpec(memory_space=pltpu.SMEM)]
         ),
         scratch_shapes=(
-            [pltpu.VMEM((1, T), jnp.int32) for _ in range(5)]
+            [pltpu.VMEM((1, T), jnp.int32) for _ in range(10)]
             + [pltpu.VMEM((1, D), jnp.int32) for _ in range(11)]
             + [pltpu.VMEM((1, 128), jnp.int32) for _ in range(3)]
-            + [pltpu.SMEM((8,), jnp.int32), pltpu.SemaphoreType.DMA((8,))]
+            + [pltpu.SMEM((8,), jnp.int32), pltpu.SemaphoreType.DMA((16,))]
         ),
     )
     oh, ol, oc, nr = pl.pallas_call(

@@ -452,6 +452,7 @@ class OligoCgrComputer:
             ArrayAggregator,
             AsyncWriter,
             OrderedArrayEmitter,
+            batch_self_contained,
             data_parallel_step,
             estimate_stream_codes,
             oligo_hist_native_sink,
@@ -567,6 +568,7 @@ class OligoCgrComputer:
                         (lambda b: np.asarray(native_sink(b)))
                         if native_sink is not None else None
                     ),
+                    unordered_ok=batch_self_contained,
                 )
                 agg.finish()
                 emitter.finish()

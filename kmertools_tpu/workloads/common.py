@@ -34,6 +34,9 @@ def run_pipelined(batches: Iterable, dispatch: Callable, consume: Callable,
     feeds the accelerator, one drains it, order is preserved by the
     queue.
     """
+    from kmertools_tpu import ensure_hugepage_tuning
+
+    ensure_hugepage_tuning()
     q: queue.Queue = queue.Queue(maxsize=depth)
     err: list[BaseException] = []
 
@@ -526,8 +529,25 @@ _SINK_MIN_SHARE = 0.03
 # how often an idle locked-out (below-min-share) sink gets one probe
 # batch to refresh its EWMA — phases drift, lockouts must not be
 # permanent. Cost per probe in a still-degraded phase: one singleton
-# flight, bounded by the consumer's stuck-frontier recompute.
-_REPROBE_S = 2.5
+# flight, bounded by the consumer's age-based unordered rescue.
+_REPROBE_S = 10.0
+
+# age past which an outstanding unordered remote batch is recomputed
+# locally (see rescue_aged_unordered): bounds the read-index gap a
+# slow remote fetch can open in the order-restoring emitters
+_UNORDERED_RESCUE_S = 0.5
+
+# a REMOTE (coalescing) sink takes bulk work only when its EWMA rate is
+# at least this fraction of the fastest local sink's. The output file
+# is strictly read-ordered, so every code processed remotely delays its
+# output slot by the tunnel's latency; measured on the bench corpus, a
+# healthy 140-180 Mcodes/s tunneled sink beside a 2.4 Gcodes/s host
+# engine contributed <= 0.09 s of saved compute but cost 1.5-5 s of
+# serialized-emission gaps — remote offload pays only when the
+# accelerator is at least comparable to the host engine (as a directly
+# attached chip is: 7 Gcodes/s fused kernel vs 3.4 on 4 host cores).
+# Locked-out remotes keep their EWMA fresh via the _REPROBE_S probes.
+_REMOTE_WORTH_FRACTION = 0.5
 
 
 def _pick_sink(sinks: list, w: int, rem_w: int | None = None):
@@ -572,12 +592,23 @@ def _pick_sink(sinks: list, w: int, rem_w: int | None = None):
         # time until the stream drains if every sink keeps serving its
         # proportional share; 0.9 leaves slack for estimate error
         backlog_cap = min(backlog_cap, 0.9 * rem_w / total)
+    local_best = max(
+        (r for s, (r, _) in zip(sinks, rates) if s._disp_q is None),
+        default=0.0,
+    )
     eligible = []
     now = time.perf_counter()
     for s, (r, infl) in zip(sinks, rates):
         if r <= 0:
             continue
-        if r / total < _SINK_MIN_SHARE and len(sinks) > 1:
+        marginal = r / total < _SINK_MIN_SHARE and len(sinks) > 1
+        if not marginal and s._disp_q is not None and local_best > 0:
+            # remote sink beside a faster local engine: ordered output
+            # serializes on every remote flight, so offload only pays
+            # when the remote is at least comparable (see
+            # _REMOTE_WORTH_FRACTION derivation)
+            marginal = r < _REMOTE_WORTH_FRACTION * local_best
+        if marginal:
             # marginal sink: friction outweighs contribution. But a
             # lockout must not be permanent — phases drift, and a
             # recovered tunnel should win its share back: every
@@ -610,6 +641,7 @@ def run_pipelined_hetero(
     rtts: list | None = None,
     total_weight: int | None = None,
     recompute: Callable | None = None,
+    unordered_ok: Callable | None = None,
 ) -> None:
     """run_pipelined over MULTIPLE execution sinks (device sets).
 
@@ -649,7 +681,23 @@ def run_pipelined_hetero(
     tunnel costs a bounded hiccup instead of head-of-line-blocking the
     whole pipeline (observed: one slow remote group fetch turned a
     1.8 s bench run into 10 s once the token window filled).
+
+    `unordered_ok` (optional, requires `recompute`): predicate marking
+    a batch SELF-CONTAINED — no read of it spans a batch boundary, so
+    `consume` is commutative for it (the aggregator touches no carried
+    partial state and the emitters reorder by read index anyway).
+    Self-contained batches routed to a remote sink bypass the ordered
+    seq chain entirely and consume on arrival: a slow tunnel result
+    then never stalls the frontier — the ONLY cost of remote
+    participation is its share of tokens, making a 3-7%-share
+    accelerator strictly additive instead of a measured net loss
+    (0.1-3.4 s/run of frontier stalls at 70-150 Mcodes/s sink rates).
+    Stragglers at end of stream are recomputed locally, so a dead
+    tunnel still cannot lose output.
     """
+    from kmertools_tpu import ensure_hugepage_tuning
+
+    ensure_hugepage_tuning()
     assert keys is None or len(keys) == len(dispatches), (
         f"keys ({len(keys)}) must parallel dispatches ({len(dispatches)})"
     )
@@ -695,8 +743,10 @@ def run_pipelined_hetero(
     ]
     tokens = threading.Semaphore(max_inflight)
 
-    # seq -> (meta, is_remote_sink), kept until consumed: the
-    # speculative-recompute path re-runs a stuck remote batch locally
+    # seq -> (meta, is_remote_sink, t_routed), kept until consumed: the
+    # speculative-recompute path re-runs a stuck remote batch locally.
+    # NEGATIVE seqs are unordered (self-contained) remote batches that
+    # consume on arrival instead of through the ordered chain.
     routed_meta: dict[int, tuple] = {}
     routed_lock = threading.Lock()
     # total seq count, set by the producer at end of stream: the
@@ -704,6 +754,7 @@ def run_pipelined_hetero(
     # for a drain thread still blocked on a slow remote fetch whose
     # result was already recomputed locally
     total_seqs = [None]
+    unordered_left = [0]  # outstanding unordered batches (routed_lock)
 
     def consumer() -> None:
         pending: dict[int, tuple] = {}
@@ -726,47 +777,72 @@ def run_pipelined_hetero(
                 next_seq += 1
                 last_advance = time.perf_counter()
 
+        def do_recompute(rseq: int, meta) -> None:
+            try:
+                arrs = recompute(meta)
+                arrs = arrs if isinstance(arrs, tuple) else (arrs,)
+                arrs = tuple(np.asarray(a) for a in arrs)
+            except BaseException as e:
+                err.append(e)
+                return
+            forced.add(rseq)
+            if rseq >= 0:
+                pending[rseq] = (meta, arrs)
+                drain_ready()
+            else:
+                try:
+                    consume(meta, *arrs)
+                except BaseException as e:
+                    err.append(e)
+                with routed_lock:
+                    routed_meta.pop(rseq, None)
+                    unordered_left[0] -= 1
+                tokens.release()
+
         def try_recompute() -> bool:
             """Recompute the stuck frontier batch on the host when it
             was routed to a remote sink. True if progress was made."""
             with routed_lock:
                 ent = routed_meta.get(next_seq)
-            if ent is None or not ent[1]:
+            if ent is None or not ent[1] or err:
                 return False
-            try:
-                arrs = recompute(ent[0])
-                arrs = arrs if isinstance(arrs, tuple) else (arrs,)
-                arrs = tuple(np.asarray(a) for a in arrs)
-            except BaseException as e:
-                err.append(e)
-                return False
-            pending[next_seq] = (ent[0], arrs)
-            forced.add(next_seq)
-            drain_ready()
+            do_recompute(next_seq, ent[0])
             return True
 
-        def frontier_stuck() -> bool:
-            """The frontier seq sits on a remote sink AND either it has
-            been stuck a while or the fast sinks have raced far ahead
-            (half the token window buffered behind it) — recompute NOW
-            instead of waiting for the whole pipeline to drain. Waiting
-            for an empty out_q (the original rule) fired only after the
-            producer had already stalled on tokens and the fast sinks
-            had gone idle: measured 2-5 s of added wall per run in
-            degraded tunnel phases."""
-            if err:
+        def finished() -> bool:
+            if total_seqs[0] is None or next_seq < total_seqs[0]:
                 return False
-            return (
-                time.perf_counter() - last_advance > 0.25
-                or len(pending) > max_inflight // 2
-            )
+            with routed_lock:
+                return unordered_left[0] == 0
+
+        last_scan = [0.0]
+
+        def rescue_aged_unordered() -> None:
+            """Recompute unordered remote batches outstanding past
+            _UNORDERED_RESCUE_S: the output FILE is read-ordered, so a
+            multi-second remote fetch opens a read-index gap in the
+            emitter and everything behind it formats/writes as a
+            serial tail after the gap closes (measured 1.5-5 s of tax
+            per slow reprobe batch). Age-based rescue bounds each
+            incident at ~the threshold; the duplicated host work is
+            ~15 ms per batch and the late original is dropped."""
+            now = time.perf_counter()
+            if now - last_scan[0] < 0.1 or err:
+                return
+            last_scan[0] = now
+            with routed_lock:
+                stuck = [
+                    (s, m) for s, (m, _, t) in routed_meta.items()
+                    if s < 0 and s not in forced
+                    and now - t > _UNORDERED_RESCUE_S
+                ]
+            for s_neg, m in stuck:
+                if err:
+                    return
+                do_recompute(s_neg, m)
 
         while done < len(sinks):
-            if (
-                recompute is not None
-                and total_seqs[0] is not None
-                and next_seq >= total_seqs[0]
-            ):
+            if recompute is not None and finished():
                 return  # everything consumed; don't wait on stragglers
             try:
                 item, _idx = out_q.get(
@@ -775,6 +851,8 @@ def run_pipelined_hetero(
             except queue.Empty:
                 while not err and try_recompute() and out_q.empty():
                     pass
+                if recompute is not None:
+                    rescue_aged_unordered()
                 continue
             if item is None:
                 done += 1
@@ -784,17 +862,36 @@ def run_pipelined_hetero(
                 forced.discard(seq)  # late original: already consumed
                 continue
             if meta is None or err:  # dropped on error
+                if seq < 0:
+                    with routed_lock:
+                        routed_meta.pop(seq, None)
+                        unordered_left[0] -= 1
+                tokens.release()
+                continue
+            if seq < 0:
+                # unordered self-contained remote batch: consume NOW —
+                # its rows touch no carried aggregator state and the
+                # emitters reorder by read index
+                try:
+                    consume(meta, *arrs)
+                except BaseException as e:
+                    err.append(e)
+                with routed_lock:
+                    routed_meta.pop(seq, None)
+                    unordered_left[0] -= 1
                 tokens.release()
                 continue
             pending[seq] = (meta, arrs)
             drain_ready()
-            if recompute is not None and frontier_stuck():
-                try_recompute()
+            if recompute is not None:
+                rescue_aged_unordered()
 
     ct = threading.Thread(target=consumer, daemon=True)
     ct.start()
     seq = 0
+    nseq = -1  # unordered (self-contained remote) batches count down
     done_w = 0
+    use_unordered = recompute is not None and unordered_ok is not None
     try:
         for b in batches:
             if err:
@@ -815,9 +912,28 @@ def run_pipelined_hetero(
                 if total_weight is not None else None
             )
             sink = _pick_sink(sinks, w, rem_w)
+            if sink._disp_q is not None and use_unordered:
+                if unordered_ok(b):
+                    # self-contained: bypass the ordered chain so a
+                    # slow remote result can never stall the frontier
+                    with routed_lock:
+                        routed_meta[nseq] = (b, True, time.perf_counter())
+                        unordered_left[0] += 1
+                    sink.push(nseq, b, w)
+                    nseq -= 1
+                    done_w += w
+                    continue
+                # a boundary-spanning batch must consume in order —
+                # keep it off the remote sink entirely (a stalled
+                # frontier costs more than the remote's contribution)
+                local = [s for s in sinks if s._disp_q is None]
+                if local:
+                    sink = min(local, key=lambda s: (s.eta(w), s.idx))
             if recompute is not None:
                 with routed_lock:
-                    routed_meta[seq] = (b, sink._disp_q is not None)
+                    routed_meta[seq] = (
+                        b, sink._disp_q is not None, time.perf_counter()
+                    )
             sink.push(seq, b, w)
             done_w += w
             seq += 1
@@ -837,7 +953,8 @@ def run_pipelined_hetero(
                         for seq_p, meta_p, _ in pend:
                             if seq_p in routed_meta:
                                 routed_meta[seq_p] = (
-                                    meta_p, best._disp_q is not None
+                                    meta_p, best._disp_q is not None,
+                                    time.perf_counter(),
                                 )
                 for seq_p, meta_p, w_p in sorted(pend, key=lambda e: e[0]):
                     best.push(seq_p, meta_p, w_p)
@@ -1010,6 +1127,27 @@ def plan_hetero_sinks(make_dispatch, native_sink, key_prefix: str,
     if len(dispatches) > 1 or max(coalesce) > 1:
         stream_target = min(stream_target, 1 << 22)
     return dispatches, keys, stream_target, coalesce, rtts
+
+
+def batch_self_contained(b) -> bool:
+    """True when no read of this batch spans a batch boundary: its
+    first real row starts a read (row_start == 0) and its last real row
+    ends one (last_row). For such batches the histogram consume path is
+    commutative — the aggregator touches no carried partial state and
+    the ordered emitters reorder by read index — so they may consume
+    out of order (run_pipelined_hetero unordered_ok). Contig-scale
+    corpora are almost entirely self-contained; only max-width-bucket
+    splits ever produce boundary-spanning rows."""
+    try:
+        ri = np.asarray(b.read_idx)
+        real = np.flatnonzero(ri >= 0)
+        if len(real) == 0:
+            return True
+        return bool(
+            b.row_start[real[0]] == 0 and b.last_row[real[-1]]
+        )
+    except (AttributeError, IndexError):
+        return False
 
 
 def estimate_stream_codes(path: str, shard=None) -> int | None:
@@ -1419,6 +1557,7 @@ class OrderedArrayEmitter:
         self._vecs: list[np.ndarray] = []
         self._tots: list[np.ndarray] = []
         self._buffered = 0
+        self._min_pending = None  # smallest buffered ridx (gap sentinel)
 
     def add(self, ridx: np.ndarray, vecs: np.ndarray, tots: np.ndarray) -> None:
         if len(ridx) == 0:
@@ -1436,7 +1575,19 @@ class OrderedArrayEmitter:
         self._vecs.append(vecs)
         self._tots.append(tots)
         self._buffered += len(ridx)
-        if self._buffered >= self._flush_rows:
+        lo = int(np.min(ridx))
+        if self._min_pending is None or lo < self._min_pending:
+            self._min_pending = lo
+        # only attempt a flush once the write frontier is actually
+        # buffered: while a gap is open (an out-of-order batch still in
+        # flight), sorting the buffer cannot emit anything — and doing
+        # it on every threshold crossing re-concatenates + re-argsorts
+        # an ever-growing buffer, measured as 30-44 s of consumer-thread
+        # CPU when a slow remote batch opened a multi-second gap
+        if (
+            self._buffered >= self._flush_rows
+            and self._min_pending == self._next
+        ):
             self._flush()
 
     def _flush(self) -> None:
@@ -1456,9 +1607,11 @@ class OrderedArrayEmitter:
             self._vecs = [vecs[cut:]]
             self._tots = [tots[cut:]]
             self._buffered = len(ridx) - cut
+            self._min_pending = int(ridx[cut])
         else:
             self._ridx, self._vecs, self._tots = [], [], []
             self._buffered = 0
+            self._min_pending = None
 
     def finish(self) -> None:
         if self._buffered:

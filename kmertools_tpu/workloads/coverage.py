@@ -389,6 +389,7 @@ class CovComputer:
             backend_cpu = jax.local_devices()[0].platform == "cpu"
             xla_key = f"cov{self.ksize}:xla:" + jax.local_devices()[0].platform
             from kmertools_tpu.workloads.common import (
+                batch_self_contained,
                 coalesce_for,
                 estimate_stream_codes,
                 probe_device_rtt,
@@ -438,6 +439,7 @@ class CovComputer:
                         (lambda b: np.asarray(nd(b)))
                         if nd is not None else None
                     ),
+                    unordered_ok=batch_self_contained,
                 )
                 agg.finish()
                 emitter.finish()

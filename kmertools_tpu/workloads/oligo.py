@@ -25,6 +25,7 @@ from kmertools_tpu.workloads.common import (
     ArrayAggregator,
     OrderedArrayEmitter,
     PartedOutput,
+    batch_self_contained,
     data_parallel_step,
     estimate_stream_codes,
     oligo_hist_native_sink,
@@ -326,6 +327,7 @@ class OligoComputer:
                         (lambda b: np.asarray(native_sink(b)))
                         if native_sink is not None else None
                     ),
+                    unordered_ok=batch_self_contained,
                 )
                 for agg in aggs:
                     agg.finish()

@@ -228,7 +228,9 @@ def accum_merge_rate() -> None:
     rng = np.random.default_rng(2)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     read_len = 5000
-    n_reads = max(1200, (10 * target) // read_len)  # ~10+ batches
+    # FIXED corpus (42 Mbases, ~41.8M uniques): batch-size sweeps via
+    # KMERTOOLS_CTR_TARGET must vary only the batch, not the workload
+    n_reads = 8400
     fa = tempfile.NamedTemporaryFile(
         suffix=".fa", delete=False,
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
@@ -249,11 +251,15 @@ def accum_merge_rate() -> None:
             k, target, n_devices=1,
             expect_codes=n_reads * (read_len - k + 1),
         )
-        # warmup: first adds compile + fill the dispatch lag
-        warm = 4
+        # warmup: first adds compile + fill the dispatch lag. sync()
+        # (a real n-fetch) is the barrier — block_until_ready returns
+        # before axon compute finishes (PERF.md protocol note), and
+        # with grouped resolves nothing else forces the first
+        # program's executable load out of the timed region
+        warm = max(1, min(4, len(batches) // 4))
         for b in batches[:warm]:
             acc.add(lengths_np=b.lengths, planes=b.planes())
-        jax.block_until_ready(acc._state)
+        acc.sync()
         t0 = time.perf_counter()
         codes = 0
         drains = 0
@@ -268,6 +274,10 @@ def accum_merge_rate() -> None:
                 drain_t += time.perf_counter() - td
                 uniq += len(ks)
                 drains += 1
+        # block on every queued merge BEFORE the drain timer: grouped
+        # resolves (exact-bound mode) defer up to 9 batches of merge
+        # compute, which must count as loop time, not drain time
+        acc.sync()
         td = time.perf_counter()
         ks, _ = acc.drain()
         drain_t += time.perf_counter() - td
@@ -284,8 +294,9 @@ def accum_merge_rate() -> None:
             f"Mcodes/s incl drains, {codes / (dt - drain_t) / 1e6:.1f} "
             f"Mcodes/s merge loop alone ({nb} batches, "
             f"C={acc.C_dev / 1e6:.1f}M state; {uniq / 1e6:.2f}M uniques "
-            f"drained in {drain_t:.2f}s over {drains + 1} drains; the "
-            f"merge loop still pays one ~28ms n-fetch per batch)"
+            f"drained in {drain_t:.2f}s over {drains + 1} drains; "
+            f"exact-bound={acc._exact}: one n-fetch per "
+            f"{acc._resolve_every} batches)"
         )
     finally:
         os.unlink(fa.name)

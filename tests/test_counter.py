@@ -666,3 +666,42 @@ def test_accumulator_grows_instead_of_spilling(monkeypatch):
     keys, cnts = acc.drain()
     got = dict(zip(keys.tolist(), cnts.tolist()))
     assert got == want
+
+
+def test_accumulator_exact_bound_grouped_resolves(monkeypatch):
+    """Exact-bound mode (VERDICT r5 #2): with a trusted unique bound
+    (the counter's exact position tally) and capacity covering it, the
+    accumulator resolves dispatches in groups of 8 — one n-fetch per 8
+    batches instead of per batch — and never drains mid-run. Without a
+    bound (or when the cap clamps it) the per-batch behaviour stays.
+
+    Runs on CPU by forcing the pallas-path sizing decisions; the merge
+    programs themselves are not dispatched (constructor-level test) —
+    the on-chip golden suite covers execution."""
+    from kmertools_tpu.ops import pallas_merge
+    from kmertools_tpu.workloads import counter as ctr_mod
+
+    monkeypatch.setattr(pallas_merge, "use_pallas_merge", lambda *a: True)
+    acc = ctr_mod.DeviceAccumulator(
+        21, target_codes=1 << 16, n_devices=1, expect_codes=1 << 20
+    )
+    assert acc._exact
+    assert acc._resolve_every == 8
+    assert acc._unresolved_max == acc._LAG + 7
+    assert acc.spill_mark == acc.C_dev
+    assert acc.C_dev >= (1 << 20)
+    assert not acc.needs_drain(1 << 20)
+
+    # no bound -> per-batch resolves, real spill mark
+    acc2 = ctr_mod.DeviceAccumulator(21, target_codes=1 << 16, n_devices=1)
+    assert not acc2._exact
+    assert acc2._resolve_every == 1
+    assert acc2.spill_mark < acc2.C_dev
+
+    # cap clamps below the bound -> exact mode must NOT engage
+    monkeypatch.setenv("KMERTOOLS_ACC_MAX", str(1 << 18))
+    acc3 = ctr_mod.DeviceAccumulator(
+        21, target_codes=1 << 16, n_devices=1, expect_codes=1 << 26
+    )
+    assert not acc3._exact
+    assert acc3.spill_mark < acc3.C_dev
