@@ -439,6 +439,13 @@ def direct_table(tkeys, tcnts, k: int, bin_size: int, bin_count: int,
 
     Bucket rows are FLAT 2D, planar within the row (chosen by key
     width + bin width):
+      planes=1: (2^p, S)  = [((key_rem << bin_bits) | bin) x S] where
+        key_rem is the key's low (2k - p) bits — the bucket index
+        already pins the top p bits, so the slot stores only the
+        REMAINDER (quotienting; exact, no fingerprint collisions).
+        Requires 2k - p + bin_bits <= 32. ~6-8 B/key at big tables
+        (VERDICT r4 #4: the 2-plane layout's ~18 B/key kept 100M-key
+        tables out of the auto gate).
       planes=2: (2^p, 2S) = [lo x S | ((hi << bin_bits) | bin) x S]
       planes=3: (2^p, 3S) = [hi x S | lo x S | bin x S]
     Flat-2D matters on TPU: a 3D gather operand with a non-pow2 middle
@@ -446,14 +453,17 @@ def direct_table(tkeys, tcnts, k: int, bin_size: int, bin_count: int,
     (scripts/probe_gather_shapes.py: (524k,56,2) 4.2 Mgather/s vs
     (524k,112) 113.9). Padding entries are all-ones keys with bin 0 —
     no canonical k-mer is all-ones (canonical = min(fwd, rc) and
-    rc(all-T) = 0), and even a sentinel query matching a pad entry
-    reads bin 0 = absent.
+    rc(all-T) = 0), so a pad's all-ones remainder can only collide
+    with a real query in the all-ones-prefix bucket (impossible key),
+    and even then it reads bin 0 = absent.
 
     Memory trades ~2x the raw table (canonical prefixes skew low, so
     max bucket span ~= 2x mean): p scans a small range and the
     min-footprint (2^p, S, planes) wins; returns None when no p keeps
     the span <= S_cap or the footprint exceeds `mem_cap_bytes` (the
-    caller falls back to the block join)."""
+    caller falls back to the block join).
+
+    Returns (rows, p_bits, bin_bits, planes)."""
     import numpy as np
 
     n = len(tkeys)
@@ -463,7 +473,11 @@ def direct_table(tkeys, tcnts, k: int, bin_size: int, bin_count: int,
     nlo = min(k, 16)
     hi_bits = two_k - 2 * nlo
     bin_bits = max(1, int(bin_count - 1).bit_length())
-    planes = 2 if hi_bits + bin_bits <= 32 else 3
+    planes_wide = 2 if hi_bits + bin_bits <= 32 else 3
+
+    def planes_for(p: int) -> int:
+        return 1 if two_k - p + bin_bits <= 32 else planes_wide
+
     p_hi = min(two_k, p_cap)
     p = max(1, min(int(np.ceil(np.log2(max(1.0, n / 32.0)))), p_hi))
     best = None
@@ -473,19 +487,20 @@ def direct_table(tkeys, tcnts, k: int, bin_size: int, bin_count: int,
         )
         boff = np.searchsorted(tkeys, bounds).astype(np.int64)
         max_gap = int((boff[1:] - boff[:-1]).max())
+        pl = planes_for(p)
         if max_gap <= S_cap:
             S = max(8, -(-max_gap // 8) * 8)
-            mem = (1 << p) * S * 4 * planes
+            mem = (1 << p) * S * 4 * pl
             if best is None or mem < best[2]:
-                best = (p, S, mem, boff)
-            if max_gap <= 8:
+                best = (p, S, mem, boff, pl)
+            if max_gap <= 8 and pl == 1:
                 break  # more resolution only doubles the index
-        if best is not None and (1 << (p + 1)) * 8 * 4 * planes >= best[2]:
-            break  # even span-8 blocks at the next p cost more
+        if best is not None and (1 << (p + 1)) * 8 * 4 >= best[2]:
+            break  # even span-8 single-plane blocks at p+1 cost more
         p += 1
     if best is None:
         return None
-    p, S, mem, boff = best
+    p, S, mem, boff, planes = best
     if mem_cap_bytes is not None and mem > mem_cap_bytes:
         return None
     hi = (tkeys >> np.uint64(2 * nlo)).astype(np.uint32)
@@ -496,7 +511,15 @@ def direct_table(tkeys, tcnts, k: int, bin_size: int, bin_count: int,
     b = (tkeys >> np.uint64(two_k - p)).astype(np.int64)
     slot = b * (planes * S) + (np.arange(n, dtype=np.int64) - boff[b])
     rows = np.empty(((1 << p) * planes * S,), dtype=np.uint32)
-    if planes == 2:
+    if planes == 1:
+        rem_bits = two_k - p
+        rem = (tkeys & np.uint64((1 << rem_bits) - 1)).astype(np.uint32)
+        pad = np.uint32(
+            (((1 << rem_bits) - 1) << bin_bits) & 0xFFFFFFFF
+        )  # all-ones remainder, bin 0
+        rows[:] = pad
+        rows[slot] = (rem << np.uint32(bin_bits)) | bins
+    elif planes == 2:
         rows.reshape(-1, 2, S)[:, 0, :] = 0xFFFFFFFF
         rows.reshape(-1, 2, S)[:, 1, :] = np.uint32(
             (0xFFFFFFFF << bin_bits) & 0xFFFFFFFF
@@ -511,13 +534,14 @@ def direct_table(tkeys, tcnts, k: int, bin_size: int, bin_count: int,
         rows[slot] = hi
         rows[slot + S] = lo
         rows[slot + 2 * S] = bins
-    return rows.reshape(1 << p, planes * S), p, bin_bits
+    return rows.reshape(1 << p, planes * S), p, bin_bits, planes
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "p_bits", "bin_bits", "chunk")
+    jax.jit, static_argnames=("k", "p_bits", "bin_bits", "planes", "chunk")
 )
-def lookup_bins_direct(qh, ql, rows, k, p_bits, bin_bits, chunk=16384):
+def lookup_bins_direct(qh, ql, rows, k, p_bits, bin_bits, planes=None,
+                       chunk=16384):
     """Direct-bucket join: per-query abundance BIN from the
     direct_table layout (flat planar rows, pre-binned values), 0 when
     absent. ONE flat row gather per query — the block join's measured
@@ -539,20 +563,28 @@ def lookup_bins_direct(qh, ql, rows, k, p_bits, bin_bits, chunk=16384):
     nlo = min(k, 16)
     lo_bits = 2 * nlo
     hi_bits = 2 * k - lo_bits
-    planes = 2 if hi_bits + bin_bits <= 32 else 3
+    if planes is None:  # legacy callers: the pre-compact inference
+        planes = 2 if hi_bits + bin_bits <= 32 else 3
     S = rows.shape[1] // planes
     if p_bits <= hi_bits:
-        b = (qhf >> (hi_bits - p_bits)).astype(jnp.int32)
+        bu = qhf >> (hi_bits - p_bits)
     else:
         up = p_bits - hi_bits
-        b = ((qhf.astype(jnp.uint32) << up) | (qlf >> (lo_bits - up))).astype(
-            jnp.int32
-        )
-    # sentinel queries overflow the bucket range; clip — they can only
-    # match pad entries, whose bin is 0 ("absent" falls out), and the
-    # histogram masks them via `valid` anyway. mode="clip" everywhere:
-    # jnp.take's default fill would fabricate dtype-max rows
+        bu = (qhf.astype(jnp.uint32) << up) | (qlf >> (lo_bits - up))
+    # sentinel queries overflow the bucket range; clip UNSIGNED to the
+    # LAST bucket (the all-ones prefix): a signed cast would wrap them
+    # negative and jnp.take's clip would send them to bucket 0, where
+    # an all-ones REMAINDER is a legal key the quotient layout would
+    # false-match. In the all-ones-prefix bucket, remainder all-ones
+    # means the full key is all-ones — impossible for canonical k-mers
+    # (min(fwd, rc) with rc(all-T) = 0) — so a sentinel can only hit
+    # pads (bin 0); the histogram masks them via `valid` anyway.
+    # mode="clip" everywhere: jnp.take's default fill would fabricate
+    # dtype-max rows
+    b = jnp.minimum(bu, jnp.uint32((1 << p_bits) - 1)).astype(jnp.int32)
     out = (qhf * jnp.uint32(0)).astype(jnp.int32)
+
+    rem_bits = 2 * k - p_bits
 
     def body(i, out):
         off = i * chunk
@@ -560,7 +592,19 @@ def lookup_bins_direct(qh, ql, rows, k, p_bits, bin_bits, chunk=16384):
         ch = lax.dynamic_slice(qhf, (off,), (chunk,))
         cl = lax.dynamic_slice(qlf, (off,), (chunk,))
         g = jnp.take(rows, cb, axis=0, mode="clip")
-        if planes == 2:
+        if planes == 1:
+            # quotient layout: the slot stores the key's low
+            # (2k - p_bits) bits + the bin; the bucket pins the rest
+            if rem_bits <= lo_bits:
+                q_rem = cl & jnp.uint32((1 << rem_bits) - 1)
+            else:
+                q_rem = (
+                    (ch & jnp.uint32((1 << (rem_bits - lo_bits)) - 1))
+                    << lo_bits
+                ) | cl
+            eq = (g >> bin_bits) == q_rem[:, None]
+            val = g & jnp.uint32((1 << bin_bits) - 1)
+        elif planes == 2:
             eq = (g[:, :S] == cl[:, None]) & (
                 (g[:, S:] >> bin_bits) == ch[:, None]
             )

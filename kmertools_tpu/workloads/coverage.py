@@ -191,7 +191,7 @@ class CovComputer:
                     if join_mode == "auto":
                         cap = int(
                             float(
-                                os.environ.get("KMERTOOLS_COV_DIRECT_MB", 768)
+                                os.environ.get("KMERTOOLS_COV_DIRECT_MB", 1536)
                             ) * 1e6
                         )
                     dt = cops.direct_table(
@@ -199,10 +199,11 @@ class CovComputer:
                         self.bin_count, mem_cap_bytes=cap,
                     )
                     if dt is not None:
-                        rows, p_bits, bin_bits = dt
+                        rows, p_bits, bin_bits, planes = dt
                         _dev["direct"] = jnp.asarray(rows)
                         _dev["d_p"] = p_bits
                         _dev["d_bb"] = bin_bits
+                        _dev["d_pl"] = planes
                         return
                 blk = (
                     cops.block_table(tkeys, tcnts, self.ksize)
@@ -266,13 +267,14 @@ class CovComputer:
                     return _dev["steps"]
                 if "direct" in _dev:
                     tbls = (_dev["direct"],)
-                    k, nb_, dp, dbb = (
-                        self.ksize, self.bin_count, _dev["d_p"], _dev["d_bb"]
+                    k, nb_, dp, dbb, dpl = (
+                        self.ksize, self.bin_count, _dev["d_p"],
+                        _dev["d_bb"], _dev["d_pl"],
                     )
 
                     def _stepx(codes, rows):
                         return _coverage_batch_direct(
-                            codes, rows, k, nb_, dp, dbb
+                            codes, rows, k, nb_, dp, dbb, dpl
                         )
                 elif "blocks" in _dev:
                     tbls = (_dev["blocks"], _dev["bboff"])
@@ -511,11 +513,15 @@ def _coverage_batch_blocks(codes, blocks3, boff, k, bin_size, bin_count,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "bin_count", "p_bits", "bin_bits")
+    jax.jit,
+    static_argnames=("k", "bin_count", "p_bits", "bin_bits", "planes"),
 )
-def _coverage_batch_direct(codes, rows, k, bin_count, p_bits, bin_bits):
+def _coverage_batch_direct(codes, rows, k, bin_count, p_bits, bin_bits,
+                           planes):
     """Direct-bucket join variant (the fast path: ONE gather per
     query, pre-binned table values — ops/count.py:direct_table)."""
     qh, ql, valid = encode.canonical_ids_pair(codes, k)
-    bins = cops.lookup_bins_direct(qh, ql, rows, k, p_bits, bin_bits)
+    bins = cops.lookup_bins_direct(
+        qh, ql, rows, k, p_bits, bin_bits, planes
+    )
     return _hist_fuse(bins, valid, bin_count)

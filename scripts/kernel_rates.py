@@ -414,7 +414,7 @@ def cov_join_rate() -> None:
     # device program under KMERTOOLS_COV_JOIN=auto
     dt = cops.direct_table(keys, np.asarray(tc), k, 5, 16)
     if dt is not None:
-        rows_np, dp_bits, dbin_bits = dt
+        rows_np, dp_bits, dbin_bits, dplanes = dt
         drows = jax.device_put(jnp.asarray(rows_np))
 
         def make_step_dir(n):
@@ -422,7 +422,7 @@ def cov_join_rate() -> None:
                 def body(i, carry):
                     qlc, acc = carry
                     res = cops.lookup_bins_direct(
-                        qh, qlc, drows, k, dp_bits, dbin_bits
+                        qh, qlc, drows, k, dp_bits, dbin_bits, dplanes
                     )
                     acc = acc + res.reshape(-1)[0].astype(jnp.int32)
                     return qlc ^ (acc & 1).astype(qlc.dtype), acc

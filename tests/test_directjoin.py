@@ -45,10 +45,13 @@ def test_direct_join_matches_binary_search(k, bin_size, bin_count):
 
     dt = cops.direct_table(keys, cnts, k, bin_size, bin_count)
     assert dt is not None
-    rows, p_bits, bin_bits = dt
-    # flat planar rows: width = planes * S
-    expect_planes = 2 if (2 * k - 2 * min(k, 16)) + bin_bits <= 32 else 3
-    assert rows.ndim == 2 and rows.shape[1] % (8 * expect_planes) == 0
+    rows, p_bits, bin_bits, planes = dt
+    # flat planar rows: width = planes * S; the quotient layout needs
+    # 2k - p + bin_bits <= 32, the wide fallbacks pack by hi width
+    assert planes in (1, 2, 3)
+    assert rows.ndim == 2 and rows.shape[1] % (8 * planes) == 0
+    if planes == 1:
+        assert 2 * k - p_bits + bin_bits <= 32
 
     # queries: half present, half random (mostly absent), some sentinel
     q = np.concatenate([
@@ -63,7 +66,7 @@ def test_direct_join_matches_binary_search(k, bin_size, bin_count):
 
     got = np.asarray(cops.lookup_bins_direct(
         jnp.asarray(qh), jnp.asarray(ql), jnp.asarray(rows),
-        k, p_bits, bin_bits, chunk=256,
+        k, p_bits, bin_bits, planes, chunk=256,
     ))
 
     th, tl = _split(keys, k)
@@ -121,10 +124,11 @@ def test_direct_join_end_to_end_device_parity():
     keys = np.unique(present[np.asarray(valid)])[::2]  # half the k-mers
     cnts = rng.integers(1, 100, len(keys)).astype(np.int32)
 
-    rows, p_bits, bin_bits = cops.direct_table(keys, cnts, k, 5, 16)
+    rows, p_bits, bin_bits, planes = cops.direct_table(keys, cnts, k, 5, 16)
     assert rows.ndim == 2
     got = np.asarray(_coverage_batch_direct(
         jnp.asarray(codes), jnp.asarray(rows), k, 16, p_bits, bin_bits,
+        planes,
     ))
 
     th, tl = _split(keys, k)
@@ -157,3 +161,44 @@ def test_coverage_golden_per_join_mode(tmp_path, test_data, monkeypatch,
     assert (tmp_path / "kmers.vectors").read_bytes() == (
         test_data / "expected_counts.vectors"
     ).read_bytes()
+
+
+def test_direct_join_compact_quotient_layout():
+    """Big-table scale picks the single-plane quotient layout (~6-8
+    B/key, VERDICT r4 #4) and its bins agree exactly with the
+    binary-search join — including absent keys whose remainder matches
+    a pad slot (pads carry bin 0, so a false pad match adds nothing)."""
+    rng = np.random.default_rng(42)
+    k = 21
+    n = 200_000
+    space = 1 << (2 * k)
+    a = rng.integers(0, space, n * 2, dtype=np.uint64)
+    keys = np.unique(np.minimum(a[:n], a[n:]))
+    cnts = rng.integers(1, 5000, len(keys)).astype(np.int32)
+    dt = cops.direct_table(keys, cnts, k, 5, 16)
+    assert dt is not None
+    rows, p_bits, bin_bits, planes = dt
+    assert planes == 1, "compact layout should win at this scale"
+    # canonical-skew max/mean span ratio bounds the padding overhead;
+    # ~16 B/key at this small scale, ~13 B/key measured at 100M keys
+    # (the 2-plane layout paid ~18 B/key + 2 planes of gather width)
+    assert rows.nbytes / len(keys) <= 17.0  # bytes per key
+    q = np.concatenate([
+        rng.choice(keys, 2000),
+        rng.integers(0, space, 2000, dtype=np.uint64),
+    ])
+    qh, ql = _split(q, k)
+    got = np.asarray(cops.lookup_bins_direct(
+        jnp.asarray(qh.reshape(4, -1)), jnp.asarray(ql.reshape(4, -1)),
+        jnp.asarray(rows), k, p_bits, bin_bits, planes,
+    ))
+    th, tl = _split(keys, k)
+    bb = min(2 * k, 18)
+    boff, steps = cops.bucket_offsets(keys, k, bb)
+    want_cnt = np.asarray(cops.lookup_counts_bucketed(
+        jnp.asarray(qh.reshape(4, -1)), jnp.asarray(ql.reshape(4, -1)),
+        jnp.asarray(np.stack([th, tl], axis=1)),
+        jnp.asarray(cnts), jnp.asarray(boff), k, bb, steps,
+    ))
+    want = np.minimum(want_cnt // 5, 15)
+    assert np.array_equal(got, want)
