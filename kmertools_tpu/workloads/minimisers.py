@@ -67,11 +67,22 @@ class _ReadState:
 
 def _native_min_scanner(msize: int, wsize: int, threads: int = 0):
     """The native per-batch minimiser scanner (kthost.cpp:kt_min_batch)
-    when the host engine should run the scan: CPU-only backend (where
-    the XLA window kernels share silicon with and lose to the C++ state
-    machine), native runtime present, hetero not disabled. Returns a
-    callable (planes, lens) -> (offs, counts, vals, starts, ends) or
-    None."""
+    when the host engine should run the scan. Returns ``(scan,
+    short_only)``: ``scan`` is a callable (planes, lens) -> (offs,
+    counts, vals, starts, ends) or None; ``short_only`` is True on
+    accelerator backends, where the scanner serves ONLY short-read
+    buckets (row width < _NATIVE_MIN_WIDTH).
+
+    Routing rationale (measured, round 5, 500k x 150 bp / 75 Mb):
+    CPU-only backends route everything native (the XLA window kernels
+    share silicon with and lose to the C++ state machine; 0.77 s).
+    On a tunnel-attached TPU the short-read device path is FETCH-bound
+    — the window-min u32 plane is ~1 word per position while records
+    are ~0.07/position, so the wire carries ~14x the payload (30-36 s
+    measured, either extraction mode) — but contig-scale rows amortise
+    per-row costs and the device path wins there (2.21 s vs 2.88 on
+    15 Mb of 5 kb reads, round 4). Hence: short buckets native, wide
+    buckets device."""
     import os as _os
 
     import jax as _jax
@@ -79,13 +90,12 @@ def _native_min_scanner(msize: int, wsize: int, threads: int = 0):
     from kmertools_tpu import native as _nat
 
     if _os.environ.get("KMERTOOLS_NO_HETERO") == "1" or msize > 31:
-        return None
+        return None, False
     so = _nat.lib()
     if so is None:
-        return None
+        return None, False
     devs = _jax.local_devices()
-    if not devs or devs[0].platform != "cpu":
-        return None
+    short_only = bool(devs) and devs[0].platform != "cpu"
     nthreads = threads or (_os.cpu_count() or 1)
 
     # grow-only output buffers, reused across batches: fresh np.empty
@@ -131,7 +141,12 @@ def _native_min_scanner(msize: int, wsize: int, threads: int = 0):
             raise RuntimeError("kt_min_batch failed")
         return offs, counts, vals, starts, ends
 
-    return scan
+    return scan, short_only
+
+
+# accelerator backends: row-width threshold below which the native
+# scanner takes the bucket (see _native_min_scanner's rationale)
+_NATIVE_MIN_WIDTH = 1024
 
 
 class _BlobIds:
@@ -223,7 +238,9 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
 
     states: dict[int, _ReadState] = {}
     meta: dict[int, tuple[bytes, int]] = {}
-    native_scan = _native_min_scanner(msize, wsize, threads)
+    native_scan, native_short_only = _native_min_scanner(
+        msize, wsize, threads
+    )
 
     # DP-shard every device kernel over the mesh (the all-threads
     # design of misc/src/minimisers.rs:30-70 mapped to chips); on one
@@ -428,7 +445,11 @@ def _minimise_stream(in_path: str, wsize: int, msize: int, emit,
 
     def handle_batch(b: iob.Batch):
         n = fast_rows(b)  # >= 0: every real row is a complete read
-        if native_scan is not None:
+        use_native = native_scan is not None and (
+            not native_short_only
+            or b.planes()[0].shape[1] * 4 < _NATIVE_MIN_WIDTH
+        )
+        if use_native:
             # complete single-row reads (the common case): the native
             # state machine produces every record — window changes,
             # ambiguity flushes, sentinels — with no codes expansion.
