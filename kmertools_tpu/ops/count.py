@@ -489,7 +489,12 @@ def direct_table(tkeys, tcnts, k: int, bin_size: int, bin_count: int,
         max_gap = int((boff[1:] - boff[:-1]).max())
         pl = planes_for(p)
         if max_gap <= S_cap:
-            S = max(8, -(-max_gap // 8) * 8)
+            # rows must span >= 64 u32 lanes: the TPU gather rate
+            # cliffs ~9x below that (measured W=56 24.6 vs W=64 217.5
+            # Mgather/s on (524k, W) operands — refines the round-4b
+            # flat-2D rule)
+            min_S = -(-(-(-64 // pl)) // 8) * 8
+            S = max(min_S, -(-max_gap // 8) * 8)
             mem = (1 << p) * S * 4 * pl
             if best is None or mem < best[2]:
                 best = (p, S, mem, boff, pl)

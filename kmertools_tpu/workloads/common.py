@@ -9,13 +9,35 @@ buckets interleave), and the emitter flushes the contiguous prefix.
 
 from __future__ import annotations
 
+import atexit
 import os
 import queue
 import threading
 import time
+import weakref
 from typing import Callable, Iterable
 
 import numpy as np
+
+# Sink drain threads that may outlive their pipeline run (the shutdown
+# join uses a timeout so a slow remote fetch can't stall the caller —
+# the result was already recomputed locally). They MUST NOT outlive the
+# interpreter with a jax fetch in flight: a fetch completing during
+# finalization re-acquires the GIL from C++ frames and CPython's
+# pthread_exit forced-unwind aborts the process ("FATAL: exception not
+# rethrown", observed ~17% of short CLI runs). The atexit hook joins
+# them while the interpreter is still alive; a genuinely hung tunnel
+# times out (a never-completing fetch can't trigger the race).
+_LIVE_DRAINS: "weakref.WeakSet" = weakref.WeakSet()
+
+
+def _join_straggler_drains() -> None:
+    for t in list(_LIVE_DRAINS):
+        if t.is_alive():
+            t.join(timeout=30.0)
+
+
+atexit.register(_join_straggler_drains)
 
 
 def run_pipelined(batches: Iterable, dispatch: Callable, consume: Callable,
@@ -310,6 +332,7 @@ class _HeteroSink:
             self._disp_thread.start()
         self.thread = threading.Thread(target=self._drain, daemon=True)
         self.thread.start()
+        _LIVE_DRAINS.add(self.thread)
 
     def eta(self, w: int) -> float:
         """Estimated seconds to finish current backlog plus w codes."""

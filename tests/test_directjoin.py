@@ -179,10 +179,11 @@ def test_direct_join_compact_quotient_layout():
     assert dt is not None
     rows, p_bits, bin_bits, planes = dt
     assert planes == 1, "compact layout should win at this scale"
-    # canonical-skew max/mean span ratio bounds the padding overhead;
-    # ~16 B/key at this small scale, ~13 B/key measured at 100M keys
-    # (the 2-plane layout paid ~18 B/key + 2 planes of gather width)
-    assert rows.nbytes / len(keys) <= 17.0  # bytes per key
+    # canonical-skew max/mean span ratio + the 64-lane row floor (the
+    # TPU gather cliffs ~9x below 64-lane rows) bound the padding
+    # overhead: ~21 B/key at this small scale, ~13 B/key measured at
+    # 100M keys (the 2-plane layout paid ~18 B/key + 2x gather width)
+    assert rows.nbytes / len(keys) <= 24.0  # bytes per key
     q = np.concatenate([
         rng.choice(keys, 2000),
         rng.integers(0, space, 2000, dtype=np.uint64),
