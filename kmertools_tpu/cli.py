@@ -18,6 +18,7 @@ ABOUT = (
     "k-mer based vectorisation for DNA sequences for\n"
     "metagenomics and AI/ML applications (TPU-native)"
 )
+ABOUT_SHORT = "kmertools: DNA vectorisation"
 
 _DELIMS = {"csv": ",", "tsv": "\t", "spc": " "}
 
@@ -34,9 +35,16 @@ def _ranged_int(lo: int, hi: int | None, name: str):
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from kmertools_tpu import claphelp
     from kmertools_tpu.version import __version__
 
-    p = argparse.ArgumentParser(prog="kmertools", description=ABOUT)
+    # clap-v4-layout help rendering (claphelp.py): every parser is
+    # built add_help=False and gets the clap help action installed
+    # AFTER its arguments, so -h/--help sit last in Options like clap
+    p = argparse.ArgumentParser(
+        prog="kmertools", description=ABOUT, add_help=False
+    )
+    claphelp.install(p, about=ABOUT_SHORT, long_about=ABOUT)
     # clap's `version` flag (kmertools/src/args.rs:13-14); clap prints
     # "<bin> <version>"
     p.add_argument(
@@ -47,26 +55,34 @@ def build_parser() -> argparse.ArgumentParser:
     # multi-host flags (framework extension; the reference is single-
     # process). Every host runs the same command with its own --host-id;
     # outputs concatenate in shard order (parallel/multihost.py).
-    mh = argparse.ArgumentParser(add_help=False)
-    mh.add_argument(
-        "--num-hosts", type=int, default=1,
-        help="Total hosts sharing this run (input is byte-range sharded)",
-    )
-    mh.add_argument(
-        "--host-id", type=int, default=0, help="This host's rank in [0, num-hosts)"
-    )
-    mh.add_argument(
-        "--coordinator", default=None,
-        help="host:port of the jax.distributed coordinator (host 0); "
-             "omit for filesystem-barrier coordination",
-    )
+    # Added AFTER each leaf's own arguments so the reference's options
+    # lead the clap-layout help, extensions trail.
+    def _add_mh(q: argparse.ArgumentParser) -> None:
+        q.add_argument(
+            "--num-hosts", type=int, default=1,
+            help="Total hosts sharing this run (input is byte-range "
+                 "sharded)",
+        )
+        q.add_argument(
+            "--host-id", type=int, default=0,
+            help="This host's rank in [0, num-hosts)",
+        )
+        q.add_argument(
+            "--coordinator", default=None,
+            help="host:port of the jax.distributed coordinator (host 0); "
+                 "omit for filesystem-barrier coordination",
+        )
 
-    comp = sub.add_parser("comp", help="Generate sequence composition based features")
+    comp = sub.add_parser(
+        "comp", help="Generate sequence composition based features",
+        add_help=False,
+    )
+    claphelp.install(comp, about="Generate sequence composition based features")
     compsub = comp.add_subparsers(dest="comp_command", required=True)
 
     oligo = compsub.add_parser(
         "oligo", help="Generate oligonucleotide frequency vectors",
-        parents=[mh],
+        add_help=False,
     )
     oligo.add_argument("-i", "--input", required=True, help="Input file path")
     oligo.add_argument("-o", "--output", required=True, help="Output vectors path")
@@ -92,8 +108,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="Thread count for computations 0=auto",
     )
 
+    _add_mh(oligo)
+    claphelp.install(
+        oligo, about="Generate oligonucleotide frequency vectors"
+    )
+
     cgr = compsub.add_parser(
-        "cgr", help="Generates Chaos Game Representations", parents=[mh]
+        "cgr", help="Generates Chaos Game Representations",
+        add_help=False,
     )
     cgr.add_argument("-i", "--input", required=True, help="Input file path")
     cgr.add_argument(
@@ -118,9 +140,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Thread count for computations 0=auto",
     )
 
+    _add_mh(cgr)
+    claphelp.install(cgr, about="Generates Chaos Game Representations")
+
     cov = sub.add_parser(
         "cov", help="Generates coverage histogram based on the reads",
-        parents=[mh],
+        add_help=False,
     )
     cov.add_argument("-i", "--input", required=True, help="Input file path")
     cov.add_argument(
@@ -159,7 +184,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="Thread count for computations 0=auto",
     )
 
-    mn = sub.add_parser("min", help="Bin reads using minimisers", parents=[mh])
+    _add_mh(cov)
+    claphelp.install(
+        cov, about="Generates coverage histogram based on the reads"
+    )
+
+    mn = sub.add_parser(
+        "min", help="Bin reads using minimisers",
+        add_help=False,
+    )
     mn.add_argument("-i", "--input", required=True, help="Input file path")
     mn.add_argument(
         "-o", "--output", required=True, help="Output vectors path"
@@ -185,7 +218,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Thread count for computations 0=auto",
     )
 
-    ctr = sub.add_parser("ctr", help="Count k-mers", parents=[mh])
+    _add_mh(mn)
+    claphelp.install(mn, about="Bin reads using minimisers")
+
+    ctr = sub.add_parser(
+        "ctr", help="Count k-mers", add_help=False,
+    )
     ctr.add_argument("-i", "--input", required=True, help="Input file path")
     ctr.add_argument(
         "-o", "--output", required=True, help="Output directory path"
@@ -210,11 +248,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="Thread count for computations 0=auto",
     )
 
+    _add_mh(ctr)
+    claphelp.install(ctr, about="Count k-mers")
+
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    from kmertools_tpu import claphelp
+
+    parser = build_parser()
+    # clap's `help` pseudo-subcommand (kmertools help [cmd...])
+    if claphelp.run_help_command(
+        parser, list(sys.argv[1:] if argv is None else argv)
+    ):
+        return 0
+    args = parser.parse_args(argv)
     from kmertools_tpu.utils.profiling import maybe_trace
 
     with maybe_trace(args.command):

@@ -160,3 +160,63 @@ def test_run_cli_entry(tmp_path, test_data):
                      "-o", str(out), "-k", "4"])
     assert rc == 0
     assert out.exists()
+
+
+def test_help_renders_clap_layout(capsys):
+    """-h/--help render the clap-v4 layout the reference binary uses
+    (args.rs:13-21): about line, Usage:, Commands:/Options: sections,
+    <UPPER_SNAKE> value names, [default:]/[possible values:] suffixes,
+    short-vs-long help, and the `help` pseudo-subcommand. (Byte parity
+    with the actual clap output is unverifiable here — no Rust
+    toolchain — so the emulated layout's load-bearing features are
+    pinned instead.)"""
+    import pytest
+
+    from kmertools_tpu import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["-h"])
+    top = capsys.readouterr().out
+    assert top.startswith("kmertools: DNA vectorisation\n\n")
+    assert "Usage: kmertools <COMMAND>" in top
+    assert "Commands:" in top and "Options:" in top
+    assert "  comp  Generate sequence composition based features" in top
+    assert "  help  Print this message or the help of the given" in top
+    assert "  -h, --help     Print help" in top
+    assert "  -V, --version  Print version" in top
+    # argparse's stock rendering must be gone
+    assert "usage:" not in top and "positional arguments" not in top
+
+    with pytest.raises(SystemExit):
+        cli.main(["comp", "oligo", "-h"])
+    oligo = capsys.readouterr().out
+    assert (
+        "Usage: kmertools comp oligo [OPTIONS] --input <INPUT> "
+        "--output <OUTPUT>" in oligo
+    )
+    assert "-k, --k-size <K_SIZE>" in oligo
+    assert "[default: 3]" in oligo
+    assert "[default: spc] [possible values: csv, tsv, spc]" in oligo
+    # reference options lead; the multi-host framework extensions trail
+    assert oligo.index("--input") < oligo.index("--num-hosts")
+
+    # short help truncates the multi-line w_size doc and points at
+    # --help; long help shows the full paragraphs
+    with pytest.raises(SystemExit):
+        cli.main(["min", "-h"])
+    short = capsys.readouterr().out
+    assert "Print help (see more with '--help')" in short
+    assert "emits one minimiser per sequence" not in short
+    with pytest.raises(SystemExit):
+        cli.main(["min", "--help"])
+    long = capsys.readouterr().out
+    assert "0 - emits one minimiser per sequence" in long
+    assert "w_size must be longer than m_size" in long
+
+    # the `help` pseudo-subcommand (clap adds it to Commands)
+    assert cli.main(["help"]) == 0
+    assert "Usage: kmertools <COMMAND>" in capsys.readouterr().out
+    assert cli.main(["help", "ctr"]) == 0
+    helped = capsys.readouterr().out
+    assert "Usage: kmertools ctr [OPTIONS]" in helped
+    assert "Output ACGT instead of numeric values" in helped
