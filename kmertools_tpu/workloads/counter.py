@@ -288,16 +288,112 @@ def _prefix_pieces(n: int, cap: int) -> list:
 @functools.lru_cache(maxsize=None)
 def _slice_fn(size: int, narrow: int):
     """Prefix-piece fetch, optionally narrowed on-device before the
-    wire: narrow=0 keeps u32, 16/8 cast to uint16/uint8 (exact — the
-    caller proved the plane's max fits)."""
+    wire: narrow=0 keeps u32, 16/8 cast to uint16/uint8, 4/2 BIT-PACK
+    (2 or 4 values per byte, low value in the low bits) — exact either
+    way, the caller proved the plane's max fits. Counts on all-distinct
+    corpora are almost all 1, so the flagship count plane ships at 2
+    bits/unique instead of 8 (round 5 drain wire)."""
     import jax
     from jax import lax as jlax
 
-    dt = {0: None, 16: jnp.uint16, 8: jnp.uint8}[narrow]
-
     def f(arr, off):
         s = jlax.dynamic_slice(arr, (off,), (size,))
-        return s.astype(dt) if dt is not None else s
+        if narrow in (8, 16):
+            return s.astype(jnp.uint16 if narrow == 16 else jnp.uint8)
+        if narrow in (2, 4):
+            per = 8 // narrow
+            v = s.reshape(size // per, per).astype(jnp.uint32)
+            sh = jnp.arange(per, dtype=jnp.uint32) * narrow
+            return jnp.sum(v << sh[None, :], axis=1).astype(jnp.uint8)
+        return s
+
+    return jax.jit(f)
+
+
+def _unpack_bits(packed: "np.ndarray", bits: int) -> "np.ndarray":
+    """Host inverse of _slice_fn's 2/4-bit packing -> uint32."""
+    per = 8 // bits
+    sh = (np.arange(per, dtype=np.uint8) * bits)[None, :]
+    vals = (packed[:, None] >> sh) & ((1 << bits) - 1)
+    return vals.reshape(-1).astype(np.uint32)
+
+
+# deltas >= 2^24 ship as (position, value) exceptions; canonical-key
+# skew leaves the near-diagonal hi runs sparse, so a handful of giant
+# gaps always exist even when the dense runs' gaps are tiny
+_LO24_EXC_CAP = 1 << 14
+
+
+def _intra_deltas(ah, al):
+    """Per-position lo delta vs the previous element, zeroed at hi-run
+    boundaries and index 0 (their absolutes ship separately)."""
+    d = al - jnp.roll(al, 1)
+    same = ah == jnp.roll(ah, 1)
+    idx = jnp.arange(al.shape[0], dtype=jnp.int32)
+    return jnp.where(same & (idx > 0), d, jnp.uint32(0))
+
+
+@functools.lru_cache(maxsize=None)
+def _wire_stats_fn():
+    """One fetch deciding the drain wire: [max count, number of
+    intra-run deltas >= 2^24 (the 24-bit wire's exception count)]."""
+    import jax
+
+    def f(ah, al, ac):
+        intra = _intra_deltas(ah, al)
+        n_big = jnp.sum(
+            (intra >= jnp.uint32(1 << 24)).astype(jnp.int32)
+        )
+        # int32 wire: counts cap at u32 but the stats only pick a
+        # bucket — clamp instead of widening (x64 is disabled)
+        mc = jnp.minimum(jnp.max(ac), jnp.uint32(0x7FFFFFFF))
+        return jnp.stack([mc.astype(jnp.int32), n_big])
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _lo_exc_fn(cap: int):
+    """(positions, delta values) of the intra-run deltas >= 2^24,
+    padded to `cap` with out-of-range positions (static shape; the host
+    filters pos < n)."""
+    import jax
+
+    def f(ah, al):
+        intra = _intra_deltas(ah, al)
+        big = intra >= jnp.uint32(1 << 24)
+        (pos,) = jnp.nonzero(big, size=cap, fill_value=al.shape[0])
+        dv = jnp.take(intra, jnp.minimum(pos, al.shape[0] - 1), mode="clip")
+        return pos.astype(jnp.int32), dv
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _lo24_fn(size: int, first: bool):
+    """lo plane piece as 24-bit DELTAS (3 u8 planes): within a hi run
+    the sorted lo plane's gaps are ~keyspace/uniques (< 2^24 whenever
+    a run holds > ~2^8 uniques; _wire_stats_fn proves it) — 3 bytes per
+    unique instead of 4. Boundary positions wrap; the host overwrites
+    them from the separately-shipped absolute values. ``first`` (piece
+    at offset 0): the predecessor of element 0 is a virtual 0 — a
+    clamped off-1 slice would alias the piece itself and zero every
+    delta."""
+    import jax
+    from jax import lax as jlax
+
+    def f(al, off):
+        s = jlax.dynamic_slice(al, (off,), (size,))
+        if first:
+            prev = jnp.where(
+                jnp.arange(size) == 0, jnp.uint32(0), jnp.roll(s, 1)
+            )
+        else:
+            prev = jlax.dynamic_slice(al, (off - 1,), (size,))
+        d = s - prev
+        return jnp.stack(
+            [d & 0xFF, (d >> 8) & 0xFF, (d >> 16) & 0xFF]
+        ).astype(jnp.uint8)
 
     return jax.jit(f)
 
@@ -341,9 +437,13 @@ def _hi_bounds_fn(nh: int):
     unique (compact drain wire, VERDICT r4 item 4)."""
     import jax
 
-    def f(ah):
+    def f(ah, al):
         v = jnp.arange(nh + 1, dtype=ah.dtype)
-        return jnp.searchsorted(ah, v, method="scan").astype(jnp.int32)
+        b = jnp.searchsorted(ah, v, method="scan").astype(jnp.int32)
+        # absolute lo at each boundary: the 24-bit delta wire's anchor
+        # values (deltas wrap where lo resets; ~4 KB rides along)
+        bl = jnp.take(al, jnp.minimum(b, al.shape[0] - 1), mode="clip")
+        return b, bl
 
     return jax.jit(f)
 
@@ -511,6 +611,7 @@ class DeviceAccumulator:
         self._state = None
         self._pending: list = []  # (codes_np, n_runs_dev, ovf_dev | None)
         self._last_n = 0
+        self.last_wire = None  # drain wire choice (observability/tests)
 
     # -- state plumbing -------------------------------------------------
     def _fresh_state(self):
@@ -699,11 +800,16 @@ class DeviceAccumulator:
           * 16 < k <= 23: the hi plane is monotone over the sorted
             prefix, so only its 4^(k-16)+1 value boundaries travel
             (searchsorted on device) and the plane rebuilds on host;
-          * counts travel as u16 whenever the accumulator's max count
-            fits (one scalar max-fetch decides; exact either way).
+          * the lo plane ships as 24-bit intra-hi-run DELTAS when the
+            accumulator's max intra-run gap fits (one stats fetch
+            proves it; run-boundary absolutes ride the hib fetch) —
+            3 bytes per unique instead of 4;
+          * counts travel as u16/u8 or BIT-PACKED 4/2 bits per unique
+            when the max count fits (all-distinct corpora are almost
+            all count 1).
 
-        Net: 6 bytes per unique for the flagship k=21 all-distinct
-        case, down from 10."""
+        Net: ~3.3 bytes per unique for the flagship k=21 all-distinct
+        case, down from 6 in round 4 and 10 in round 3."""
         self.sync()
         if self._state is None:
             return np.empty(0, np.uint64), np.empty(0, np.uint64)
@@ -721,25 +827,43 @@ class DeviceAccumulator:
             n_need = int(n_per_dev.max())
             no_hi = self.k <= 16
             bounded_hi = 16 < self.k <= 23
-            max_ct = int(np.asarray(_max_fn()(ac)))
-            ct_narrow = 8 if max_ct < (1 << 8) else (
+            stats = np.asarray(_wire_stats_fn()(ah, al, ac))
+            max_ct = int(stats[0])
+            n_big = int(stats[1])
+            ct_narrow = (
+                2 if max_ct < 4 else
+                4 if max_ct < 16 else
+                8 if max_ct < (1 << 8) else
                 16 if max_ct < (1 << 16) else 0
             )
-            hib = (
-                _hi_bounds_fn(1 << (2 * (self.k - 16)))(ah)
-                if bounded_hi else None
+            hib = bl = None
+            if bounded_hi:
+                hib, bl = _hi_bounds_fn(1 << (2 * (self.k - 16)))(ah, al)
+            lo24 = bounded_hi and n_big <= _LO24_EXC_CAP
+            exc = (
+                _lo_exc_fn(_LO24_EXC_CAP)(ah, al)
+                if lo24 and n_big else None
             )
+            self.last_wire = {
+                "lo24": lo24, "ct_bits": ct_narrow or 32, "n_exc": n_big,
+            }
             ph, plo, pct = [], [], []
             for off, size in _prefix_pieces(n_need, self.C_dev):
                 o = np.int32(off)
                 if not (no_hi or bounded_hi):
                     ph.append(_slice_fn(size, 16 if small_hi else 0)(ah, o))
-                plo.append(_slice_fn(size, 0)(al, o))
+                plo.append(
+                    _lo24_fn(size, off == 0)(al, o) if lo24
+                    else _slice_fn(size, 0)(al, o)
+                )
                 pct.append(_slice_fn(size, ct_narrow)(ac, o))
             # start every device->host copy before blocking on any:
             # piece fetches overlap instead of paying one round trip
             # each in sequence
-            pends = [*ph, *plo, *pct] + ([hib] if hib is not None else [])
+            pends = [*ph, *plo, *pct]
+            pends += [x for x in (hib, bl) if x is not None]
+            if exc is not None:
+                pends += list(exc)
             for r in pends:
                 cast = getattr(r, "copy_to_host_async", None)
                 if cast is not None:
@@ -747,11 +871,29 @@ class DeviceAccumulator:
                         cast()
                     except Exception:
                         pass
-            plo = [np.asarray(r) for r in plo]
-            pct = [np.asarray(r) for r in pct]
-            lo = np.concatenate(plo) if plo else np.empty(0, np.uint32)
-            ct = np.concatenate(pct) if pct else np.empty(0, np.uint32)
-            m = len(lo)
+            if lo24:
+                if plo:
+                    d = np.concatenate(
+                        [np.asarray(r) for r in plo], axis=1
+                    ).astype(np.int64)
+                    delta = d[0] | (d[1] << 8) | (d[2] << 16)
+                else:
+                    delta = np.empty(0, np.int64)
+            else:
+                lo = (
+                    np.concatenate([np.asarray(r) for r in plo])
+                    if plo else np.empty(0, np.uint32)
+                )
+            if ct_narrow in (2, 4) and pct:
+                ct = np.concatenate(
+                    [_unpack_bits(np.asarray(r), ct_narrow) for r in pct]
+                )
+            else:
+                ct = (
+                    np.concatenate([np.asarray(r) for r in pct])
+                    if pct else np.empty(0, np.uint32)
+                )
+            m = len(ct)
             if no_hi:
                 hi = np.zeros(m, np.uint16)
             elif bounded_hi:
@@ -766,6 +908,34 @@ class DeviceAccumulator:
             else:
                 ph = [np.asarray(r) for r in ph]
                 hi = np.concatenate(ph) if ph else np.empty(0, np.uint32)
+            if lo24:
+                # reconstruct lo: zero the boundary deltas, prefix-sum,
+                # then re-anchor each hi-run segment at its absolute lo
+                # (cumsum exact in int64; intra-run deltas are < 2^24
+                # by the stats proof). Segment starts are the distinct
+                # boundary positions; start[0] == 0 always (searchsorted
+                # of hi value 0 over an unsigned plane).
+                delta = delta[:m]
+                if exc is not None:
+                    # giant-gap exceptions: restore their full u32
+                    # deltas BEFORE boundary zeroing (a boundary can
+                    # also appear here with its wrapped delta — the
+                    # zeroing below wins, which is correct)
+                    epos = np.asarray(exc[0]).astype(np.int64)
+                    edv = np.asarray(exc[1]).astype(np.int64)
+                    evalid = epos < m
+                    delta[epos[evalid]] = edv[evalid]
+                bpos = np.minimum(np.asarray(hib).astype(np.int64), m)
+                babs = np.asarray(bl).astype(np.int64)
+                starts, first = np.unique(bpos, return_index=True)
+                keep = starts < m
+                starts, first = starts[keep], first[keep]
+                delta[starts] = 0
+                csum = np.cumsum(delta)
+                seg_anchor = babs[first] - csum[starts]
+                ends = np.append(starts[1:], m)
+                anchor = np.repeat(seg_anchor, ends - starts)
+                lo = ((csum + anchor) & 0xFFFFFFFF).astype(np.uint32)
             hi, lo, ct = hi[None], lo[None], ct[None]
         else:
             L = min(int(_pow2_at_least(int(n_per_dev.max()))), self.C_dev)

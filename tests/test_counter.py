@@ -705,3 +705,87 @@ def test_accumulator_exact_bound_grouped_resolves(monkeypatch):
     )
     assert not acc3._exact
     assert acc3.spill_mark < acc3.C_dev
+
+
+def test_drain_lo24_delta_wire_exact():
+    """Round-5 drain wire: with enough uniques that every intra-hi-run
+    lo gap fits 24 bits, the lo plane ships as 3-byte deltas and counts
+    bit-pack — and the drained (keys, counts) stay EXACT vs a plain
+    accumulate oracle, including duplicate keys and the hi-run anchor
+    reconstruction."""
+    from kmertools_tpu.workloads.counter import DeviceAccumulator
+
+    rng = np.random.default_rng(77)
+    k = 21
+    want: dict[int, int] = {}
+    acc = DeviceAccumulator(k, target_codes=1 << 13, n_devices=1)
+    from kmertools_tpu.utils import codec
+
+    for _ in range(10):
+        codes = rng.integers(0, 4, size=(96, 96)).astype(np.uint8)
+        lengths = np.full(96, 96, np.int32)
+        for row in codes:
+            f = r = 0
+            mask = (1 << (2 * k)) - 1
+            for i, c in enumerate(row.tolist()):
+                f = ((f << 2) | c) & mask
+                r = (r >> 2) | ((3 - c) << (2 * (k - 1)))
+                if i >= k - 1:
+                    key = min(f, r)
+                    want[key] = want.get(key, 0) + 1
+        acc.add(codes_np=codes, lengths_np=lengths)
+    # ~70k uniques over 2^42 with 2^10 hi runs -> intra-run gaps well
+    # under 2^24 only if... (runs hold ~70 entries over 2^32: gaps ~2^26)
+    # so THIS config must legitimately pick the u32 fallback; exactness
+    # first:
+    keys, cnts = acc.drain()
+    got = dict(zip(keys.tolist(), cnts.tolist()))
+    assert got == want
+    assert acc.last_wire is not None
+    assert acc.last_wire["ct_bits"] in (2, 4, 8)
+
+    # force the lo24 path with a CRAFTED dense accumulator state:
+    # 4 hi runs (one a singleton), strictly increasing lo with gaps
+    # < 2^24, counts in 1..3 (2-bit pack) — the drained keys/counts
+    # must reproduce the injected state exactly, boundaries included
+    import jax.numpy as jnp
+
+    k = 17
+    acc2 = DeviceAccumulator(k, target_codes=1 << 13, n_devices=1)
+    C = acc2.C_dev
+    n = 200_000
+    sizes = [50_000, 70_000, 1, 79_999]
+    his, los = [], []
+    for h, sz in enumerate(sizes):
+        gaps = rng.integers(1, (1 << 31) // (sz + 1), sz, dtype=np.uint64)
+        # a few giant gaps: the 24-bit wire must route them through
+        # its fixed-cap exception list (canonical-key skew makes such
+        # gaps unavoidable in the sparse near-diagonal hi runs)
+        gaps[rng.integers(0, sz, min(37, sz))] += 1 << 25
+        lo_run = np.cumsum(gaps) + rng.integers(0, 1 << 16)
+        assert lo_run[-1] < (1 << 32)
+        his.append(np.full(sz, h, np.uint32))
+        los.append(lo_run.astype(np.uint32))
+    hi = np.concatenate(his)
+    lo = np.concatenate(los)
+    ct = rng.integers(1, 4, n).astype(np.uint32)
+    sent = np.uint32(0xFFFFFFFF)
+    ah = np.full(C, sent, np.uint32)
+    al = np.full(C, sent, np.uint32)
+    ac = np.zeros(C, np.uint32)
+    ah[:n] = hi
+    al[:n] = lo
+    ac[:n] = ct
+    acc2._state = (jnp.asarray(ah), jnp.asarray(al), jnp.asarray(ac))
+    acc2._last_n = n
+    keys, cnts = acc2.drain()
+    assert acc2.last_wire is not None and acc2.last_wire["lo24"], (
+        acc2.last_wire
+    )
+    assert acc2.last_wire["ct_bits"] == 2
+    assert acc2.last_wire["n_exc"] > 0  # the exception path engaged
+    want_keys = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(
+        np.uint64
+    )
+    assert np.array_equal(keys, want_keys)
+    assert np.array_equal(cnts.astype(np.uint32), ct)
