@@ -120,6 +120,11 @@ def _make_kernel(T: int, G: int):
     aligned (T+128)-lane window."""
     D = T - 128
     T2 = 2 * T
+    # narrow B window for small-span tiles: the bitonic merge then runs
+    # at T + WB lanes instead of 2T (Batcher's generalised first stage
+    # + a shared pow2 schedule; see _merge_small). Disabled for tiny
+    # test tiles where WB would undershoot the 128-lane register width.
+    WB = T // 4 if T >= 2048 else 0
     _imax = _IMAX
 
     def _rt(x, s):
@@ -148,7 +153,8 @@ def _make_kernel(T: int, G: int):
             # rotate by s is a right rotate by (n - s) mod n
             sw = jnp.asarray(s, jnp.int32)
             amt = (
-                lax.rem(jnp.int32(n) - sw, jnp.int32(n)) if left else sw
+                lax.rem(jnp.int32(n) - sw, jnp.int32(n)) if left
+                else lax.rem(sw, jnp.int32(n))
             )
             return [pltpu.roll(x, amt, axis=1) for x in arrs]
         for b in range(bits):
@@ -180,20 +186,34 @@ def _make_kernel(T: int, G: int):
             traced value; aoff/boff are prefetched scalars)."""
             a0 = aoff[tt]
             b0 = boff[tt]
+            b1 = boff[jnp.minimum(tt + 1, G - 1)]
             # pure-A tile: its merge-path span consumes NO batch
             # elements, so its output is exactly A[a0 : a0+D] — with a
             # big accumulator and a small batch that is most tiles
             # (~94% at C=31M, M=2M): the whole 2T-lane bitonic network
             # plus the B window staging can be skipped
-            pure = jnp.logical_and(
-                tt + 1 < G, boff[jnp.minimum(tt + 1, G - 1)] == b0
-            )
+            pure = jnp.logical_and(tt + 1 < G, b1 == b0)
             a_load = pl.multiple_of((a0 // 128) * 128, 128)
             braw = Mp - b0 - D
             b_load = pl.multiple_of((braw // 128) * 128, 128)
-            return a0, b0, pure, a_load, b_load
+            if WB:
+                # small-B tile: the span fits the narrow window, so the
+                # merge network runs at T+WB lanes instead of 2T (the
+                # dominant case at production batch/accumulator ratios)
+                small = jnp.logical_and(
+                    jnp.logical_not(pure), (b1 - b0) + 128 <= WB
+                )
+                bls = jnp.minimum(
+                    (jnp.maximum(Mp - b1, 0) // 128) * 128,
+                    ((Mp + 128 - WB) // 128) * 128,
+                )
+                bls = pl.multiple_of(bls, 128)
+            else:
+                small = jnp.bool_(False)
+                bls = jnp.int32(0)
+            return a0, b0, pure, small, a_load, b_load, bls
 
-        def in_copies(sl: int, a_load, b_load):
+        def in_copies(sl: int, a_load, b_load, bls):
             bufs = slots[sl]
             base = bufs[5]
             cps = [
@@ -218,15 +238,40 @@ def _make_kernel(T: int, G: int):
                     brl.at[:, pl.ds(b_load, T)], bufs[4], sems.at[base + 4]
                 ),
             ]
-            return cps, bps
+            # narrow-window variant (same sems: per tile exactly one of
+            # bps/bps_s starts, chosen by the same deterministic
+            # predicate at start and wait time)
+            if WB:
+                bps_s = [
+                    pltpu.make_async_copy(
+                        brh.at[:, pl.ds(bls, WB)],
+                        bufs[3].at[:, pl.ds(0, WB)], sems.at[base + 3]
+                    ),
+                    pltpu.make_async_copy(
+                        brl.at[:, pl.ds(bls, WB)],
+                        bufs[4].at[:, pl.ds(0, WB)], sems.at[base + 4]
+                    ),
+                ]
+            else:
+                bps_s = bps
+            return cps, bps, bps_s
 
         def start_in(tt, sl: int):
-            _, _, pure, a_load, b_load = params(tt)
-            cps, bps = in_copies(sl, a_load, b_load)
+            _, _, pure, small, a_load, b_load, bls = params(tt)
+            cps, bps, bps_s = in_copies(sl, a_load, b_load, bls)
             for c in cps:
                 c.start()
 
-            @pl.when(jnp.logical_not(pure))
+            @pl.when(jnp.logical_and(jnp.logical_not(pure), small))
+            def _():
+                for c in bps_s:
+                    c.start()
+
+            @pl.when(
+                jnp.logical_and(
+                    jnp.logical_not(pure), jnp.logical_not(small)
+                )
+            )
             def _():
                 for c in bps:
                     c.start()
@@ -259,7 +304,7 @@ def _make_kernel(T: int, G: int):
             def _():
                 start_in(t + 1, 0)
 
-        a0, b0, pure_a, a_load, b_load = params(t)
+        a0, b0, pure_a, small_b, a_load, b_load, bls = params(t)
         da = a0 - a_load
 
         lane = lax.broadcasted_iota(jnp.int32, (1, T), 1)
@@ -269,8 +314,8 @@ def _make_kernel(T: int, G: int):
             run the merge (or the pure-A copy) into m_h/m_l/m_c. The
             body is instantiated once per slot (static buffer refs);
             only one branch executes per tile."""
-            _, _, _, a_loadx, b_loadx = params(t)
-            cps, bps = in_copies(sl, a_loadx, b_loadx)
+            _, _, _, _, a_loadx, b_loadx, blsx = params(t)
+            cps, bps, bps_s = in_copies(sl, a_loadx, b_loadx, blsx)
             for c in cps:
                 c.wait()
             bufs = slots[sl]
@@ -292,11 +337,85 @@ def _make_kernel(T: int, G: int):
                 m_l[:] = wal[:, :D]
                 m_c[:] = wac[:, :D]
 
-            @pl.when(jnp.logical_not(pure_a))
+            @pl.when(jnp.logical_and(jnp.logical_not(pure_a), small_b))
+            def _merge_slow_small():
+                for c in bps_s:
+                    c.wait()
+                _merge_small(bufs, wah, wal, wac)
+
+            @pl.when(
+                jnp.logical_and(
+                    jnp.logical_not(pure_a), jnp.logical_not(small_b)
+                )
+            )
             def _merge_slow():
                 for c in bps:
                     c.wait()
                 _merge_full(bufs, wah, wal, wac)
+
+        def _merge_small(bufs, wah, wal, wac):
+            """Merge with the NARROW (WB-lane) B window, at HALF the
+            full network's cost. View the input as the virtual 2T-lane
+            bitonic sequence [asc-A (T) | inf x (T-WB) | inf-pad ++
+            desc-B (WB)]. The standard stage s = T pairs lane i with
+            i + T; every pair whose upper lane is virtual-inf keeps A
+            unchanged, so only the LAST WB lanes of A exchange — with
+            the B window, elementwise. The resulting LOWER half is
+            bitonic (pow2 Batcher property) and <= the upper half, and
+            since each grid step emits only D <= T outputs, the upper
+            half (the pairwise maxima) is never needed: later tiles
+            re-fetch their windows from HBM. Total: one WB-wide
+            min-select + a T-wide bitonic merge — ~2x fewer
+            element-stages than the 2T network."""
+            b_hx, b_lx = bufs[3], bufs[4]
+            thresh = (Mp - b0) - bls  # first small-extra lane
+            kshift = WB - thresh
+            wb = _rot_dyn(
+                [b_hx[:, :WB], b_lx[:, :WB]], kshift, 12, left=False
+            )
+            lane_w = lax.broadcasted_iota(jnp.int32, (1, WB), 1)
+            b_sent = lane_w < kshift
+            wbh = jnp.where(b_sent, _imax, wb[0])
+            wbl = jnp.where(b_sent, _imax, wb[1])
+            wbc = jnp.ones((1, WB), jnp.int32)
+
+            def cmp_lt(ph, pll, pc, h, l, c_):
+                return (ph < h) | (
+                    (ph == h) & ((pll < l) | ((pll == l) & (pc < c_)))
+                )
+
+            # virtual stage T: elementwise tuple-min of A's last WB
+            # lanes vs the B window (identical tuples: either side)
+            ath = wah[:, T - WB:]
+            atl = wal[:, T - WB:]
+            atc = wac[:, T - WB:]
+            b_lt = cmp_lt(wbh, wbl, wbc, ath, atl, atc)
+            h = jnp.concatenate(
+                [wah[:, : T - WB], jnp.where(b_lt, wbh, ath)], axis=1
+            )
+            l = jnp.concatenate(
+                [wal[:, : T - WB], jnp.where(b_lt, wbl, atl)], axis=1
+            )
+            c_ = jnp.concatenate(
+                [wac[:, : T - WB], jnp.where(b_lt, wbc, atc)], axis=1
+            )
+
+            iota1 = lax.broadcasted_iota(jnp.int32, (1, T), 1)
+            s = T // 2
+            while s >= 1:
+                m = (iota1 & s) == 0
+                ph = jnp.where(m, _lt_(h, s), _rt(h, s))
+                pll = jnp.where(m, _lt_(l, s), _rt(l, s))
+                pc = jnp.where(m, _lt_(c_, s), _rt(c_, s))
+                p_lt = cmp_lt(ph, pll, pc, h, l, c_)
+                take = m == p_lt
+                h = jnp.where(take, ph, h)
+                l = jnp.where(take, pll, l)
+                c_ = jnp.where(take, pc, c_)
+                s //= 2
+            m_h[:] = h[:, :D]
+            m_l[:] = l[:, :D]
+            m_c[:] = c_[:, :D]
 
         def _merge_full(bufs, wah, wal, wac):
             b_hx, b_lx = bufs[3], bufs[4]
@@ -594,14 +713,16 @@ def _make_kernel(T: int, G: int):
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def merge_sorted_pallas(ah, al, ac, bh, bl, tile: int = 4096,
+def merge_sorted_pallas(ah, al, ac, bh, bl, tile: int = 8192,
                         interpret: bool = False):
     """Drop-in for ops.count.merge_sorted_batch: merge a SORTED batch
     (bh, bl) of unit-count canonical pairs (sentinels last) into the
     sorted-unique sentinel-tailed accumulator (ah, al, ac). Returns
     (oh, ol, oc, n_runs), runs compacted to the prefix, sentinel/zero
     tail, output length >= C + M. ``tile`` is the aligned load-window
-    size (pow2 >= 256); each grid step emits tile - 128 elements."""
+    size (pow2 >= 256); each grid step emits tile - 128 elements.
+    Default 8192: the round-5 on-chip sweep read 341/382/203 Melem/s at
+    4096/8192/16384 with the narrow-B branch."""
     C = ah.shape[0]
     M = bh.shape[0]
     T = tile

@@ -202,3 +202,40 @@ def test_accum_merge_pallas_path(monkeypatch):
     n = int(got[3])
     for g, w in zip(got[:3], want[:3]):
         assert np.array_equal(np.asarray(g)[:n], w[:n])
+
+
+def test_merge_small_b_window_branch():
+    """tile >= 2048 enables the narrow-B (WB = T/4) network branch:
+    a sparse batch (every tile's span fits WB) must merge exactly, and
+    a DENSE region (spans exceeding WB) must fall back to the full 2T
+    network per tile — both vs the XLA oracle, duplicates included."""
+    rng = np.random.default_rng(21)
+    C, M = 60_000, 2_500
+    # sparse: ~2.5k batch keys spread over 60k accumulator keys ->
+    # per-8064-tile spans ~340 << WB-128
+    hi, lo = _sorted_pairs(rng, C // 2, 1 << 8, 1 << 30)
+    ah, al, ac = _acc(hi, lo, rng.integers(1, 9, len(hi)), C)
+    bhs, bls_ = _sorted_pairs(rng, M - 64, 1 << 8, 1 << 30)
+    bh, bl = _batch(bhs, bls_, M)
+    _check(ah, al, ac, bh, bl, tile=2048)
+
+    # dense cluster: all batch keys inside ONE narrow key range so a
+    # single tile's span is the whole batch (> WB - 128 at WB = 512)
+    # -> that tile takes the full-network fallback
+    bh2 = np.full(M, 3, np.uint32)
+    bl2 = np.sort(rng.integers(0, 1 << 12, M).astype(np.uint32))
+    _check(ah, al, ac, bh2, bl2, tile=2048)
+
+    # duplicates across A and B in the small-branch regime
+    pool_hi = rng.integers(0, 4, 64, dtype=np.uint32)
+    pool_lo = rng.integers(0, 1 << 10, 64, dtype=np.uint32)
+    hi3, lo3 = _sorted_pairs(rng, 2_000, 0, 0, (pool_hi, pool_lo))
+    # unique-ify A (accumulator holds unique keys)
+    key3 = (hi3.astype(np.uint64) << np.uint64(32)) | lo3
+    _, idx = np.unique(key3, return_index=True)
+    ah3, al3, ac3 = _acc(
+        hi3[idx], lo3[idx], rng.integers(1, 5, len(idx)), C
+    )
+    bh4, bl4 = _sorted_pairs(rng, 1_500, 0, 0, (pool_hi, pool_lo))
+    bhp, blp = _batch(bh4, bl4, M)
+    _check(ah3, al3, ac3, bhp, blp, tile=2048)
