@@ -262,19 +262,28 @@ def _make_kernel(T: int, G: int):
             for c in cps:
                 c.start()
 
-            @pl.when(jnp.logical_and(jnp.logical_not(pure), small))
-            def _():
-                for c in bps_s:
-                    c.start()
+            # pl.when TRACES both arms even under a constant predicate,
+            # and Mosaic rejects the zero-width vectors a WB == 0
+            # small branch would slice — gate statically
+            if WB:
+                @pl.when(jnp.logical_and(jnp.logical_not(pure), small))
+                def _():
+                    for c in bps_s:
+                        c.start()
 
-            @pl.when(
-                jnp.logical_and(
-                    jnp.logical_not(pure), jnp.logical_not(small)
+                @pl.when(
+                    jnp.logical_and(
+                        jnp.logical_not(pure), jnp.logical_not(small)
+                    )
                 )
-            )
-            def _():
-                for c in bps:
-                    c.start()
+                def _():
+                    for c in bps:
+                        c.start()
+            else:
+                @pl.when(jnp.logical_not(pure))
+                def _():
+                    for c in bps:
+                        c.start()
 
         # double-buffered input staging: tile t's windows were started
         # at step t-1 (t=0 starts its own and t=1's), so the DMA
@@ -337,21 +346,30 @@ def _make_kernel(T: int, G: int):
                 m_l[:] = wal[:, :D]
                 m_c[:] = wac[:, :D]
 
-            @pl.when(jnp.logical_and(jnp.logical_not(pure_a), small_b))
-            def _merge_slow_small():
-                for c in bps_s:
-                    c.wait()
-                _merge_small(bufs, wah, wal, wac)
-
-            @pl.when(
-                jnp.logical_and(
-                    jnp.logical_not(pure_a), jnp.logical_not(small_b)
+            if WB:
+                @pl.when(
+                    jnp.logical_and(jnp.logical_not(pure_a), small_b)
                 )
-            )
-            def _merge_slow():
-                for c in bps:
-                    c.wait()
-                _merge_full(bufs, wah, wal, wac)
+                def _merge_slow_small():
+                    for c in bps_s:
+                        c.wait()
+                    _merge_small(bufs, wah, wal, wac)
+
+                @pl.when(
+                    jnp.logical_and(
+                        jnp.logical_not(pure_a), jnp.logical_not(small_b)
+                    )
+                )
+                def _merge_slow():
+                    for c in bps:
+                        c.wait()
+                    _merge_full(bufs, wah, wal, wac)
+            else:
+                @pl.when(jnp.logical_not(pure_a))
+                def _merge_slow():
+                    for c in bps:
+                        c.wait()
+                    _merge_full(bufs, wah, wal, wac)
 
         def _merge_small(bufs, wah, wal, wac):
             """Merge with the NARROW (WB-lane) B window, at HALF the

@@ -68,6 +68,10 @@ def main():
     assert use_pallas_merge(), "pallas merge gate says off on this backend"
     run(3072, 1024, 1500, 900, 0, tile=512)   # multi-tile, small
     run(6144, 2048, 4000, 2000, 1, tile=512)  # duplicate-heavy
+    # tile >= 2048 engages the narrow-B branch (round 5): sparse spans
+    # take it, a dense cluster forces the full-network fallback
+    run(60_000, 2_500, 28_000, 2_300, 2, tile=2048)
+    run(30_000, 9_000, 14_000, 8_900, 3, tile=2048)  # dense: mixed paths
     print("PALLAS-MERGE-TPU-OK")
 
 
