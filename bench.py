@@ -187,20 +187,34 @@ def baseline_native_1t(in_path: str, out_path: str) -> float:
         "os.environ['KMERTOOLS_QUIET'] = '1'\n"
         "os.environ['KMERTOOLS_PLATFORM'] = 'cpu'\n"
         "from kmertools_tpu.workloads.oligo import OligoComputer\n"
-        f"c = OligoComputer({in_path!r}, {out_path!r}, {K}, True)\n"
-        "c.set_threads(1)\n"
-        "t0 = time.perf_counter()\n"
-        "c.vectorise()\n"
-        "print('ELAPSED', time.perf_counter() - t0)\n"
+        "for tag in ('COLD', 'WARM'):\n"
+        f"    c = OligoComputer({in_path!r}, {out_path!r}, {K}, True)\n"
+        "    c.set_threads(1)\n"
+        # the 1-thread engine's own best batch size (2^21; the plan's
+        # 2^22 default is tuned for 4 threads and costs 1t ~20% —
+        # round-5 A/B). The baseline runs at ITS best, not ours.
+        "    c.target_codes = 1 << 21\n"
+        "    t0 = time.perf_counter()\n"
+        "    c.vectorise()\n"
+        "    print(tag, time.perf_counter() - t0)\n"
     )
     r = subprocess.run(
         [sys.executable, "-c", prog],
         capture_output=True, text=True, timeout=1800,
     )
+    cold = warm = None
     for line in r.stdout.splitlines():
-        if line.startswith("ELAPSED"):
-            return float(line.split()[1])
-    raise RuntimeError("native-1t baseline failed: " + r.stderr[-500:])
+        if line.startswith("COLD"):
+            cold = float(line.split()[1])
+        elif line.startswith("WARM"):
+            warm = float(line.split()[1])
+    if cold is None or warm is None:
+        raise RuntimeError("native-1t baseline failed: " + r.stderr[-500:])
+    # cold = fresh-process run (the rounds-1..4 comparable figure, and
+    # the CLI user experience); warm = second run in the same process
+    # (page/buffer warmth) — reported separately so the asymmetry vs
+    # the in-process framework runs is auditable
+    return cold, warm
 
 
 def _ensure_live_backend() -> None:
@@ -339,9 +353,11 @@ def main() -> None:
     # paired samples plus per-run phase probes make the ratio auditable
     ours_t = float("inf")
     nat1_t = float("inf")
+    nat1_warm_t = float("inf")
     sinks: list = []
     t_ours: list = []
     t_nat1: list = []
+    t_nat1_warm: list = []
     t_base: list = []
     touch: list = []
     for _ in range(REPEATS):
@@ -351,9 +367,13 @@ def main() -> None:
         if t < ours_t:
             ours_t = t
             sinks = [dict(s) for s in LAST_SINKS]
-        t = baseline_native_1t(corpus, os.path.join(tmp, "nat1.kmers"))
-        t_nat1.append(round(t, 3))
-        nat1_t = min(nat1_t, t)
+        cold, warm = baseline_native_1t(
+            corpus, os.path.join(tmp, "nat1.kmers")
+        )
+        t_nat1.append(round(cold, 3))
+        t_nat1_warm.append(round(warm, 3))
+        nat1_t = min(nat1_t, cold)
+        nat1_warm_t = min(nat1_warm_t, warm)
     base_t = float("inf")
     for _ in range(NUMPY_REPEATS):
         t = baseline_numpy(corpus, os.path.join(tmp, "base.kmers"))
@@ -403,8 +423,16 @@ def main() -> None:
                 "vs_baseline": round(ours_rate / base_rate, 3),
                 # honest second baseline: vs the in-repo native engine
                 # pinned to ONE thread — the stand-in for one Rust-CLI
-                # core (BASELINE.json's >=10x target class)
+                # core (BASELINE.json's >=10x target class). _cold =
+                # fresh process per run (comparable to rounds 1-4, and
+                # the CLI UX); _warm = the baseline's second in-process
+                # run, symmetric with the framework's warm in-process
+                # runs — on this 4-core box warm-vs-warm is bounded
+                # near ~1.2-1.3x by the histogram's 1.9 core-seconds
                 "vs_native_1t": round(ours_rate / nat1_rate, 3),
+                "vs_native_1t_warm": round(
+                    ours_rate / (total_bases / nat1_warm_t), 3
+                ),
                 # what actually ran: accelerator gate + per-sink routing
                 "backend": "+".join(plats),
                 "accelerator": accel,
@@ -435,6 +463,7 @@ def main() -> None:
                     "tpu_rtt_ms": tpu_rtt,
                     "t_ours": t_ours,
                     "t_native_1t": t_nat1,
+                    "t_native_1t_warm": t_nat1_warm,
                     "t_numpy": t_base,
                     "phase": "degraded" if degraded else "healthy",
                 },
