@@ -529,7 +529,10 @@ class DeviceAccumulator:
         if out_capacity is None:
             # merge_sorted_batch pads C + M to a power of two anyway;
             # claim the padding as usable capacity
-            want = max(cap_factor * growth, margin + growth)
+            # the cap_factor floor sizes blind runs (no estimate);
+            # with a trusted bound it would dominate at big batches
+            # (6 x an 8M batch = 50M capacity for a 15M-unique run,
+            # tripling every merge's cost)
             if pallas and expect_codes is not None:
                 # the caller knows the input size (the counter's stats
                 # pre-pass): size ONCE for the worst case — uniques
@@ -543,11 +546,20 @@ class DeviceAccumulator:
                 # Pallas kernel takes any C, so the 1/8-octave grid
                 # replaces the pow2 round-up (merge cost is linear
                 # in C; a pow2 boundary crossing would double it).
-                # Two batches of slack — NOT the unresolved margin:
-                # with the bound exact (n <= positions <= C) the
-                # margin is vestigial, and at big batches it would
-                # inflate C (and every merge's cost) several-fold.
-                want = max(want, min(expect_codes + 2 * growth, _c_max))
+                # Two batches of slack — NEITHER the unresolved margin
+                # NOR the blind cap_factor floor: with an exact bound
+                # (n <= positions <= C, so exact-bound mode engages
+                # and the spill mark is off) both are vestigial, and
+                # at 2^23 batches either would inflate C — and every
+                # merge's cost — by 1.5-3x (round 5: 54.5M -> 32M at
+                # the 15 Mb flagship).
+                want_x = min(expect_codes + 2 * growth, _c_max)
+                if want_x < expect_codes + growth:
+                    # cap-clamped: exact mode can't engage; fall back
+                    # to the margin-based sizing the per-batch
+                    # resolves require
+                    want_x = max(want_x, margin + growth)
+                want = want_x
                 self.C_dev = min(
                     _quant_grid_at_least(want + m_dev) - m_dev,
                     # the grid round-up may overshoot the cap by its
@@ -556,6 +568,7 @@ class DeviceAccumulator:
                     max(_c_max, want),
                 )
             else:
+                want = max(cap_factor * growth, margin + growth)
                 self.C_dev = _pow2_at_least(want + m_dev) - m_dev
         else:
             self.C_dev = max(
@@ -563,7 +576,6 @@ class DeviceAccumulator:
                 margin + 256,
             )
         self.spill_mark = self.C_dev - margin
-        assert self.spill_mark > 0
         # exact-bound mode (VERDICT r5 #2): when the caller supplied a
         # trusted unique bound (the counter's exact k-mer position
         # tally) and capacity covers it with one batch of slack, the
@@ -583,6 +595,10 @@ class DeviceAccumulator:
             self._resolve_every = 8
             self._unresolved_max = self._LAG + self._resolve_every - 1
             self.spill_mark = self.C_dev  # uniques provably fit
+        # non-exact paths need headroom below the spill mark; exact
+        # mode sized C from the bound instead of the margin (the
+        # assert would reject margin > C at 2^23 batches)
+        assert self.spill_mark > 0
         # Pallas path: GROW the device state instead of spilling while
         # capacity is below the growth cap. A mid-run spill writes the
         # reference TSV to disk and re-reads it in the merge phase —

@@ -206,14 +206,20 @@ def hist_only() -> None:
     )
 
 
-def accum_merge_rate() -> None:
+def accum_merge_rate(n_reads: int = 8400, label: str = "",
+                     key_suffix: str = "") -> None:
     """The counter's device accumulator (the production path:
     workloads/counter.py:DeviceAccumulator), measured end to end over
     streamed batches at the backend's resolved default target — the
-    Pallas merge-path kernel on real TPUs (1<<21 batches; program size
+    Pallas merge-path kernel on real TPUs (1<<23 batches; program size
     static in C+M), the XLA bitonic network elsewhere (1<<18 batches to
     stay under its compile cliff). Running this also warms the exact
-    program the ctr hardware run dispatches."""
+    program class the ctr hardware run dispatches.
+
+    Default corpus: 42 Mbases / ~41.8M uniques (fixed, so batch-size
+    sweeps via KMERTOOLS_CTR_TARGET vary only the batch). main() also
+    runs the FLAGSHIP shape (15 Mb, C~=32M — the VERDICT r4 #2
+    criterion's scale)."""
     import os
     import tempfile
 
@@ -228,9 +234,6 @@ def accum_merge_rate() -> None:
     rng = np.random.default_rng(2)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     read_len = 5000
-    # FIXED corpus (42 Mbases, ~41.8M uniques): batch-size sweeps via
-    # KMERTOOLS_CTR_TARGET must vary only the batch, not the workload
-    n_reads = 8400
     fa = tempfile.NamedTemporaryFile(
         suffix=".fa", delete=False,
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
@@ -284,13 +287,17 @@ def accum_merge_rate() -> None:
         uniq += len(ks)
         dt = time.perf_counter() - t0
         nb = len(batches) - warm
-        RESULTS["accum_merge_Mcodes_s"] = codes / dt / 1e6
-        RESULTS["accum_merge_nodrain_Mcodes_s"] = codes / (dt - drain_t) / 1e6
-        RESULTS["accum_drain_s_per_Muniq"] = drain_t / max(uniq / 1e6, 1e-9)
-        RESULTS["accum_C"] = acc.C_dev
-        RESULTS["accum_drains"] = drains + 1
+        RESULTS["accum_merge_Mcodes_s" + key_suffix] = codes / dt / 1e6
+        RESULTS["accum_merge_nodrain_Mcodes_s" + key_suffix] = (
+            codes / (dt - drain_t) / 1e6
+        )
+        RESULTS["accum_drain_s_per_Muniq" + key_suffix] = (
+            drain_t / max(uniq / 1e6, 1e-9)
+        )
+        RESULTS["accum_C" + key_suffix] = acc.C_dev
+        RESULTS["accum_drains" + key_suffix] = drains + 1
         print(
-            f"ctr device accumulator (k=21): {codes / dt / 1e6:.1f} "
+            f"ctr device accumulator (k=21{label}): {codes / dt / 1e6:.1f} "
             f"Mcodes/s incl drains, {codes / (dt - drain_t) / 1e6:.1f} "
             f"Mcodes/s merge loop alone ({nb} batches, "
             f"C={acc.C_dev / 1e6:.1f}M state; {uniq / 1e6:.2f}M uniques "
@@ -503,6 +510,9 @@ def main() -> None:
     hist_only()
     minimiser_rates()
     accum_merge_rate()
+    accum_merge_rate(
+        n_reads=3000, label=", flagship 15 Mb", key_suffix="_flagship"
+    )
     cov_join_rate()
     print(json.dumps(RESULTS))
 
