@@ -330,6 +330,9 @@ class _HeteroSink:
                 target=self._disp_loop, daemon=True
             )
             self._disp_thread.start()
+            # a worker can hold a jax dispatch in flight at process
+            # exit — same finalization-abort class as the drains
+            _LIVE_DRAINS.add(self._disp_thread)
         self.thread = threading.Thread(target=self._drain, daemon=True)
         self.thread.start()
         _LIVE_DRAINS.add(self.thread)
@@ -455,12 +458,19 @@ class _HeteroSink:
             return
         self.q.put((entries, res, w_total, time.perf_counter()))
 
-    def close_dispatch(self) -> None:
+    def close_dispatch(self, timeout: float | None = None) -> None:
         """Stop the dispatch worker (after the final flush); must run
-        before the drain queue's end sentinel so no group is lost."""
+        before the drain queue's end sentinel so no group is lost.
+
+        ``timeout``: the worker can be BLOCKED inside a hung remote
+        dispatch (jax device_put through a sick tunnel — measured a
+        22 s bench outlier); when the caller has a recompute fallback,
+        it bounds the join and leaves the worker to finish as a daemon
+        (the stranded batches were already recomputed locally; the
+        atexit hook still drains it before interpreter teardown)."""
         if self._disp_q is not None:
             self._disp_q.put(None)
-            self._disp_thread.join()
+            self._disp_thread.join(timeout)
 
     # -- drain thread --------------------------------------------------
     def _emit_failed(self, entries: list) -> None:
@@ -983,7 +993,12 @@ def run_pipelined_hetero(
                     best.push(seq_p, meta_p, w_p)
         for s in sinks:
             s.flush()
-            s.close_dispatch()  # drain the dispatch worker first
+            # drain the dispatch worker first; with a recompute
+            # fallback a worker stuck in a hung remote dispatch must
+            # not stall the close (its batches were rescued locally)
+            s.close_dispatch(
+                timeout=None if recompute is None or err else 1.0
+            )
             s.q.put(None)
         total_seqs[0] = seq  # consumer may now exit on full consumption
         ct.join()
