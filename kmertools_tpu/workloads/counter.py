@@ -1332,13 +1332,31 @@ class CountComputer:
         fallback modes)."""
         import jax
 
+        from kmertools_tpu.workloads.common import (
+            _COALESCE_RTT_S,
+            probe_device_rtt,
+        )
+
         eng = self._native_engine()
         devs = jax.local_devices() if self.n_devices is None else (
             jax.local_devices()[: self.n_devices]
         )
         backend_cpu = bool(devs) and devs[0].platform == "cpu"
+        # remote-worth economics (round 5, same rule as the oligo
+        # scheduler): a TUNNEL-attached chip's accumulator serves
+        # batches at ~35 Mcodes/s and drains its unique share over a
+        # ~10-25 MB/s wire while the native engine counts at ~30+
+        # Mcodes/s per shard on free cores — measured 17.5 s vs ~5 s
+        # host-alone on the 15 Mb flagship. Directly-attached chips
+        # (sub-ms RTT) keep the device engine; KMERTOOLS_NO_HETERO=1
+        # still pins the device engine alone (eng is None then).
+        remote_dev = (
+            bool(devs)
+            and devs[0].platform != "cpu"
+            and probe_device_rtt(devs[0]) > _COALESCE_RTT_S
+        )
         acc = None
-        if eng is None or not backend_cpu:
+        if eng is None or not (backend_cpu or remote_dev):
             # upper bound on unique k-mers from the stats pre-pass:
             # positions (total bases minus k-1 per sequence), clamped
             # by the canonical key space — lets the Pallas-path
