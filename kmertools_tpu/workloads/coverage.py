@@ -402,7 +402,18 @@ class CovComputer:
                 probe_device_rtt(jax.local_devices()[0])
                 if jax.local_devices() else 0.0
             )
-            if nd is not None and backend_cpu:
+            # remote-worth pre-gate (round 5, same economics as the
+            # oligo scheduler/counter): exploring a tunnel-attached XLA
+            # sink uploads the whole join table (~134 MB at 13M keys)
+            # for one throwaway batch before the router can price it
+            # out — with a native kernel present, a remote backend runs
+            # native-alone outright. Direct-attach chips (sub-ms RTT)
+            # keep the device join; KMERTOOLS_NO_HETERO pins it.
+            from kmertools_tpu.workloads.common import _COALESCE_RTT_S
+
+            if nd is not None and (
+                backend_cpu or xla_rtt > _COALESCE_RTT_S
+            ):
                 dispatches = [nd]
                 keys = [f"cov{self.ksize}:native"]
                 coalesce = [1]
