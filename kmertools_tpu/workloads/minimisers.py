@@ -73,21 +73,27 @@ def _native_min_scanner(msize: int, wsize: int, threads: int = 0):
     accelerator backends, where the scanner serves ONLY short-read
     buckets (row width < _NATIVE_MIN_WIDTH).
 
-    Routing rationale (measured, round 5, 500k x 150 bp / 75 Mb):
-    CPU-only backends route everything native (the XLA window kernels
-    share silicon with and lose to the C++ state machine; 0.77 s).
-    On a tunnel-attached TPU the short-read device path is FETCH-bound
-    — the window-min u32 plane is ~1 word per position while records
-    are ~0.07/position, so the wire carries ~14x the payload (30-36 s
-    measured, either extraction mode) — but contig-scale rows amortise
-    per-row costs and the device path wins there (2.21 s vs 2.88 on
-    15 Mb of 5 kb reads, round 4). Hence: short buckets native, wide
-    buckets device."""
+    Routing rationale (measured, round 5): CPU-only backends route
+    everything native (the XLA window kernels share silicon with and
+    lose to the C++ state machine; 0.77 s on 500k x 150 bp). A
+    TUNNEL-attached TPU (probed RTT > _COALESCE_RTT_S) also routes
+    everything native: the device path ships the window-min u32 plane
+    (~1 word per position vs ~0.07 records/position) and is FETCH-bound
+    at any row width — measured 30-36 s on short reads and 71 s vs
+    1.67 s native on 15 Mb of contigs. Only a LOCALLY-attached
+    accelerator keeps the device path for contig buckets (rows >=
+    _NATIVE_MIN_WIDTH, where the fused scan+extract wins: 2.21 s vs
+    2.88, round 4, local mesh); short buckets stay native everywhere
+    (per-row fixed costs dominate them)."""
     import os as _os
 
     import jax as _jax
 
     from kmertools_tpu import native as _nat
+    from kmertools_tpu.workloads.common import (
+        _COALESCE_RTT_S,
+        probe_device_rtt,
+    )
 
     if _os.environ.get("KMERTOOLS_NO_HETERO") == "1" or msize > 31:
         return None, False
@@ -95,7 +101,8 @@ def _native_min_scanner(msize: int, wsize: int, threads: int = 0):
     if so is None:
         return None, False
     devs = _jax.local_devices()
-    short_only = bool(devs) and devs[0].platform != "cpu"
+    accel = bool(devs) and devs[0].platform != "cpu"
+    short_only = accel and probe_device_rtt(devs[0]) <= _COALESCE_RTT_S
     nthreads = threads or (_os.cpu_count() or 1)
 
     # grow-only output buffers, reused across batches: fresh np.empty
